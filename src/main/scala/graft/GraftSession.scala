@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by the library, Verify, Bench and tests.
+  *
+  * Scale notes: shuffle partitions default small for local[32]; on a real
+  * cluster callers override via `spark.sql.shuffle.partitions` / AQE.
+  */
+object GraftSession {
+
+  /** Apply graft's recommended conf to a builder (AQE on, ANSI off for
+    * permissive EDI-style coercions — the reference engine coerces dirty
+    * strings, never throws; cf. /root/reference/src/Service/Mapper/Mapper.php:21-52).
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+  def local(threads: Int = 4): SparkSession = {
+    val s = tune(
+      SparkSession
+        .builder()
+        .master(s"local[$threads]")
+        .appName("graft")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", threads.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load one of the standard tables from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
