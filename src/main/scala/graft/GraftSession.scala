@@ -18,6 +18,10 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
+    // default; read as long nanos — we convert to epoch millis explicitly,
+    // which is also the determinism-safe interchange with the oracle.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def local(threads: Int = 4): SparkSession = {
     val s = tune(

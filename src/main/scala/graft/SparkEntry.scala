@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{AnalyticsQueries, CoreQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -15,7 +15,14 @@ object SparkEntry {
     "q1_pricing_summary" -> (CoreQueries.q1PricingSummary _),
     "q_mapper_clean"     -> (CoreQueries.qMapperClean _),
     "q_dedupe_rules"     -> (CoreQueries.qDedupeRules _),
-    "q_supplier_agg"     -> (CoreQueries.qSupplierAgg _)
+    "q_supplier_agg"     -> (CoreQueries.qSupplierAgg _),
+    "q3_shipping_priority" -> (AnalyticsQueries.q3ShippingPriority _),
+    "q5_local_supplier"    -> (AnalyticsQueries.q5LocalSupplier _),
+    "q6_forecast_revenue"  -> (AnalyticsQueries.q6ForecastRevenue _),
+    "q_window_topn"        -> (AnalyticsQueries.qWindowTopn _),
+    "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
+    "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
+    "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -23,6 +30,13 @@ object SparkEntry {
     "q1_pricing_summary" -> CoreQueries.q1Sql,
     "q_mapper_clean"     -> CoreQueries.qMapperCleanSql,
     "q_dedupe_rules"     -> CoreQueries.qDedupeRulesSql,
-    "q_supplier_agg"     -> CoreQueries.qSupplierAggSql
+    "q_supplier_agg"     -> CoreQueries.qSupplierAggSql,
+    "q3_shipping_priority" -> AnalyticsQueries.q3Sql,
+    "q5_local_supplier"    -> AnalyticsQueries.q5Sql,
+    "q6_forecast_revenue"  -> AnalyticsQueries.q6Sql,
+    "q_window_topn"        -> AnalyticsQueries.qWindowTopnSql,
+    "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
+    "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
+    "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql
   )
 }

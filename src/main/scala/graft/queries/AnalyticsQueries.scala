@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.GraftSession.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics core (SURVEY.md §2.2): TPC-H-shaped joins/aggs, window top-N,
+  * event sessionization, JSON extraction. Same determinism contract as
+  * [[CoreQueries]].
+  *
+  * Scale notes per query are in the Scaladoc — the intent is that each plan
+  * survives a 1000-executor / 100 TB run unchanged.
+  */
+object AnalyticsQueries {
+
+  private val ep   = col("l_extendedprice").cast("decimal(12,2)")
+  private val disc = col("l_discount").cast("decimal(4,2)")
+  private val one  = lit(1).cast("decimal(4,2)")
+
+  /** SQL fragment mirroring `ep * (1 - disc)` exactly. */
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  // ---- q3: shipping priority (join + topk) ------------------------------
+  /** customer(filtered, broadcast) ⋈ orders(filtered) ⋈ lineitem(filtered).
+    * Filters sit on the scans (pushdown); the only big shuffle is the
+    * orders⋈lineitem sort-merge on orderkey; top-k via global sort + limit
+    * (Spark runs TakeOrderedAndProject — no full sort at scale).
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-06-15 00:00:00"))
+    val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = table(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li   = table(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(ep * (one - disc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(SUM($revSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ---- q5: local supplier volume (5-way join) ---------------------------
+  /** All dims (region/nation/supplier/customer) broadcast; lineitem⋈orders
+    * is the single large shuffle. The c_nationkey = s_nationkey equi-filter
+    * rides on the broadcast joins.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1998-01-01 00:00:00"))
+    val out = table(s, dir, "lineitem")
+      .join(table(s, dir, "orders").filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(ep * (one - disc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+    out
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---- q6: forecast revenue (pure filtered agg, zero shuffle) -----------
+  /** All predicates push to the parquet scan; single partial+final agg. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") <  to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24
+      )
+      .agg(sum(ep * disc).cast("double").as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---- window top-N: latest order per customer --------------------------
+  /** One shuffle on the partition key; rank inside the window. At scale this
+    * is the canonical "latest record per entity" pattern (vs a self-join).
+    */
+  def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  val qWindowTopnSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---- events: gap-based sessionization ---------------------------------
+  /** 30-min-gap sessionization: lag + running sum inside a user window, then
+    * one agg per (user, session). Two shuffles total (both on user_id — the
+    * exchange is reused). Timestamps flow as epoch millis so ns-precision
+    * parquet timestamps can't desync the engines.
+    */
+  def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ts_ms"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > 1800000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_ms").as("session_start_ms"),
+        max("ts_ms").as("session_end_ms"),
+        sum("v").cast("double").as("total_value")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  val qEventsSessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(12,2)) AS v,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT user_id, ts_ms, v,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+      |  CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- events: tumbling-window aggregation ------------------------------
+  /** Tumbling 1h windows — the batch shape of the Structured Streaming agg
+    * in graft.streaming (the same grouping runs on readStream via
+    * `window()`; here the bucket is integer epoch math for oracle-exact
+    * interchange).
+    */
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(expr("(ts DIV 1000000) DIV 3600000 * 3600000").as("window_start_ms"),
+        col("event_type"), col("value").cast("decimal(12,2)").as("v"))
+      .groupBy("window_start_ms", "event_type")
+      .agg(count(lit(1)).as("n"), sum("v").cast("double").as("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+
+  val qEventsWindowSql: String =
+    """SELECT epoch_ms(ts) // 3600000 * 3600000 AS window_start_ms, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- events: JSON property extraction ---------------------------------
+  /** Schemaless JSON props → typed column, fully codegen'd (no UDF). */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .orderBy("event_id")
+
+  val qJsonExtractSql: String =
+    """SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+}
