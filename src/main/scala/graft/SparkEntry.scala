@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, SourceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -22,7 +22,12 @@ object SparkEntry {
     "q_window_topn"        -> (AnalyticsQueries.qWindowTopn _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
-    "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _)
+    "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _),
+    "q_csv_roundtrip"      -> (SourceQueries.qCsvRoundtrip _),
+    "q_morris_xml"         -> (SourceQueries.qMorrisXml _),
+    "q_rest_json"          -> (SourceQueries.qRestJson _),
+    "q_multisource_merge"  -> (SourceQueries.qMultisourceMerge _),
+    "q_config_route"       -> (SourceQueries.qConfigRoute _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -37,6 +42,11 @@ object SparkEntry {
     "q_window_topn"        -> AnalyticsQueries.qWindowTopnSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
-    "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql
+    "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql,
+    "q_csv_roundtrip"      -> SourceQueries.qCsvRoundtripSql,
+    "q_morris_xml"         -> SourceQueries.qMorrisXmlSql,
+    "q_rest_json"          -> SourceQueries.qRestJsonSql,
+    "q_multisource_merge"  -> SourceQueries.qMultisourceMergeSql,
+    "q_config_route"       -> SourceQueries.qConfigRouteSql
   )
 }

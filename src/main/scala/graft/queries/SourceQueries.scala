@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.functions.Cleaners
+import graft.operators.{MultiSourceMerge, SubSourceFeed}
+import graft.sources.{CsvSource, MorrisXmlSource, RestJsonSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-trip source-parser queries (SURVEY.md §6): serialize parquet rows
+  * into the wire format inside the query, parse back with graft's parser,
+  * and let the DuckDB oracle compute the equivalent plain projection — the
+  * parser itself sits under the hash-match gate.
+  */
+object SourceQueries {
+
+  // ---- CSV: to_csv → from_csv round trip --------------------------------
+  def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val lines = table(s, dir, "lineitem")
+      .select(to_csv(struct(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_returnflag")
+      )).as("line"))
+    val schema = new StructType()
+      .add("l_orderkey", LongType).add("l_linenumber", IntegerType)
+      .add("l_extendedprice", DoubleType).add("l_returnflag", StringType)
+    CsvSource.parseLines(lines, col("line"), schema)
+      .drop("line")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qCsvRoundtripSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- Morris XML: build docs per order, parse back ---------------------
+  def qMorrisXml(s: SparkSession, dir: String): DataFrame = {
+    val fragment = concat(
+      lit("<available><gtin>"), col("l_partkey").cast("string"),
+      lit("</gtin><qty>"), floor(col("l_quantity")).cast("long").cast("string"),
+      lit("</qty><detail><price>"), col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+      lit("</price></detail></available>")
+    )
+    val docs = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("doc_id"), fragment.as("frag"))
+      .groupBy("doc_id")
+      .agg(concat(lit("<root>"), array_join(sort_array(collect_list(col("frag"))), ""), lit("</root>")).as("xml"))
+    MorrisXmlSource.parse(docs, "xml", keepCols = Seq("doc_id"))
+      .orderBy("doc_id", "gtin", "qty", "price")
+  }
+
+  val qMorrisXmlSql: String =
+    """SELECT l_orderkey AS doc_id, CAST(l_partkey AS VARCHAR) AS gtin,
+      |  CAST(floor(l_quantity) AS BIGINT) AS qty,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM lineitem
+      |ORDER BY doc_id, gtin, qty, price""".stripMargin
+
+  // ---- REST JSON pages: build paginated responses, parse back -----------
+  def qRestJson(s: SparkSession, dir: String): DataFrame = {
+    val pages = table(s, dir, "orders")
+      .withColumn("page", col("o_orderkey") % 50)
+      .groupBy("page")
+      .agg(to_json(struct(
+        collect_list(struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))).as("data"),
+        struct(lit(50).as("last_page")).as("meta")
+      )).as("body"))
+    val rowSchema = new StructType()
+      .add("o_orderkey", LongType).add("o_custkey", LongType)
+      .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
+    RestJsonSource.parsePages(pages, col("body"), rowSchema)
+      .orderBy("o_orderkey")
+  }
+
+  val qRestJsonSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- Multi-source merge ----------------------------------------------
+  /** Base feed (lineitem-as-supplier-file) enriched by two part-derived
+    * sub-sources keyed on upc — the reference's multi-source mode end to end.
+    */
+  def qMultisourceMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "lineitem").select(
+      Cleaners.cleanUpc(col("l_partkey")).as("upc"),
+      Cleaners.cleanFloat(col("l_extendedprice")).as("price"),
+      Cleaners.cleanInteger(col("l_quantity")).as("qty"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("line_seq")
+    )
+    val partFeed = table(s, dir, "part").select(
+      Cleaners.cleanUpc(col("p_partkey")).as("upc"),
+      col("p_brand").as("brand"),
+      col("p_retailprice").as("retail_price"),
+      col("p_size").as("pack_size"),
+      col("p_partkey").as("seq")
+    )
+    MultiSourceMerge.merge(
+      base, "upc", "line_seq",
+      Seq(
+        SubSourceFeed(broadcast(partFeed), "upc", Seq("brand", "retail_price"), "seq"),
+        SubSourceFeed(broadcast(partFeed), "upc", Seq("pack_size"), "seq")
+      )
+    ).orderBy("upc")
+  }
+
+  val qMultisourceMergeSql: String =
+    """WITH feed AS (
+      |  SELECT substr(regexp_replace(CAST(l_partkey AS VARCHAR), '[^a-zA-Zа-яА-Я0-9.]', '', 'g'), 1, 13) AS upc,
+      |    COALESCE(TRY_CAST(regexp_extract(regexp_replace(regexp_replace(replace(CAST(l_extendedprice AS VARCHAR), ',', '.'), '[^a-zA-Zа-яА-Я0-9.]', '', 'g'), '[^0-9.]', '', 'g'), '^([0-9]*\.?[0-9]*)', 1) AS DOUBLE), 0.0) AS price,
+      |    COALESCE(TRY_CAST(regexp_replace(CAST(l_quantity AS VARCHAR), '[^0-9]', '', 'g') AS BIGINT), 0) AS qty,
+      |    l_orderkey*10 + l_linenumber AS line_seq
+      |  FROM lineitem),
+      |base AS (
+      |  SELECT upc, arg_max(price, line_seq) AS price, arg_max(qty, line_seq) AS qty
+      |  FROM feed WHERE upc IS NOT NULL AND upc <> '' GROUP BY upc),
+      |p AS (
+      |  SELECT substr(regexp_replace(CAST(p_partkey AS VARCHAR), '[^a-zA-Zа-яА-Я0-9.]', '', 'g'), 1, 13) AS part_upc,
+      |    arg_max(p_brand, p_partkey) AS brand,
+      |    arg_max(p_retailprice, p_partkey) AS retail_price,
+      |    arg_max(p_size, p_partkey) AS pack_size
+      |  FROM part GROUP BY part_upc)
+      |SELECT b.upc, b.price, b.qty, p.brand, p.retail_price, p.pack_size
+      |FROM base b LEFT JOIN p ON b.upc = p.part_upc
+      |ORDER BY b.upc""".stripMargin
+
+  // ---- Config routing ---------------------------------------------------
+  /** Configs built as JSON strings from supplier rows, parsed with from_json
+    * and routed type_id → handler, mirroring Aggregator::getHandlerByType.
+    */
+  def qConfigRoute(s: SparkSession, dir: String): DataFrame = {
+    val cfgJson = table(s, dir, "supplier").select(
+      to_json(struct(
+        col("s_suppkey").as("supplier_id"),
+        col("s_name").as("name"),
+        (col("s_suppkey") % 8 + 1).cast("int").as("type_id"),
+        concat(lit("feed_"), col("s_suppkey")).as("source"),
+        lit(1).as("version")
+      )).as("msg"))
+    val schema = new StructType()
+      .add("supplier_id", LongType).add("name", StringType)
+      .add("type_id", IntegerType).add("source", StringType).add("version", IntegerType)
+    val handlerExpr = graft.config.SourceRouter.handlers.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (id, h)) =>
+        when(col("type_id") === id, h).otherwise(acc)
+      }
+    cfgJson.select(from_json(col("msg"), schema).as("c"))
+      .select(col("c.*"))
+      .withColumn("handler", handlerExpr)
+      .orderBy("supplier_id")
+  }
+
+  val qConfigRouteSql: String =
+    """SELECT s_suppkey AS supplier_id, s_name AS name,
+      |  CAST(s_suppkey % 8 + 1 AS INT) AS type_id,
+      |  'feed_' || s_suppkey AS source,
+      |  CAST(1 AS INT) AS version,
+      |  CASE CAST(s_suppkey % 8 + 1 AS INT)
+      |    WHEN 1 THEN 'google_sheets' WHEN 2 THEN 'csv_http'
+      |    WHEN 3 THEN 'google_drive_folder' WHEN 4 THEN 'excel_http'
+      |    WHEN 5 THEN 'morris_xml_sftp' WHEN 6 THEN 'excel_sftp'
+      |    WHEN 7 THEN 'csv_sftp' WHEN 8 THEN 'rest_api' END AS handler
+      |FROM supplier
+      |ORDER BY supplier_id""".stripMargin
+}

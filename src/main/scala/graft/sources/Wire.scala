@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Wire-format parsers for the reference's source types, all as Catalyst
+  * expressions over content columns — parsing is distributed with the data,
+  * never a driver-side loop. The network hop itself (HTTP/SFTP/Google API)
+  * is out of scope in a zero-egress container (SURVEY.md §5); files land
+  * locally and these readers take over exactly where the reference's
+  * transports hand content to its input handlers.
+  */
+object CsvSource {
+
+  /** File-level CSV ingest with the reference handler's semantics
+    * (/root/reference/src/Service/InputHandler/CsvInputHandler.php:66-96):
+    * first row is the header, rows with a column-count mismatch are skipped.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
+  /** Line-level parse for already-loaded content (streaming bodies, tests). */
+  def parseLines(df: DataFrame, lineCol: Column, schema: StructType): DataFrame =
+    df.withColumn("__row", from_csv(lineCol, schema, Map.empty[String, String]))
+      .select(col("*"), col("__row.*"))
+      .drop("__row")
+}
+
+/** Morris Costumes XML feed parser
+  * (/root/reference/src/Service/InputHandler/MorrisXmlSftpInputHandler.php:22-42):
+  * documents shaped `<root><available><gtin/><qty/><detail><price/></detail></available>...</root>`
+  * → one row per `<available>` with PHP-cast semantics (missing → 0 / "").
+  *
+  * xpath() returns the per-document arrays; arrays_zip+explode fans them out
+  * without leaving Catalyst, so a 100 TB pile of XML documents parses with
+  * ordinary executor parallelism.
+  */
+object MorrisXmlSource {
+
+  def parse(df: DataFrame, xmlCol: String, keepCols: Seq[String] = Nil): DataFrame = {
+    val zipped = arrays_zip(
+      expr(s"xpath($xmlCol, '/*/available/gtin/text()')").as("gtin"),
+      expr(s"xpath($xmlCol, '/*/available/qty/text()')").as("qty"),
+      expr(s"xpath($xmlCol, '/*/available/detail/price/text()')").as("price")
+    )
+    df.select(keepCols.map(col) :+ explode(zipped).as("__r"): _*)
+      .select(
+        keepCols.map(col) ++ Seq(
+          coalesce(col("__r.gtin"), lit("")).as("gtin"),
+          coalesce(col("__r.qty").cast("long"), lit(0L)).as("qty"),
+          coalesce(col("__r.price").cast("double"), lit(0.0)).as("price")
+        ): _*
+      )
+  }
+}
+
+/** REST API page parser
+  * (/root/reference/src/Service/InputHandler/RestApiInputHandler.php:24-67):
+  * responses shaped `{"data":[...], "meta":{"last_page":N}, "links":{...}}`;
+  * rows live under `data`. Pagination at scale = one file/object per page,
+  * listed by the storage layer — each page parses independently.
+  */
+object RestJsonSource {
+
+  /** Parse a column of page documents; `rowSchema` types the `data` rows. */
+  def parsePages(df: DataFrame, pageCol: Column, rowSchema: StructType): DataFrame = {
+    val pageSchema = new StructType().add("data", org.apache.spark.sql.types.ArrayType(rowSchema))
+    df.select(explode(from_json(pageCol, pageSchema).getField("data")).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** File-level ingest of a directory of page files (the 100 TB path). */
+  def read(spark: SparkSession, path: String, rowSchema: StructType): DataFrame =
+    parsePages(spark.read.text(path), col("value"), rowSchema)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.config.{InputConfig, SourceRouter}
+import graft.operators.{MapRule, MultiSourceMerge, SubSourceFeed}
+import graft.sources.{CsvSource, MorrisXmlSource, RestJsonSource}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv line parse handles quoting and types") {
+    val df = Seq("""1,"a,b",2.5""", """2,plain,3.5""").toDF("line")
+    val schema = new StructType().add("id", LongType).add("s", StringType).add("v", DoubleType)
+    val out = CsvSource.parseLines(df, col("line"), schema).drop("line").orderBy("id").collect()
+    assert(out.toSeq == Seq(Row(1L, "a,b", 2.5), Row(2L, "plain", 3.5)))
+  }
+
+  test("morris xml parses available items, missing fields get PHP-cast defaults") {
+    val xml =
+      """<root>
+        |<available><gtin>123</gtin><qty>5</qty><detail><price>9.99</price></detail></available>
+        |<available><gtin>456</gtin><qty>2</qty><detail><price>1.50</price></detail></available>
+        |<available><gtin>789</gtin><qty>1</qty><detail></detail></available>
+        |</root>""".stripMargin
+    val out = MorrisXmlSource.parse(Seq(xml).toDF("xml"), "xml").orderBy("gtin").collect()
+    assert(out.toSeq == Seq(Row("123", 5L, 9.99), Row("456", 2L, 1.5), Row("789", 1L, 0.0)))
+  }
+
+  test("rest json pages explode data rows") {
+    val page = """{"data":[{"id":1,"name":"x"},{"id":2,"name":"y"}],"meta":{"last_page":1}}"""
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val out = RestJsonSource.parsePages(Seq(page).toDF("body"), col("body"), schema).orderBy("id").collect()
+    assert(out.toSeq == Seq(Row(1L, "x"), Row(2L, "y")))
+  }
+
+  test("multi-source merge: first source keyed, later update fields on existing keys only") {
+    val base = Seq(("u1", 10.0, 1L), ("u1", 11.0, 2L), ("u2", 20.0, 3L)).toDF("upc", "price", "seq")
+    val sub = Seq(("u1", "A", 1L), ("u3", "C", 2L)).toDF("upc", "brand", "seq")
+    val out = MultiSourceMerge.merge(base, "upc", "seq",
+      Seq(SubSourceFeed(sub, "upc", Seq("brand"), "seq"))).orderBy("upc").collect()
+    // u1: last price wins (11.0) + brand grafted; u2 kept, no brand; u3 dropped
+    assert(out.toSeq == Seq(Row("u1", 11.0, "A"), Row("u2", 20.0, null)))
+  }
+
+  test("input config parses single and multi-source messages") {
+    val single = InputConfig.fromJson(
+      """{"supplier_id":123,"name":"S","type_id":2,"source":"https://x/feed.csv",
+        |"range":null,"column_map_rules":{"price":"cost","qty":["Quantity","min"]},"version":1}""".stripMargin)
+    assert(!single.isMultiSource && single.typeId.contains(2))
+    assert(single.rules.toSet == Set(MapRule("price", "cost"), MapRule("qty", "Quantity", Some("min"))))
+
+    val multi = InputConfig.fromJson(
+      """{"supplier_id":9,"type_id":null,"source":[
+        |{"type_id":1,"filename":"sheet1","key":"upc","fields":["name","price"],"range":"A1:Z9"},
+        |{"type_id":4,"filename":"f.xlsx","key":"upc","fields":["qty"]}],
+        |"column_map_rules":{},"version":2}""".stripMargin)
+    assert(multi.isMultiSource && multi.subSources.map(_.typeId) == Seq(1, 4))
+    assert(multi.subSources.head.fields == Seq("name", "price"))
+
+    intercept[IllegalArgumentException](InputConfig.fromJson("""{"supplier_id":1}"""))
+    assert(SourceRouter.handlerFor(5) == "morris_xml_sftp")
+    intercept[IllegalArgumentException](SourceRouter.handlerFor(99))
+  }
+}
