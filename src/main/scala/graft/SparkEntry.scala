@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, SourceQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, LlmQueries, SourceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -27,7 +27,17 @@ object SparkEntry {
     "q_morris_xml"         -> (SourceQueries.qMorrisXml _),
     "q_rest_json"          -> (SourceQueries.qRestJson _),
     "q_multisource_merge"  -> (SourceQueries.qMultisourceMerge _),
-    "q_config_route"       -> (SourceQueries.qConfigRoute _)
+    "q_config_route"       -> (SourceQueries.qConfigRoute _),
+    "q_dedup_exact"        -> (LlmQueries.qDedupExact _),
+    "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
+    "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
+    "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
+    "q_token_count"        -> (LlmQueries.qTokenCount _),
+    "q_lang_id"            -> (LlmQueries.qLangId _),
+    "q_quality_score"      -> (LlmQueries.qQualityScore _),
+    "q_fingerprint"        -> (LlmQueries.qFingerprint _),
+    "q_dedup_simhash"      -> (LlmQueries.qDedupSimhash _),
+    "q_ann_lsh"            -> (LlmQueries.qAnnLsh _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -47,6 +57,15 @@ object SparkEntry {
     "q_morris_xml"         -> SourceQueries.qMorrisXmlSql,
     "q_rest_json"          -> SourceQueries.qRestJsonSql,
     "q_multisource_merge"  -> SourceQueries.qMultisourceMergeSql,
-    "q_config_route"       -> SourceQueries.qConfigRouteSql
+    "q_config_route"       -> SourceQueries.qConfigRouteSql,
+    "q_dedup_exact"        -> LlmQueries.qDedupExactSql,
+    "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
+    "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
+    "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
+    "q_token_count"        -> LlmQueries.qTokenCountSql,
+    "q_lang_id"            -> LlmQueries.qLangIdSql,
+    "q_quality_score"      -> LlmQueries.qQualityScoreSql,
+    "q_fingerprint"        -> LlmQueries.qFingerprintSql
+    // q_dedup_simhash / q_ann_lsh: approximate-by-construction — rows-only check
   )
 }

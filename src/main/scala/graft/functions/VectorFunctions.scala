@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns as sequential-fold
+  * Catalyst expressions. The fold order is the element order in BOTH engines
+  * (Spark `aggregate`, DuckDB `list_reduce`), so cosine values are
+  * bit-identical to the oracle — which keeps ANN results under the exact
+  * hash gate instead of an epsilon compare.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double, strictly left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Σ aᵢ² in double, strictly left-to-right. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Sign-bit LSH bucket id from `nPlanes` pseudo-random hyperplanes; plane
+    * p's component j is a deterministic hash-derived value in [-0.5, 0.5).
+    * Same-bucket vectors are ANN candidates — the 100 TB path that turns
+    * brute-force O(n·q) into per-bucket re-ranking.
+    */
+  def lshBucket(v: Column, nPlanes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+          x.cast("double") * (pmod(xxhash64(p, j), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+}

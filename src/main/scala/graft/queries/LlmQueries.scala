@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries (SURVEY.md §2.3) over the `documents`
+  * and `embeddings` tables.
+  */
+object LlmQueries {
+
+  /** DuckDB mirror of [[TF.wordSet]]. */
+  private val wordSetSql = """list_distinct(string_split_regex(lower(trim(text)), '\s+'))"""
+
+  // ---- exact dedup -------------------------------------------------------
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy("fingerprint")
+
+  val qDedupExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
+      |  array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
+      |FROM documents
+      |GROUP BY fingerprint
+      |ORDER BY fingerprint""".stripMargin
+
+  // ---- minhash-LSH near-dup (verified by exact jaccard) ------------------
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Oracle = exact all-pairs jaccard; matches because 32 single-hash bands
+    * have ~zero false-negative mass at j ≥ 0.8 (P[miss] = 0.2³²).
+    */
+  val qDedupMinhashSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS jaccard
+       |FROM w a, w b
+       |WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- exact n-gram jaccard over a bounded window ------------------------
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.5)
+      .orderBy("id_a", "id_b")
+
+  val qNgramJaccardSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents WHERE doc_id < 200)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS jaccard
+       |FROM w a, w b
+       |WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- ANN: brute-force cosine top-k ------------------------------------
+  def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private val dotSql =
+    "list_reduce(list_transform(list_zip(q.embedding, c.embedding), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (acc,v) -> acc+v)"
+  private def normSql(t: String) =
+    s"sqrt(list_reduce(list_transform($t.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))"
+
+  val qAnnCosineSql: String =
+    s"""WITH s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $dotSql / (${normSql("q")} * ${normSql("c")}) AS cosine
+       |  FROM embeddings c, embeddings q
+       |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM s) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- text analysis -----------------------------------------------------
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+        TF.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"), TF.langId(col("text")).as("detected_lang"))
+      .orderBy("doc_id")
+
+  val qLangIdSql: String = {
+    val hits = TF.langMarkers.map { case (lang, re) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$re')) AS INT) AS ${lang}_h"
+    }.mkString(",\n  ")
+    val gm = "greatest(" + TF.langMarkers.map(_._1 + "_h").mkString(", ") + ")"
+    val cases = TF.langMarkers.map { case (lang, _) => s"WHEN ${lang}_h = gm THEN '$lang'" }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, lang, $hits FROM documents),
+       |g AS (SELECT *, $gm AS gm FROM h)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  CASE WHEN gm = 0 THEN 'und' $cases END AS detected_lang
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qQualityScoreSql: String =
+    """SELECT doc_id,
+      |  greatest(least(
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+      |    + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+      |            / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+      |    - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+      |  1.0), 0.0) AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.contentFingerprint(col("text")).as("fingerprint"),
+        md5(substring(TF.normText(col("text")), 1, 100)).as("prefix_fp"))
+      .orderBy("doc_id")
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 100)) AS prefix_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- rows-only queries (no SQL-expressible oracle) ---------------------
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+      .orderBy("id_a", "id_b")
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nPlanes = 4)
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word shingles and token counts") {
+    val df = Seq("the quick brown fox").toDF("text")
+    assert(df.select(TF.wordShingles(col("text"), 2)).first().getSeq[String](0)
+      == Seq("the quick", "quick brown", "brown fox"))
+    assert(df.select(TF.tokenCountWs(col("text"))).first().getInt(0) == 4)
+    // "don't stop!" → don + ' + t + stop + ! = 5 BPE-ish tokens
+    assert(Seq("don't stop!").toDF("text").select(TF.tokenCountBpe(col("text"))).first().getInt(0) == 5)
+  }
+
+  test("exact dedup groups duplicates under one fingerprint") {
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactGroups(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("n_docs") == 2 && out.head.getAs[String]("doc_ids") == "1,2")
+  }
+
+  test("minhash-LSH finds near-dup pair, exact jaccard filters") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2" // j = 38/42 ≈ 0.90
+    val c = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(math.abs(pairs.head.getDouble(2) - 38.0 / 42.0) < 1e-12)
+  }
+
+  test("simhash: identical docs hamming 0, disjoint docs far") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"), TF.simhash64(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 10)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("cosine + brute-force ANN ranks the aligned vector first") {
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // cos 1.0
+      (2L, Array(1.0f, 1.0f, 0.0f)),   // cos ~0.707
+      (3L, Array(0.0f, 1.0f, 0.0f))    // cos 0.0
+    ).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("lang id picks the language with most marker hits; und on none") {
+    val out = Seq("the cat is on the mat", "el gato y la casa", "12345")
+      .toDF("text").select(TF.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+
+  test("rolling hash is order-sensitive, fingerprint is not whitespace-sensitive") {
+    val df = Seq("a b c", "c b a", "a  b  c").toDF("text")
+    val rh = df.select(TF.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(rh(0) != rh(1) && rh(0) == rh(2))
+    val fps = df.select(TF.contentFingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+  }
+}
