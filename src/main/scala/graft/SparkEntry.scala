@@ -28,6 +28,7 @@ object SparkEntry {
     "q_rest_json"          -> (SourceQueries.qRestJson _),
     "q_multisource_merge"  -> (SourceQueries.qMultisourceMerge _),
     "q_config_route"       -> (SourceQueries.qConfigRoute _),
+    "q_excel_range"        -> (SourceQueries.qExcelRange _),
     "q_dedup_exact"        -> (LlmQueries.qDedupExact _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "q_rest_json"          -> SourceQueries.qRestJsonSql,
     "q_multisource_merge"  -> SourceQueries.qMultisourceMergeSql,
     "q_config_route"       -> SourceQueries.qConfigRouteSql,
+    "q_excel_range"        -> SourceQueries.qExcelRangeSql,
     "q_dedup_exact"        -> LlmQueries.qDedupExactSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,

@@ -125,6 +125,39 @@ object SourceQueries {
       |FROM base b LEFT JOIN p ON b.upc = p.part_upc
       |ORDER BY b.upc""".stripMargin
 
+  // ---- Excel grid + A1 range -------------------------------------------
+  /** Lineitem rows laid out as a worksheet grid, then trimmed by an A1 range
+    * (`B2:D`) with the reference's normalization semantics. The explicit
+    * row_number here only exists to fabricate grid coordinates from a table;
+    * real xlsx ingest (ExcelSource.readXlsxGrid) carries row indexes from
+    * the file and needs no global window.
+    */
+  def qExcelRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = table(s, dir, "lineitem")
+      .withColumn("row_idx",
+        row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).cast("long"))
+      .select(lit("Sheet1").as("sheet"), lit(0).as("sheet_idx"), col("row_idx"),
+        array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          col("l_quantity").cast("string"),
+          col("l_extendedprice").cast("decimal(12,2)").cast("string")).as("cells"))
+    graft.sources.ExcelSource.selectRange(grid, Some("B2:D"))
+      .select(col("row_idx"),
+        element_at(col("cells"), 1).as("b"),
+        element_at(col("cells"), 2).as("c"),
+        element_at(col("cells"), 3).as("d"))
+      .orderBy("row_idx")
+  }
+
+  val qExcelRangeSql: String =
+    """WITH g AS (
+      |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS row_idx,
+      |    CAST(l_linenumber AS VARCHAR) AS b,
+      |    CAST(l_quantity AS VARCHAR) AS c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS d
+      |  FROM lineitem)
+      |SELECT row_idx, b, c, d FROM g WHERE row_idx >= 2 ORDER BY row_idx""".stripMargin
+
   // ---- Config routing ---------------------------------------------------
   /** Configs built as JSON strings from supplier rows, parsed with from_json
     * and routed type_id → handler, mirroring Aggregator::getHandlerByType.

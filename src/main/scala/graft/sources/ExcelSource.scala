@@ -1,0 +1,246 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.parsers.SAXParserFactory
+import org.xml.sax.helpers.DefaultHandler
+import org.xml.sax.Attributes
+import scala.collection.mutable
+
+/** A1-notation range reference with the reference handler's normalization
+  * semantics (/root/reference/src/Service/InputHandler/ExcelInputHandler.php:196-242):
+  * `A:I` → `A1:I{maxRow}`, `A1:I` → bottom-open, `I` → single column,
+  * `C3` → single cell, optional `Sheet!` prefix.
+  */
+final case class A1Range(sheet: Option[String], colStart: Int, rowStart: Long,
+                         colEnd: Option[Int], rowEnd: Option[Long]) {
+  def rowEndOr(maxRow: Long): Long = rowEnd.getOrElse(maxRow)
+}
+
+object A1Range {
+
+  def colToIdx(letters: String): Int =
+    letters.toUpperCase.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1))
+
+  private val Rect      = "^([A-Za-z]+)([0-9]+):([A-Za-z]+)([0-9]+)$".r
+  private val ColsOnly  = "^([A-Za-z]+):([A-Za-z]+)$".r
+  private val OpenBelow = "^([A-Za-z]+)([0-9]+):([A-Za-z]+)$".r
+  private val OneCol    = "^([A-Za-z]+)$".r
+  private val OneCell   = "^([A-Za-z]+)([0-9]+)$".r
+
+  /** Parse `[Sheet!]range`; throws on unsupported shapes (the reference logs
+    * and passes through, which then fails in PhpSpreadsheet — we fail fast).
+    */
+  def parse(range: String): A1Range = {
+    val trimmed = range.trim
+    val (sheet, addr) = trimmed.split("!", 2) match {
+      case Array(s, a) => (Some(s.trim).filter(_.nonEmpty), a.trim)
+      case _           => (None, trimmed)
+    }
+    addr match {
+      case Rect(c1, r1, c2, r2)   => A1Range(sheet, colToIdx(c1), r1.toLong, Some(colToIdx(c2)), Some(r2.toLong))
+      case ColsOnly(c1, c2)       => A1Range(sheet, colToIdx(c1), 1L, Some(colToIdx(c2)), None)
+      case OpenBelow(c1, r1, c2)  => A1Range(sheet, colToIdx(c1), r1.toLong, Some(colToIdx(c2)), None)
+      case OneCol(c1)             => A1Range(sheet, colToIdx(c1), 1L, Some(colToIdx(c1)), None)
+      case OneCell(c1, r1)        => A1Range(sheet, colToIdx(c1), r1.toLong, Some(colToIdx(c1)), Some(r1.toLong))
+      case other                  => throw new IllegalArgumentException(s"Unsupported range format '$other'")
+    }
+  }
+}
+
+/** One worksheet row of an Excel grid: 1-based row index, cells as raw
+  * strings left-padded to the max referenced column (nulls for gaps).
+  */
+final case class GridRow(sheet: String, sheetIdx: Int, rowIdx: Long, cells: Seq[String])
+
+/** xlsx reader on JDK-only zip + SAX — no external Excel library exists in
+  * this environment, and none is needed: an xlsx is a zip of XML parts.
+  * Distribution model: `binaryFile` rows (one per workbook) flatMap to
+  * [[GridRow]]s on executors, so a directory of thousands of supplier
+  * workbooks parses with full cluster parallelism; per-file memory is
+  * bounded by SAX streaming.
+  */
+object ExcelSource {
+
+  /** Read every sheet of every .xlsx under `path` as a grid Dataset. */
+  def readXlsxGrid(spark: SparkSession, path: String): Dataset[GridRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
+      .select("content")
+      .as[Array[Byte]]
+      .flatMap(parseXlsx(_))
+  }
+
+  /** Reference pipeline: grid → optional A1 range → first row is the header,
+    * remaining rows become named columns padded/truncated to the header
+    * (ExcelInputHandler.php:159-186). Header discovery is one tiny driver
+    * action (as with Spark's own csv header inference).
+    */
+  /** Canonical snake_case column view of a GridRow Dataset. */
+  def gridDF(grid: Dataset[GridRow]): DataFrame =
+    grid.toDF("sheet", "sheet_idx", "row_idx", "cells")
+
+  def toTable(grid: Dataset[GridRow], range: Option[String]): DataFrame = {
+    val sliced = selectRange(gridDF(grid), range)
+    val headerRow = sliced.orderBy("row_idx").limit(1).collect()
+    require(headerRow.nonEmpty, "Excel: no rows in range")
+    val headerIdx = headerRow.head.getAs[Long]("row_idx")
+    val header = headerRow.head.getSeq[String](headerRow.head.fieldIndex("cells")).toVector
+    val cols = header.zipWithIndex.map { case (name, i) =>
+      element_at(col("cells"), i + 1).as(Option(name).filter(_.nonEmpty).getOrElse(s"_c$i"))
+    }
+    sliced.filter(col("row_idx") > headerIdx)
+      .select(col("row_idx") +: cols: _*)
+  }
+
+  /** Trim a grid to an A1 range: returns (row_idx, cells) with cells sliced
+    * to the range's columns. Row/column filters are plain Catalyst
+    * predicates — at scale they prune before any shuffle.
+    */
+  def selectRange(grid: DataFrame, range: Option[String]): DataFrame = {
+    val base = grid
+    range.map(A1Range.parse) match {
+      case None =>
+        firstSheetOnly(base, None).select(col("row_idx"), col("cells"))
+      case Some(r) =>
+        val onSheet = firstSheetOnly(base, r.sheet)
+        val rowFiltered = r.rowEnd match {
+          case Some(end) => onSheet.filter(col("row_idx").between(r.rowStart, end))
+          case None      => onSheet.filter(col("row_idx") >= r.rowStart)
+        }
+        val width = r.colEnd.map(_ - r.colStart + 1)
+        val sliceExpr = width match {
+          case Some(w) => slice(col("cells"), r.colStart, w)
+          case None    => slice(col("cells"), lit(r.colStart), greatest(size(col("cells")) - (r.colStart - 1), lit(1)))
+        }
+        rowFiltered.select(col("row_idx"), sliceExpr.as("cells"))
+    }
+  }
+
+  /** Keep the requested sheet, or the first sheet when unnamed (the
+    * reference uses the active sheet; falls back to active on a missing
+    * name — ExcelInputHandler.php:135-141).
+    */
+  private def firstSheetOnly(grid: DataFrame, sheet: Option[String]): DataFrame =
+    sheet match {
+      case Some(name) if grid.filter(col("sheet") === name).limit(1).count() > 0 =>
+        grid.filter(col("sheet") === name)
+      case _ => grid.filter(col("sheet_idx") === 0)
+    }
+
+  // ---- pure-JVM xlsx parsing (runs on executors) -------------------------
+
+  def parseXlsx(bytes: Array[Byte]): Iterator[GridRow] = {
+    val parts = readZip(bytes)
+    val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
+    val sheetNames = parts.get("xl/workbook.xml").map(parseSheetNames).getOrElse(Vector.empty)
+    val sheetParts = parts.keys.filter(_.matches("xl/worksheets/sheet[0-9]+\\.xml")).toSeq
+      .sortBy(p => p.replaceAll("[^0-9]", "").toInt)
+    sheetParts.iterator.zipWithIndex.flatMap { case (part, idx) =>
+      val name = sheetNames.lift(idx).getOrElse(s"Sheet${idx + 1}")
+      parseSheet(parts(part), shared).map { case (rowIdx, cells) => GridRow(name, idx, rowIdx, cells) }
+    }
+  }
+
+  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map[String, Array[Byte]]()
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out(e.getName) = zis.readAllBytes()
+      e = zis.getNextEntry
+    }
+    out.toMap
+  }
+
+  private def newParser = {
+    val f = SAXParserFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.newSAXParser()
+  }
+
+  /** `<sst><si><t>…</t></si>…` — rich-text runs concatenate their `<t>`s. */
+  private def parseSharedStrings(xml: Array[Byte]): Vector[String] = {
+    val strings = Vector.newBuilder[String]
+    val handler = new DefaultHandler {
+      var inT = false
+      val current = new StringBuilder
+      override def startElement(uri: String, local: String, qName: String, a: Attributes): Unit =
+        qName match {
+          case "si" => current.clear()
+          case "t"  => inT = true
+          case _    =>
+        }
+      override def endElement(uri: String, local: String, qName: String): Unit =
+        qName match {
+          case "si" => strings += current.toString
+          case "t"  => inT = false
+          case _    =>
+        }
+      override def characters(ch: Array[Char], start: Int, length: Int): Unit =
+        if (inT) current.appendAll(ch, start, length)
+    }
+    newParser.parse(new ByteArrayInputStream(xml), handler)
+    strings.result()
+  }
+
+  /** `<sheets><sheet name="…"/>…</sheets>` in workbook order. */
+  private def parseSheetNames(xml: Array[Byte]): Vector[String] = {
+    val names = Vector.newBuilder[String]
+    val handler = new DefaultHandler {
+      override def startElement(uri: String, local: String, qName: String, a: Attributes): Unit =
+        if (qName == "sheet") names += Option(a.getValue("name")).getOrElse("")
+    }
+    newParser.parse(new ByteArrayInputStream(xml), handler)
+    names.result()
+  }
+
+  /** Stream `<row r="N"><c r="A1" t="…"><v>…</v></c>…</row>`s. */
+  private def parseSheet(xml: Array[Byte], shared: Vector[String]): Iterator[(Long, Seq[String])] = {
+    val rows = Vector.newBuilder[(Long, Seq[String])]
+    val handler = new DefaultHandler {
+      var rowIdx = 0L
+      var cells = mutable.ArrayBuffer[String]()
+      var cellCol = 0
+      var cellType = ""
+      var inValue = false
+      val value = new StringBuilder
+
+      override def startElement(uri: String, local: String, qName: String, a: Attributes): Unit =
+        qName match {
+          case "row" =>
+            rowIdx = Option(a.getValue("r")).map(_.toLong).getOrElse(rowIdx + 1)
+            cells = mutable.ArrayBuffer[String]()
+          case "c" =>
+            cellCol = Option(a.getValue("r"))
+              .map(ref => A1Range.colToIdx(ref.takeWhile(_.isLetter)))
+              .getOrElse(cells.length + 1)
+            cellType = Option(a.getValue("t")).getOrElse("")
+            value.clear()
+          case "v" | "t" => inValue = true
+          case _         =>
+        }
+      override def endElement(uri: String, local: String, qName: String): Unit =
+        qName match {
+          case "v" | "t" => inValue = false
+          case "c" =>
+            val v = cellType match {
+              case "s" => shared.lift(value.toString.trim.toInt).getOrElse("")
+              case _   => value.toString
+            }
+            while (cells.length < cellCol) cells += null
+            cells(cellCol - 1) = v
+          case "row" => rows += ((rowIdx, cells.toSeq))
+          case _     =>
+        }
+      override def characters(ch: Array[Char], start: Int, length: Int): Unit =
+        if (inValue) value.appendAll(ch, start, length)
+    }
+    newParser.parse(new ByteArrayInputStream(xml), handler)
+    rows.result().iterator
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.{A1Range, ExcelSource}
+import org.apache.spark.sql.Row
+import java.nio.file.{Files, Paths}
+
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A1Range parses every reference-normalized shape") {
+    assert(A1Range.parse("A1:I500") == A1Range(None, 1, 1L, Some(9), Some(500L)))
+    assert(A1Range.parse("A:I") == A1Range(None, 1, 1L, Some(9), None))
+    assert(A1Range.parse("B2:D") == A1Range(None, 2, 2L, Some(4), None))
+    assert(A1Range.parse("I") == A1Range(None, 9, 1L, Some(9), None))
+    assert(A1Range.parse("C3") == A1Range(None, 3, 3L, Some(3), Some(3L)))
+    assert(A1Range.parse("Data!AA10:AB20") == A1Range(Some("Data"), 27, 10L, Some(28), Some(20L)))
+    intercept[IllegalArgumentException](A1Range.parse("1:9"))
+  }
+
+  test("parseXlsx reads shared strings, numbers, gaps, multiple sheets") {
+    val bytes = XlsxTestWriter.build(Seq(
+      "Prices" -> Seq(
+        Seq("upc", "price", "qty"),
+        Seq("000111222333", 12.5, 3),
+        Seq("000111222444", null, 7)
+      ),
+      "Other" -> Seq(Seq("x"))
+    ))
+    val rows = ExcelSource.parseXlsx(bytes).toVector
+    assert(rows.map(_.sheet).distinct == Vector("Prices", "Other"))
+    val prices = rows.filter(_.sheet == "Prices")
+    assert(prices.head.cells == Seq("upc", "price", "qty"))
+    assert(prices(1).cells == Seq("000111222333", "12.5", "3"))
+    assert(prices(2).cells == Seq("000111222444", null, "7"))
+  }
+
+  test("readXlsxGrid + toTable: header row becomes columns, range applies") {
+    val dir = Files.createTempDirectory("xlsx").toString
+    val bytes = XlsxTestWriter.build(Seq(
+      "Feed" -> Seq(
+        Seq("junk", "junk2"),
+        Seq("upc", "price"),
+        Seq("111", 9.99),
+        Seq("222", 1.5)
+      )
+    ))
+    Files.write(Paths.get(dir, "feed.xlsx"), bytes)
+    val grid = ExcelSource.readXlsxGrid(spark, dir)
+    val table = ExcelSource.toTable(grid, Some("Feed!A2:B4")).orderBy("row_idx").collect()
+    assert(table.toSeq == Seq(Row(3L, "111", "9.99"), Row(4L, "222", "1.5")))
+
+    // no range: first sheet whole grid, header = first row
+    val all = ExcelSource.toTable(grid, None).orderBy("row_idx").collect()
+    assert(all.map(_.getString(1)).toSeq == Seq("upc", "111", "222"))
+  }
+
+  test("missing sheet falls back to first sheet; single-column range") {
+    val bytes = XlsxTestWriter.build(Seq("S1" -> Seq(Seq("a", "b"), Seq("1", "2"))))
+    val grid = spark.createDataset(ExcelSource.parseXlsx(bytes).toSeq)
+    val out = ExcelSource.selectRange(ExcelSource.gridDF(grid), Some("Nope!B")).orderBy("row_idx").collect()
+    assert(out.map(_.getSeq[String](1)).toSeq == Seq(Seq("b"), Seq("2")))
+  }
+}
