@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.MapRule
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream pipeline: map+clean then stateful last-write-wins dedupe") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String, String, Long)]
+    val feed = in.toDF().toDF("raw_upc", "raw_price", "raw_qty", "seq")
+
+    val mapped = StreamPipeline.mapStream(feed,
+      Seq(MapRule("upc", "raw_upc"), MapRule("price", "raw_price"),
+        MapRule("qty", "raw_qty"), MapRule("seq", "seq")),
+      supplierId = 5L, version = 2L)
+    val deduped = StreamPipeline.latestPerKey(mapped, "upc", "seq")
+
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").start()
+    try {
+      in.addData(("0-111", "10,5", "3 pcs", 1L), ("0-111", "11.0", "4", 2L), ("0-222", "7", "1", 3L))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .groupBy("upc").agg(max_by(struct("price", "qty", "seq"), col("seq")).as("r"))
+        .select("upc", "r.price", "r.qty", "r.seq").orderBy("upc").collect()
+      assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq ==
+        Seq(("0111", 11.0, 4L, 2L), ("0222", 7.0, 1L, 3L)))
+    } finally query.stop()
+  }
+
+  test("watermarked windowed agg over an event stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+
+    val agg = StreamPipeline.windowedAgg(events, "ts", "event_type", "1 hour", "2 hours")
+    val query = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "buy", 1.5),
+        (Timestamp.valueOf("2024-01-01 00:50:00"), "buy", 2.5),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "buy", 4.0))
+      query.processAllAvailable()
+      val out = spark.table("win_out").orderBy("window_start").collect()
+      assert(out.length == 2)
+      assert(out.head.getAs[Long]("n") == 2 && out.head.getAs[Double]("sum_value") == 4.0)
+    } finally query.stop()
+  }
+}
