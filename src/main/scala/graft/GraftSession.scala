@@ -14,6 +14,7 @@ object GraftSession {
     * strings, never throws; cf. /root/reference/src/Service/Mapper/Mapper.php:21-52).
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")

@@ -95,10 +95,11 @@ object TextFunctions {
     * ±1 (sign of bit b of xxhash64(token)) is positive.
     */
   def simhash64(c: Column): Column = {
-    val toks = tokens(c)
+    // hash each token ONCE; the 64 per-bit folds then reuse the long
+    val hashes = transform(tokens(c), t => xxhash64(t))
     val bitSums = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)), (s, b) =>
         when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
+import graft.plans.NativeHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,18 +25,20 @@ object Dedup {
       )
 
   /** MinHash-LSH candidate pairs (id_a < id_b): docs sharing ≥1 of the k
-    * minhash values. k single-hash bands maximize recall (P[miss] =
-    * (1−j)^k — astronomically small for near-dups); precision is restored by
-    * the exact-jaccard verify in [[nearDupPairs]].
+    * minhash values. Single-hash bands maximize recall (P[miss] = (1−j)^k:
+    * 4e-9 at j=0.8, k=12 — zero expected misses up to billions of pairs);
+    * precision is restored by the exact-jaccard verify in [[nearDupPairs]].
+    * k trades duplicate-candidate shuffle volume (≈ k·j̄ copies per pair on
+    * j-dense corpora) against recall margin.
     *
     * Scale: explode k values per doc → groupBy-free self-join on
     * (band, value) buckets. Boilerplate-heavy buckets are capped upstream by
     * AQE skew handling; the verify join only ever sees candidate pairs.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String, k: Int = 32): DataFrame = {
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String, k: Int = 12): DataFrame = {
     val sigs = docs.select(
       col(idCol).as("id"),
-      posexplode(TextFunctions.minhashSignature(col(textCol), k)).as(Seq("band", "mh"))
+      posexplode(NativeHash.minhashSignature(col(textCol), k)).as(Seq("band", "mh"))
     )
     sigs.as("a")
       .join(sigs.as("b"), col("a.band") === col("b.band") && col("a.mh") === col("b.mh") && col("a.id") < col("b.id"))
@@ -45,28 +48,63 @@ object Dedup {
 
   /** Near-duplicate pairs: LSH candidates filtered by exact word-set jaccard
     * ≥ threshold. Output is verifiable against an all-pairs oracle because
-    * the LSH stage (k=32 single-hash bands) has ~zero false-negative mass at
-    * useful thresholds.
+    * the LSH stage has ~zero false-negative mass at useful thresholds.
+    *
+    * Canonicalization first: jaccard depends only on the word SET, so docs
+    * with identical sets collapse to one representative before any pairwise
+    * work — LSH, candidate dedup and verify all run on distinct sets, then
+    * groups expand back to doc pairs (identical-set pairs are jaccard 1.0 by
+    * construction). On boilerplate-heavy corpora this shrinks the quadratic
+    * stage by the duplication factor squared.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 32): DataFrame = {
-    val words = docs.select(col(idCol).as("id"), TextFunctions.wordSet(col(textCol)).as("words"))
-    minhashCandidates(docs, idCol, textCol, k)
-      .join(words.withColumnsRenamed(Map("id" -> "id_a", "words" -> "words_a")), "id_a")
-      .join(words.withColumnsRenamed(Map("id" -> "id_b", "words" -> "words_b")), "id_b")
+                   threshold: Double, k: Int = 12): DataFrame = {
+    val keyed = docs.select(
+      col(idCol).as("id"),
+      sort_array(TextFunctions.wordSet(col(textCol))).as("words"))
+      .withColumn("set_key", md5(array_join(col("words"), " ")))
+    // consumed by 5 downstream subtrees (reps, both LSH join sides, both
+    // verify joins) — persist once or the canonicalization re-runs per use.
+    // Size = one row per distinct word set (small by construction).
+    val groups = keyed.groupBy("set_key")
+      .agg(collect_list(col("id")).as("ids"), first(col("words")).as("words"), count(lit(1)).as("n"))
+      .persist()
+
+    // LSH + exact-jaccard verify over distinct word sets only
+    val reps = groups.select(col("set_key").as("id"), array_join(col("words"), " ").as("text"))
+    val repPairs = minhashCandidates(reps, "id", "text", k)
+      .join(groups.select(col("set_key").as("id_a"), col("words").as("words_a"), col("ids").as("ids_a")), "id_a")
+      .join(groups.select(col("set_key").as("id_b"), col("words").as("words_b"), col("ids").as("ids_b")), "id_b")
+      // |A∪B| = |A|+|B|−|A∩B| — avoids materializing the union array
+      .withColumn("__i", size(array_intersect(col("words_a"), col("words_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("words_a"), col("words_b"))).cast("double") /
-          size(array_union(col("words_a"), col("words_b"))).cast("double"))
+        col("__i").cast("double") /
+          (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+
+    // expand cross-group candidate pairs back to doc pairs
+    val cross = repPairs
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+
+    // identical-set doc pairs: jaccard exactly 1.0
+    val intra = groups.filter(col("n") > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jaccard"))
+
+    if (threshold <= 1.0) cross.unionByName(intra) else cross
   }
 
   /** SimHash near-dup candidates: 64-bit fingerprints bucketed by 16-bit
-    * quarters (any hamming-≤3 pair shares ≥1 identical quarter — pigeonhole),
+    * quarters (any hamming-≤3 pair shares ≥1 identical quarter — pigeonhole;
+    * cutoffs above 3 are best-effort recall),
     * verified by exact hamming distance.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"), TextFunctions.simhash64(col(textCol)).as("sim"))
+    val fp = docs.select(col(idCol).as("id"), NativeHash.simhash64(col(textCol)).as("sim"))
     val quarters = fp.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), q =>
         call_function("shiftright", col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))).as(Seq("q", "chunk")))
@@ -75,8 +113,10 @@ object Dedup {
         col("a.q") === col("b.q") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming cut runs map-side on the raw
+      // bucket collisions; only surviving pairs pay the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact all-pairs n-gram/word jaccard over a bounded id range (the

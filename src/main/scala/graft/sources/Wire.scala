@@ -41,21 +41,13 @@ object CsvSource {
   */
 object MorrisXmlSource {
 
-  def parse(df: DataFrame, xmlCol: String, keepCols: Seq[String] = Nil): DataFrame = {
-    val zipped = arrays_zip(
-      expr(s"xpath($xmlCol, '/*/available/gtin/text()')").as("gtin"),
-      expr(s"xpath($xmlCol, '/*/available/qty/text()')").as("qty"),
-      expr(s"xpath($xmlCol, '/*/available/detail/price/text()')").as("price")
-    )
-    df.select(keepCols.map(col) :+ explode(zipped).as("__r"): _*)
-      .select(
-        keepCols.map(col) ++ Seq(
-          coalesce(col("__r.gtin"), lit("")).as("gtin"),
-          coalesce(col("__r.qty").cast("long"), lit(0L)).as("qty"),
-          coalesce(col("__r.price").cast("double"), lit(0.0)).as("price")
-        ): _*
-      )
-  }
+  /** One streaming parse per document via the native `graft_morris_parse`
+    * expression (the earlier xpath formulation re-parsed each document once
+    * per field — 3× the work; kept in git history for reference).
+    */
+  def parse(df: DataFrame, xmlCol: String, keepCols: Seq[String] = Nil): DataFrame =
+    df.select(keepCols.map(col) :+ explode(graft.plans.NativeHash.morrisParse(col(xmlCol))).as("__r"): _*)
+      .select(keepCols.map(col) ++ Seq(col("__r.gtin"), col("__r.qty"), col("__r.price")): _*)
 }
 
 /** REST API page parser
