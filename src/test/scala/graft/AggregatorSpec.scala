@@ -1,0 +1,72 @@
+package graft
+
+import graft.config.InputConfig
+import graft.operators.Aggregator
+import graft.sinks.ProduceSink
+import graft.sources.{CsvSource, ExcelSource, SheetsSource}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.nio.file.{Files, Paths}
+
+class AggregatorSpec extends SparkSpec {
+
+  private def resolver(dir: String) = new Aggregator.SourceResolver {
+    def read(spark: SparkSession, typeId: Int, source: String, range: Option[String]): DataFrame =
+      typeId match {
+        case 1     => SheetsSource.toTable(spark, s"$dir/$source", range)
+        case 2 | 7 => CsvSource.read(spark, s"$dir/$source")
+        case 4 | 6 => ExcelSource.toTable(ExcelSource.readXlsxGrid(spark, s"$dir/$source"), range)
+        case t     => throw new IllegalArgumentException(s"unresolved type $t")
+      }
+  }
+
+  test("single-source csv config end to end: route → read → map → dedupe → produce") {
+    val dir = Files.createTempDirectory("agg").toString
+    Files.writeString(Paths.get(dir, "feed.csv"),
+      """sku,cost,stock,seq
+        |0-111-222,10.50,5,1
+        |0-111-222,9 usd,7,2
+        |0-333-444,3,1,3
+        |""".stripMargin)
+
+    val config = InputConfig.fromJson(
+      """{"supplier_id":42,"name":"S","type_id":2,"source":"feed.csv","range":null,
+        |"column_map_rules":{"upc":"sku","price":["cost","min"],"qty":["stock","max"],"seq":"seq"},
+        |"version":7}""".stripMargin)
+
+    val out = Aggregator.run(spark, config, resolver(dir), key = "upc", orderCol = "seq")
+      .orderBy("upc")
+    val rows = out.select("upc", "price", "qty", "supplier_id", "version").collect()
+    assert(rows.toSeq == Seq(
+      Row("0111222", 9.0, 7L, 42L, 7L),
+      Row("0333444", 3.0, 1L, 42L, 7L)))
+
+    val sink = Files.createTempDirectory("sink").toString + "/out"
+    ProduceSink.writeJsonl(out, "upc", sink)
+    val produced = spark.read.json(sink)
+    assert(produced.count() == 2 && produced.columns.contains("upc"))
+  }
+
+  test("multi-source config: xlsx base keyed + sheets dump grafting fields") {
+    val dir = Files.createTempDirectory("agg2").toString
+    // base: xlsx with upc+price
+    Files.write(Paths.get(dir, "base.xlsx"), XlsxTestWriter.build(Seq(
+      "Feed" -> Seq(Seq("upc", "price"), Seq("111", 5.0), Seq("222", 8.0)))))
+    // enrich: sheets values dump with upc+stock
+    Files.writeString(Paths.get(dir, "sheet1"),
+      """{"range":"Sheet1!A1:B3","majorDimension":"ROWS",
+        |"values":[["upc","stock"],["111","4"],["999","9"]]}""".stripMargin.replace("\n", ""))
+
+    val config = InputConfig.fromJson(
+      """{"supplier_id":9,"type_id":null,"source":[
+        |{"type_id":6,"filename":"base.xlsx","key":"upc","fields":[]},
+        |{"type_id":1,"filename":"sheet1","key":"upc","fields":["stock"]}],
+        |"column_map_rules":{"upc":"upc","price":"price","qty":"stock"},
+        |"version":1}""".stripMargin)
+
+    val out = Aggregator.run(spark, config, resolver(dir), key = "upc", orderCol = "version")
+      .orderBy("upc").collect()
+    // 111 gets stock grafted (qty 4); 222 keeps null→0 qty; 999 dropped (not in base)
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("111", 5.0, 4L), ("222", 8.0, 0L)))
+  }
+}
