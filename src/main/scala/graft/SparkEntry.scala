@@ -38,7 +38,8 @@ object SparkEntry {
     "q_quality_score"      -> (LlmQueries.qQualityScore _),
     "q_fingerprint"        -> (LlmQueries.qFingerprint _),
     "q_dedup_simhash"      -> (LlmQueries.qDedupSimhash _),
-    "q_ann_lsh"            -> (LlmQueries.qAnnLsh _)
+    "q_ann_lsh"            -> (LlmQueries.qAnnLsh _),
+    "q_ann_ivf"            -> (LlmQueries.qAnnIvf _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */

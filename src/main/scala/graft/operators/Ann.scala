@@ -27,6 +27,63 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` Voronoi
+    * cells around trained centroids; a query scans only its `nprobe`
+    * nearest cells. The standard coarse-quantizer scale path: per-query
+    * work drops from |corpus| to ~nprobe/nlist of it, and the cell
+    * assignment is a plain equi-join key — shuffle-friendly at 100 TB.
+    *
+    * Training here is deterministic k-means: seeds = the `nlist` vectors
+    * with the lowest ids, `iters` Lloyd rounds run as DataFrame ops
+    * (assign = broadcast-centroids argmin; update = posexplode + per-
+    * dimension avg). With `nprobe == nlist` results equal brute force
+    * exactly (the spec asserts this).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+
+    var centroids = c.orderBy("vid").limit(nlist)
+      .select((row_number().over(Window.orderBy("vid")) - 1).as("cid"), col("v").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToNearest(c, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+    }
+
+    val cells = assignToNearest(c, centroids)                       // corpus → cell
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(Window.partitionBy("query_id").orderBy(col("d").desc, col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qv", "cid")
+
+    val scored = cells.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("vid"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Nearest-centroid assignment: broadcast the (small) centroid table,
+    * argmin by cosine distance.
+    */
+  private def assignToNearest(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vid").orderBy(col("d").desc, col("cid"))
+    c.crossJoin(broadcast(centroids))
+      .withColumn("d", VectorFunctions.cosine(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select("vid", "v", "cid")
+  }
+
   /** LSH-bucketed ANN: bucket by sign-bit hyperplane hash, rank only within
     * the query's bucket. The 100 TB path — per-task candidate sets are
     * bucket-bounded instead of corpus-sized. Recall < 1 by construction;

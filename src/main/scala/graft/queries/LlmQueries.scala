@@ -161,4 +161,10 @@ object LlmQueries {
     Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nPlanes = 4)
       .orderBy("query_id", "rank")
   }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
 }

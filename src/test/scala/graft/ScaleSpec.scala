@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns the same rows as a plain join") {
+    val left = Seq.tabulate(1000)(i => (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("k", "name")
+    val plain = left.join(right, "k").select("k", "v", "name").collect().toSet
+    val salted = Scale.saltedJoin(left, right, "k", salts = 8).select("k", "v", "name").collect().toSet
+    assert(salted == plain && plain.size == 102)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = Seq.tabulate(100)(i => (i.toLong, s"a$i")).toDF("id", "a")
+    val b = Seq.tabulate(100)(i => (i.toLong, s"b$i")).toDF("id", "b")
+    Scale.writeBucketed(a, "bkt_a", "id", buckets = 4)
+    Scale.writeBucketed(b, "bkt_b", "id", buckets = 4)
+
+    val joined = Scale.bucketedJoin(spark, "bkt_a", "bkt_b", "id")
+    assert(joined.count() == 100)
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"expected exchange-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
+  }
+}
