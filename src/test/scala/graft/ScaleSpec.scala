@@ -16,6 +16,15 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // the metastore is per-JVM but warehouse files persist: clear both
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        java.nio.file.Files.walk(loc.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     val a = Seq.tabulate(100)(i => (i.toLong, s"a$i")).toDF("id", "a")
     val b = Seq.tabulate(100)(i => (i.toLong, s"b$i")).toDF("id", "b")
     Scale.writeBucketed(a, "bkt_a", "id", buckets = 4)
