@@ -70,11 +70,35 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"), first(col("words")).as("words"), count(lit(1)).as("n"))
       .persist()
 
-    // LSH + exact-jaccard verify over distinct word sets only
-    val reps = groups.select(col("set_key").as("id"), array_join(col("words"), " ").as("text"))
-    val repPairs = minhashCandidates(reps, "id", "text", k)
-      .join(groups.select(col("set_key").as("id_a"), col("words").as("words_a"), col("ids").as("ids_a")), "id_a")
-      .join(groups.select(col("set_key").as("id_b"), col("words").as("words_b"), col("ids").as("ids_b")), "id_b")
+    // Candidate strategy on the distinct sets, chosen like a planner would:
+    // few reps → all-pairs broadcast join with an arrays_overlap(signature)
+    // probe (no explode, no pair-dedup shuffle); many reps → banded LSH
+    // bucket join. Both produce the identical candidate set ("shares ≥1 of
+    // k minhashes"), so results don't depend on the strategy.
+    val nReps = groups.count() // also materializes the persisted frame
+    val sets = groups.select(col("set_key"), col("words"), col("ids"),
+      NativeHash.minhashSignature(array_join(col("words"), " "), k).as("sig"))
+    val candidates =
+      if (nReps <= 8192) {
+        val a = sets.select(col("set_key").as("id_a"), col("words").as("words_a"),
+          col("ids").as("ids_a"), col("sig").as("sig_a"))
+        val b = sets.select(col("set_key").as("id_b"), col("words").as("words_b"),
+          col("ids").as("ids_b"), col("sig").as("sig_b"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          // size-ratio prune first (j ≥ t ⇒ min|set| ≥ t·max|set|): cheap
+          // int compare eliminates pairs before any array work
+          .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
+            lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
+          .filter(arrays_overlap(col("sig_a"), col("sig_b")))
+      } else {
+        val reps = groups.select(col("set_key").as("id"), array_join(col("words"), " ").as("text"))
+        minhashCandidates(reps, "id", "text", k)
+          .join(groups.select(col("set_key").as("id_a"), col("words").as("words_a"), col("ids").as("ids_a")), "id_a")
+          .join(groups.select(col("set_key").as("id_b"), col("words").as("words_b"), col("ids").as("ids_b")), "id_b")
+      }
+    val repPairs = candidates
+      .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
       // |A∪B| = |A|+|B|−|A∩B| — avoids materializing the union array
       .withColumn("__i", size(array_intersect(col("words_a"), col("words_b"))))
       .withColumn("jaccard",
