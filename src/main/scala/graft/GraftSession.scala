@@ -40,4 +40,15 @@ object GraftSession {
   /** Load one of the standard tables from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val standardTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every standard table as a temp view, so the whole engine is
+    * also reachable through `spark.sql(...)` (including the injected
+    * graft_* functions).
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    standardTables.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -33,6 +33,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream over the real events table (kafka stand-in)") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("evt").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(src, "events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    assert(stream.isStreaming)
+    val agg = stream
+      .select(expr("(ts DIV 1000000) DIV 3600000 * 3600000").as("w"), col("value"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("evt_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("evt_stream").agg(sum("n")).first().getLong(0) == 1000L)
+    } finally q.stop()
+  }
+
   test("watermarked windowed agg over an event stream") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
