@@ -20,6 +20,7 @@ object SparkEntry {
     "q5_local_supplier"    -> (AnalyticsQueries.q5LocalSupplier _),
     "q6_forecast_revenue"  -> (AnalyticsQueries.q6ForecastRevenue _),
     "q_window_topn"        -> (AnalyticsQueries.qWindowTopn _),
+    "q_topk_agg"           -> (AnalyticsQueries.qTopkAgg _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
     "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _),
@@ -52,6 +53,7 @@ object SparkEntry {
     "q5_local_supplier"    -> AnalyticsQueries.q5Sql,
     "q6_forecast_revenue"  -> AnalyticsQueries.q6Sql,
     "q_window_topn"        -> AnalyticsQueries.qWindowTopnSql,
+    "q_topk_agg"           -> AnalyticsQueries.qTopkAggSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
     "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql,

@@ -190,5 +190,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NativeHash.MorrisParse].getName, "graft_morris_parse"),
       (args: Seq[Expression]) => NativeHash.MorrisParse(args.head)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKAgg(args(0), args(1), args(2))
+    ))
   }
 }

@@ -131,6 +131,26 @@ object AnalyticsQueries {
       |WHERE rn = 1
       |ORDER BY o_custkey""".stripMargin
 
+  /** Same result as [[qWindowTopn]], computed by the custom bounded-top-k
+    * aggregate (graft.plans.TopKAgg) instead of a window: partial state is a
+    * k-heap, so the shuffle carries ≤ k rows per key per map task instead of
+    * every row — the 100 TB formulation of "latest record per entity".
+    */
+  def qTopkAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(call_function("graft_topk", lit(1),
+        array(unix_millis(col("o_orderdate").cast("timestamp")), col("o_orderkey")),
+        struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))).as("top"))
+      .select(col("o_custkey"),
+        element_at(col("top"), 1).getField("o_orderkey").as("o_orderkey"),
+        element_at(col("top"), 1).getField("o_orderdate").as("o_orderdate"),
+        element_at(col("top"), 1).getField("o_totalprice").as("o_totalprice"))
+      .orderBy("o_custkey")
+
+  /** oracle: identical to the window formulation's. */
+  val qTopkAggSql: String = qWindowTopnSql
+
   // ---- events: gap-based sessionization ---------------------------------
   /** 30-min-gap sessionization: lag + running sum inside a user window, then
     * one agg per (user, session). Two shuffles total (both on user_id — the
