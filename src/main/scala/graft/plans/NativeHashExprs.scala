@@ -174,6 +174,7 @@ object NativeHash {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => JaccardPruneRule)
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[NativeHash.SimHash64].getName, "graft_simhash64"),
