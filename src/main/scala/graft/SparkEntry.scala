@@ -21,6 +21,9 @@ object SparkEntry {
     "q6_forecast_revenue"  -> (AnalyticsQueries.q6ForecastRevenue _),
     "q_window_topn"        -> (AnalyticsQueries.qWindowTopn _),
     "q_topk_agg"           -> (AnalyticsQueries.qTopkAgg _),
+    "q_rollup"             -> (AnalyticsQueries.qRollup _),
+    "q_anti_join"          -> (AnalyticsQueries.qAntiJoin _),
+    "q_semi_join"          -> (AnalyticsQueries.qSemiJoin _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
     "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _),
@@ -54,6 +57,9 @@ object SparkEntry {
     "q6_forecast_revenue"  -> AnalyticsQueries.q6Sql,
     "q_window_topn"        -> AnalyticsQueries.qWindowTopnSql,
     "q_topk_agg"           -> AnalyticsQueries.qTopkAggSql,
+    "q_rollup"             -> AnalyticsQueries.qRollupSql,
+    "q_anti_join"          -> AnalyticsQueries.qAntiJoinSql,
+    "q_semi_join"          -> AnalyticsQueries.qSemiJoinSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
     "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql,

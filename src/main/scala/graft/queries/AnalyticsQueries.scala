@@ -151,6 +151,60 @@ object AnalyticsQueries {
   /** oracle: identical to the window formulation's. */
   val qTopkAggSql: String = qWindowTopnSql
 
+  // ---- rollup: hierarchical totals --------------------------------------
+  /** ROLLUP over (returnflag, linestatus): per-pair, per-flag and grand
+    * totals in one pass (Expand + single agg — no N scans). NULLS FIRST
+    * explicit on both sides: Spark defaults nulls-first, DuckDB nulls-last.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---- anti join: customers with no orders ------------------------------
+  /** Left-anti join — the "orphans" audit every feed pipeline needs
+    * (customers with no orders in the first half of 1995).
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val recent = table(s, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1995-07-01 00:00:00")))
+    table(s, dir, "customer")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- semi join: parts that actually ship ------------------------------
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part")
+      .join(table(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+
+  val qSemiJoinSql: String =
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
   // ---- events: gap-based sessionization ---------------------------------
   /** 30-min-gap sessionization: lag + running sum inside a user window, then
     * one agg per (user, session). Two shuffles total (both on user_id — the

@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, SourceQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan contracts: the scale-critical physical-plan properties (SURVEY.md
+  * §4, PLANS.md) asserted so refactors can't silently regress them.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def executed(df: DataFrame) = df.queryExecution.executedPlan
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q1: shipdate filter reaches the parquet scan; minimal read schema") {
+    val p = planString(graft.queries.CoreQueries.q1PricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "column pruning lost: reads unneeded columns")
+  }
+
+  test("q6: fully pushed predicates; only the single-partition partial-agg exchange") {
+    val df = AnalyticsQueries.q6ForecastRevenue(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") && p.contains("LessThan(l_quantity,24.0)"))
+    df.collect() // materialize under AQE before inspecting the final plan
+    val s = executed(df).toString
+    // the only exchange allowed is the SinglePartition gather of per-task
+    // partial aggregates (a handful of rows), never a data-sized shuffle
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("SinglePartition")), s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q5: all five dimension joins broadcast; fact side never pre-shuffles") {
+    val df = AnalyticsQueries.q5LocalSupplier(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 5, s"expected >=5 broadcast joins, got $broadcasts")
+  }
+
+  test("multisource merge: sub-source joins stay broadcast") {
+    val df = SourceQueries.qMultisourceMerge(spark, sfDir)
+    df.collect()
+    assert(executed(df).toString.contains("BroadcastHashJoin"))
+  }
+
+  test("ann lsh: bucket join is an equi hash join, not a nested loop") {
+    val df = graft.queries.LlmQueries.qAnnLsh(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString
+    assert(s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"))
+  }
+}
