@@ -21,7 +21,15 @@ object VectorFunctions {
   def normSq(a: Column): Column =
     aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
 
+  /** Fused native implementation (graft.plans.NativeHash.CosineSim) of the
+    * same left-to-right fold — bit-identical output, no interpreted lambda
+    * per element. `cosineDeclarative` keeps the pure-functions formulation
+    * for reference/cross-checking.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.plans.NativeHash.cosine(a, b)
+
+  def cosineDeclarative(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Sign-bit LSH bucket id from `nPlanes` pseudo-random hyperplanes; plane

@@ -157,6 +157,39 @@ object NativeHash {
     }
   }
 
+  /** Cosine similarity over two float-array embeddings, in one fused loop.
+    * Arithmetic is EXACTLY the sequential-double-fold the declarative
+    * formulation (VectorFunctions.cosine) and the DuckDB oracle
+    * (list_reduce) perform — left-to-right adds, per-element double casts —
+    * so swapping it in cannot change a single output bit; it only removes
+    * the interpreted lambda overhead from the ANN hot path.
+    */
+  case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y
+        i += 1
+      }
+      i = 0
+      while (i < a.numElements()) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+      i = 0
+      while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_cosine"
+  }
+
   /** Column API over the injected functions (sessions built through
     * GraftSession carry [[GraftExtensions]]; other sessions set
     * `spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -166,6 +199,8 @@ object NativeHash {
   def minhashSignature(c: Column, k: Int): Column = call_function("graft_minhash", c, lit(k))
 
   def morrisParse(c: Column): Column = call_function("graft_morris_parse", c)
+
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -190,6 +225,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_morris_parse"),
       new ExpressionInfo(classOf[NativeHash.MorrisParse].getName, "graft_morris_parse"),
       (args: Seq[Expression]) => NativeHash.MorrisParse(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[NativeHash.CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => NativeHash.CosineSim(args(0), args(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

@@ -45,6 +45,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("native cosine is bit-identical to the declarative fold on real embeddings") {
+    val emb = GraftSession.table(spark, sfDir, "embeddings").limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .select(VF.cosine(col("a.embedding"), col("b.embedding")).as("fast"),
+        VF.cosineDeclarative(col("a.embedding"), col("b.embedding")).as("ref"))
+      .collect()
+    assert(pairs.nonEmpty && pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("cosine + brute-force ANN ranks the aligned vector first") {
     val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(
