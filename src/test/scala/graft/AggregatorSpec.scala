@@ -46,6 +46,33 @@ class AggregatorSpec extends SparkSpec {
     assert(produced.count() == 2 && produced.columns.contains("upc"))
   }
 
+  test("config consumer: streams config messages, one aggregation each, bad message skipped") {
+    val dir = Files.createTempDirectory("cc").toString
+    Files.writeString(Paths.get(dir, "feed.csv"),
+      "sku,cost,stock,seq\nA-1,5,2,1\nB-2,8,3,2\n")
+    val cfgDir = Files.createTempDirectory("cfgs").toString
+    Files.writeString(Paths.get(cfgDir, "msgs.jsonl"),
+      """{"supplier_id":1,"type_id":2,"source":"feed.csv","column_map_rules":{"upc":"sku","price":"cost","seq":"seq"},"version":1}
+        |not a json config
+        |{"supplier_id":2,"type_id":2,"source":"feed.csv","column_map_rules":{"upc":"sku","qty":"stock","seq":"seq"},"version":3}
+        |""".stripMargin)
+
+    val results = scala.collection.mutable.Map[Long, Long]()
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    val q = graft.streaming.ConfigConsumer.start(
+      spark, cfgDir,
+      Files.createTempDirectory("ckpt").toString,
+      resolver(dir),
+      sink = (cfg, feed) => results.synchronized { results(cfg.supplierId) = feed.count() },
+      onError = (msg, _) => errors.synchronized { errors += msg },
+      orderCol = "seq")
+    try {
+      q.processAllAvailable()
+      assert(results.toMap == Map(1L -> 2L, 2L -> 2L))
+      assert(errors.size == 1 && errors.head.startsWith("not a json"))
+    } finally q.stop()
+  }
+
   test("multi-source config: xlsx base keyed + sheets dump grafting fields") {
     val dir = Files.createTempDirectory("agg2").toString
     // base: xlsx with upc+price
