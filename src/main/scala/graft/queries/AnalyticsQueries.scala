@@ -205,6 +205,35 @@ object AnalyticsQueries {
       |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
       |ORDER BY p_partkey""".stripMargin
 
+  // ---- as-of join: latest prior error per purchase ----------------------
+  /** For each purchase event, the user's most recent error at-or-before it
+    * (graft.operators.AsofJoin — union+window, no band cross-join). Right
+    * side pre-deduped per (user, ts) so "the" match is well-defined; oracle
+    * is DuckDB's native ASOF LEFT JOIN.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ts_ms"),
+        col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ms", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy("user_id", "ts_ms")
+      .agg(max("event_id").as("err_event_id"), max_by(col("value"), col("event_id")).as("err_value"))
+    graft.operators.AsofJoin.join(purchases, errors, "user_id", "ts_ms", "ts_ms",
+        rightCols = Seq("err_event_id", "err_value"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events),
+      |p AS (SELECT event_id, user_id, ts_ms, value FROM ev WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, ts_ms, max(event_id) AS err_event_id, arg_max(value, event_id) AS err_value
+      |      FROM ev WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts_ms, p.value, e.err_event_id, e.err_value
+      |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts_ms <= p.ts_ms
+      |ORDER BY p.event_id""".stripMargin
+
   // ---- events: gap-based sessionization ---------------------------------
   /** 30-min-gap sessionization: lag + running sum inside a user window, then
     * one agg per (user, session). Two shuffles total (both on user_id — the
