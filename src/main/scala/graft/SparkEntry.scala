@@ -25,6 +25,7 @@ object SparkEntry {
     "q_anti_join"          -> (AnalyticsQueries.qAntiJoin _),
     "q_semi_join"          -> (AnalyticsQueries.qSemiJoin _),
     "q_asof_join"          -> (AnalyticsQueries.qAsofJoin _),
+    "q_range_join"         -> (AnalyticsQueries.qRangeJoin _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
     "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "q_anti_join"          -> AnalyticsQueries.qAntiJoinSql,
     "q_semi_join"          -> AnalyticsQueries.qSemiJoinSql,
     "q_asof_join"          -> AnalyticsQueries.qAsofJoinSql,
+    "q_range_join"         -> AnalyticsQueries.qRangeJoinSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
     "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql,

@@ -234,6 +234,36 @@ object AnalyticsQueries {
       |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts_ms <= p.ts_ms
       |ORDER BY p.event_id""".stripMargin
 
+  // ---- range join: purchases within 7 days after signup -----------------
+  /** Band join via interval bucketization (graft.operators.RangeJoin):
+    * every (signup, purchase-of-same-user-within-7d) pair. Oracle is the
+    * naive inequality join — same rows, quadratic plan.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ts_ms"),
+        col("event_type"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ms").as("p_ts_ms"), col("value").as("p_value"))
+    graft.operators.RangeJoin.bandJoin(signups, purchases, "user_id",
+        "ts_ms", "p_ts_ms", lo = 0L, hi = 7L * 24 * 3600 * 1000)
+      .select("signup_id", "purchase_id", "user_id", "ts_ms", "p_ts_ms", "p_value")
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  val qRangeJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events),
+      |s AS (SELECT event_id AS signup_id, user_id, ts_ms FROM ev WHERE event_type = 'signup'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts_ms AS p_ts_ms, value AS p_value
+      |      FROM ev WHERE event_type = 'purchase')
+      |SELECT s.signup_id, p.purchase_id, s.user_id, s.ts_ms, p.p_ts_ms, p.p_value
+      |FROM s JOIN p ON s.user_id = p.user_id
+      |  AND p.p_ts_ms >= s.ts_ms AND p.p_ts_ms <= s.ts_ms + 604800000
+      |ORDER BY s.signup_id, p.purchase_id""".stripMargin
+
   // ---- events: gap-based sessionization ---------------------------------
   /** 30-min-gap sessionization: lag + running sum inside a user window, then
     * one agg per (user, session). Two shuffles total (both on user_id — the
