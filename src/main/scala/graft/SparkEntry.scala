@@ -26,6 +26,7 @@ object SparkEntry {
     "q_semi_join"          -> (AnalyticsQueries.qSemiJoin _),
     "q_asof_join"          -> (AnalyticsQueries.qAsofJoin _),
     "q_range_join"         -> (AnalyticsQueries.qRangeJoin _),
+    "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
     "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q_semi_join"          -> AnalyticsQueries.qSemiJoinSql,
     "q_asof_join"          -> AnalyticsQueries.qAsofJoinSql,
     "q_range_join"         -> AnalyticsQueries.qRangeJoinSql,
+    "q_salted_join"        -> AnalyticsQueries.qSaltedJoinSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
     "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql,

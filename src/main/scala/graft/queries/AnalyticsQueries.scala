@@ -264,6 +264,27 @@ object AnalyticsQueries {
       |  AND p.p_ts_ms >= s.ts_ms AND p.p_ts_ms <= s.ts_ms + 604800000
       |ORDER BY s.signup_id, p.purchase_id""".stripMargin
 
+  // ---- salted join: skew-safe fact⋈dim ----------------------------------
+  /** lineitem⋈part through Scale.saltedJoin — the hot-key-safe formulation.
+    * Salting never changes which pairs match (each left row meets exactly
+    * the right replica carrying its salt), so the oracle is the plain join.
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.saltedJoin(
+        table(s, dir, "lineitem").select(col("l_partkey").as("part_key"), col("l_quantity")),
+        table(s, dir, "part").select(col("p_partkey").as("part_key"), col("p_brand")),
+        "part_key", salts = 8)
+      .groupBy("p_brand")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  val qSaltedJoinSql: String =
+    """SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty, COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   // ---- events: gap-based sessionization ---------------------------------
   /** 30-min-gap sessionization: lag + running sum inside a user window, then
     * one agg per (user, session). Two shuffles total (both on user_id — the
