@@ -80,8 +80,11 @@ object Dedup {
       NativeHash.minhashSignature(array_join(col("words"), " "), k).as("sig"))
     val candidates =
       if (nReps <= 8192) {
+        // probe side repartitioned so the O(nReps²) pair scan parallelizes
+        // across all cores (the persisted groups frame is few-partition)
         val a = sets.select(col("set_key").as("id_a"), col("words").as("words_a"),
           col("ids").as("ids_a"), col("sig").as("sig_a"))
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         val b = sets.select(col("set_key").as("id_b"), col("words").as("words_b"),
           col("ids").as("ids_b"), col("sig").as("sig_b"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
