@@ -27,6 +27,7 @@ object SparkEntry {
     "q_asof_join"          -> (AnalyticsQueries.qAsofJoin _),
     "q_range_join"         -> (AnalyticsQueries.qRangeJoin _),
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
+    "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
     "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_asof_join"          -> AnalyticsQueries.qAsofJoinSql,
     "q_range_join"         -> AnalyticsQueries.qRangeJoinSql,
     "q_salted_join"        -> AnalyticsQueries.qSaltedJoinSql,
+    "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
     "q_json_extract"       -> AnalyticsQueries.qJsonExtractSql,

@@ -264,6 +264,22 @@ object AnalyticsQueries {
       |  AND p.p_ts_ms >= s.ts_ms AND p.p_ts_ms <= s.ts_ms + 604800000
       |ORDER BY s.signup_id, p.purchase_id""".stripMargin
 
+  // ---- exact group median -----------------------------------------------
+  /** Exact (sort-based) median per group — both engines interpolate even
+    * counts as (a+b)/2, so the doubles match bit-for-bit.
+    */
+  def qGroupMedian(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(median(col("c_acctbal")).as("median_acctbal"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val qGroupMedianSql: String =
+    """SELECT c_mktsegment, median(c_acctbal) AS median_acctbal, COUNT(*) AS n
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ---- salted join: skew-safe fact⋈dim ----------------------------------
   /** lineitem⋈part through Scale.saltedJoin — the hot-key-safe formulation.
     * Salting never changes which pairs match (each left row meets exactly
