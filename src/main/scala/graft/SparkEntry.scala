@@ -45,6 +45,7 @@ object SparkEntry {
     "q_lang_id"            -> (LlmQueries.qLangId _),
     "q_quality_score"      -> (LlmQueries.qQualityScore _),
     "q_fingerprint"        -> (LlmQueries.qFingerprint _),
+    "q_hash_split"         -> (LlmQueries.qHashSplit _),
     "q_dedup_simhash"      -> (LlmQueries.qDedupSimhash _),
     "q_ann_lsh"            -> (LlmQueries.qAnnLsh _),
     "q_ann_ivf"            -> (LlmQueries.qAnnIvf _)
@@ -84,7 +85,8 @@ object SparkEntry {
     "q_token_count"        -> LlmQueries.qTokenCountSql,
     "q_lang_id"            -> LlmQueries.qLangIdSql,
     "q_quality_score"      -> LlmQueries.qQualityScoreSql,
-    "q_fingerprint"        -> LlmQueries.qFingerprintSql
+    "q_fingerprint"        -> LlmQueries.qFingerprintSql,
+    "q_hash_split"         -> LlmQueries.qHashSplitSql
     // q_dedup_simhash / q_ann_lsh: approximate-by-construction — rows-only check
   )
 }

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling/splitting for training-data
+  * pipelines. RNG-based `sample()` is neither reproducible across engines
+  * nor stable under repartitioning; hashing the record key is both — the
+  * same document lands in the same split on any engine, any cluster size,
+  * any day (the property dataset curation actually needs).
+  *
+  * Bucket = md5-derived uint64 of the key, mod `buckets`. The exact hash
+  * value matches DuckDB's `md5_number_lower(key) % buckets` (little-endian
+  * uint64 of digest bytes 8-15), so splits are verifiable by the oracle.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the md5 of the key. */
+  def md5Bucket(key: Column, buckets: Int): Column = {
+    val h = md5(key.cast("string"))
+    // little-endian uint64 of digest bytes 8..15 == byte-reversed hex 17..32
+    val hexLe = concat((7 to 0 by -1).map(i => substring(h, 17 + 2 * i, 2)): _*)
+    pmod(conv(hexLe, 16, 10).cast("decimal(20,0)"), lit(buckets)).cast("int")
+  }
+
+  /** train/val/test assignment by bucket percentage (e.g. 80/10/10). */
+  def split(key: Column, trainPct: Int, valPct: Int): Column = {
+    val b = md5Bucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic pct% sample predicate. */
+  def sampled(key: Column, pct: Int): Column = md5Bucket(key, 100) < pct
+}

@@ -151,6 +151,25 @@ object LlmQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- deterministic hash split/sample -----------------------------------
+  def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Sampling.md5Bucket(col("doc_id"), 100).as("bucket"),
+        graft.functions.Sampling.split(col("doc_id"), trainPct = 80, valPct = 10).as("split"),
+        graft.functions.Sampling.sampled(col("doc_id"), 10).as("in_sample"))
+      .orderBy("doc_id")
+
+  val qHashSplitSql: String =
+    """SELECT doc_id,
+      |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS INT) AS bucket,
+      |  CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+      |       WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10 AS in_sample
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ---- rows-only queries (no SQL-expressible oracle) ---------------------
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 10)

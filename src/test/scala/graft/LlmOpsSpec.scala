@@ -72,6 +72,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Seq("en", "es", "und"))
   }
 
+  test("hash split: deterministic, stable under repartitioning, ~80/10/10") {
+    val ids = (1L to 2000L).toDF("id")
+    val split1 = ids.select(col("id"), graft.functions.Sampling.split(col("id"), 80, 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val split2 = ids.repartition(13)
+      .select(col("id"), graft.functions.Sampling.split(col("id"), 80, 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split1 == split2)
+    val counts = split1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100 && math.abs(counts("val") - 200) < 60)
+  }
+
   test("rolling hash is order-sensitive, fingerprint is not whitespace-sensitive") {
     val df = Seq("a b c", "c b a", "a  b  c").toDF("text")
     val rh = df.select(TF.rollingHash(col("text"))).collect().map(_.getLong(0))
