@@ -46,6 +46,8 @@ object SparkEntry {
     "q_quality_score"      -> (LlmQueries.qQualityScore _),
     "q_fingerprint"        -> (LlmQueries.qFingerprint _),
     "q_hash_split"         -> (LlmQueries.qHashSplit _),
+    "q_text_clean"         -> (LlmQueries.qTextClean _),
+    "q_repetition"         -> (LlmQueries.qRepetition _),
     "q_dedup_simhash"      -> (LlmQueries.qDedupSimhash _),
     "q_ann_lsh"            -> (LlmQueries.qAnnLsh _),
     "q_ann_ivf"            -> (LlmQueries.qAnnIvf _)
@@ -86,7 +88,9 @@ object SparkEntry {
     "q_lang_id"            -> LlmQueries.qLangIdSql,
     "q_quality_score"      -> LlmQueries.qQualityScoreSql,
     "q_fingerprint"        -> LlmQueries.qFingerprintSql,
-    "q_hash_split"         -> LlmQueries.qHashSplitSql
+    "q_hash_split"         -> LlmQueries.qHashSplitSql,
+    "q_text_clean"         -> LlmQueries.qTextCleanSql,
+    "q_repetition"         -> LlmQueries.qRepetitionSql
     // q_dedup_simhash / q_ann_lsh: approximate-by-construction — rows-only check
   )
 }

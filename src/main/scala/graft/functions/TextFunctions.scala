@@ -72,6 +72,24 @@ object TextFunctions {
     greatest(least(lenScore * lit(0.5) + stopScore * lit(0.5) - punctPenalty * lit(0.25), lit(1.0)), lit(0.0))
   }
 
+  /** C4-style cleanup: redact URLs and emails, strip control chars,
+    * collapse whitespace. Patterns kept to syntax with identical semantics
+    * in Java regex and RE2 so the oracle can mirror them.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  def cleanText(c: Column): Column = {
+    val noUrl = regexp_replace(c, UrlPattern, "<URL>")
+    val noMail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    val noCtl = regexp_replace(noMail, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
+  /** PII-ish signal counts (redaction audit). */
+  def urlCount(c: Column): Column = size(regexp_extract_all(c, lit(UrlPattern), lit(0)))
+  def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
+
   /** MD5 fingerprint of the normalized text (exact-dedup key). */
   def contentFingerprint(c: Column): Column = md5(normText(c))
 

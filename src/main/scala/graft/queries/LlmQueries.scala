@@ -151,6 +151,60 @@ object LlmQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- text cleaning + redaction audit ------------------------------------
+  def qTextClean(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.cleanText(col("text")).as("clean_text"),
+        TF.urlCount(col("text")).cast("long").as("n_urls"),
+        TF.emailCount(col("text")).cast("long").as("n_emails"))
+      .orderBy("doc_id")
+
+  val qTextCleanSql: String =
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${TF.UrlPattern}', '<URL>', 'g'),
+       |    '${TF.EmailPattern}', '<EMAIL>', 'g'),
+       |    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+       |    '\\s+', ' ', 'g')) AS clean_text,
+       |  CAST(len(regexp_extract_all(text, '${TF.UrlPattern}')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '${TF.EmailPattern}')) AS BIGINT) AS n_emails
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- repetition ratio (boilerplate/garbage signal) ----------------------
+  /** Fraction of all word 2-grams taken by the single most frequent one —
+    * the Gopher-style repetition quality gate.
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    // strict 2-grams (no <2-token fallback): docs with fewer than 2 tokens
+    // drop out on both engines identically
+    val t = TF.tokens(col("text"))
+    val grams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2), i => array_join(slice(t, i + 1, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c").cast("double")).as("top_bigram_ratio"),
+        sum("c").as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val qRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)),
+      |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_ratio,
+      |  sum(c) AS n_bigrams
+      |FROM counts GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- deterministic hash split/sample -----------------------------------
   def qHashSplit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
