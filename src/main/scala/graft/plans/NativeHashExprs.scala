@@ -190,6 +190,35 @@ object NativeHash {
     override def prettyName: String = "graft_cosine"
   }
 
+  /** Per-document top-n-gram frequency ratio in one pass — the shuffle-free
+    * form of the Gopher repetition gate. The explode+groupBy formulation
+    * shuffles every n-gram twice; this computes `(max count / total, total)`
+    * inside the row with a local hashmap. Returns
+    * struct<ratio double, total bigint>; null when fewer than n tokens.
+    */
+  case class TopNgramRatio(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("ratio", DoubleType, nullable = false),
+      StructField("total", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      if (toks.length < n) return null
+      val counts = new java.util.HashMap[String, Int]()
+      var maxCount = 0
+      var i = 0
+      while (i <= toks.length - n) {
+        val g = toks.slice(i, i + n).mkString(" ")
+        val c = counts.merge(g, 1, (a, b) => a + b)
+        if (c > maxCount) maxCount = c
+        i += 1
+      }
+      val total = (toks.length - n + 1).toLong
+      org.apache.spark.sql.catalyst.InternalRow(maxCount.toDouble / total.toDouble, total)
+    }
+    override protected def withNewChildInternal(newChild: Expression): TopNgramRatio = copy(child = newChild)
+  }
+
   /** Column API over the injected functions (sessions built through
     * GraftSession carry [[GraftExtensions]]; other sessions set
     * `spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -201,6 +230,8 @@ object NativeHash {
   def morrisParse(c: Column): Column = call_function("graft_morris_parse", c)
 
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  def topNgramRatio(c: Column, n: Int): Column = call_function("graft_top_ngram_ratio", c, lit(n))
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -225,6 +256,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_morris_parse"),
       new ExpressionInfo(classOf[NativeHash.MorrisParse].getName, "graft_morris_parse"),
       (args: Seq[Expression]) => NativeHash.MorrisParse(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_ngram_ratio"),
+      new ExpressionInfo(classOf[NativeHash.TopNgramRatio].getName, "graft_top_ngram_ratio"),
+      (args: Seq[Expression]) => NativeHash.TopNgramRatio(args.head, args(1).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),

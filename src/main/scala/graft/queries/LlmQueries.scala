@@ -176,21 +176,17 @@ object LlmQueries {
   /** Fraction of all word 2-grams taken by the single most frequent one —
     * the Gopher-style repetition quality gate.
     */
-  def qRepetition(s: SparkSession, dir: String): DataFrame = {
-    // strict 2-grams (no <2-token fallback): docs with fewer than 2 tokens
-    // drop out on both engines identically
-    val t = TF.tokens(col("text"))
-    val grams = when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2), i => array_join(slice(t, i + 1, lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
+  /** Shuffle-free per-row computation via the native graft_top_ngram_ratio
+    * expression (the explode+groupBy formulation shuffles every bigram
+    * twice); docs with <2 tokens drop out identically to the oracle's
+    * natural gram-less dropout.
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id"), explode(grams).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((max("c").cast("double") / sum("c").cast("double")).as("top_bigram_ratio"),
-        sum("c").as("n_bigrams"))
+      .select(col("doc_id"), graft.plans.NativeHash.topNgramRatio(col("text"), 2).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), col("r.ratio").as("top_bigram_ratio"), col("r.total").as("n_bigrams"))
       .orderBy("doc_id")
-  }
 
   val qRepetitionSql: String =
     """WITH toks AS (
