@@ -38,6 +38,7 @@ object SparkEntry {
     "q_config_route"       -> (SourceQueries.qConfigRoute _),
     "q_excel_range"        -> (SourceQueries.qExcelRange _),
     "q_dedup_exact"        -> (LlmQueries.qDedupExact _),
+    "q_dedup_keep"         -> (LlmQueries.qDedupKeep _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_config_route"       -> SourceQueries.qConfigRouteSql,
     "q_excel_range"        -> SourceQueries.qExcelRangeSql,
     "q_dedup_exact"        -> LlmQueries.qDedupExactSql,
+    "q_dedup_keep"         -> LlmQueries.qDedupKeepSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,

@@ -24,6 +24,16 @@ object Dedup {
         array_join(sort_array(collect_list(col(idCol).cast("string"))), ",").as("doc_ids")
       )
 
+  /** The dedup OUTPUT: one surviving row per distinct content fingerprint
+    * (lowest id wins). Shuffles only (fingerprint, id) pairs, then
+    * broadcast-or-shuffle joins the winners back to the full rows — at
+    * 100 TB the document bodies move at most once.
+    */
+  def dropDuplicatesExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, idCol)
+  }
+
   /** MinHash-LSH candidate pairs (id_a < id_b): docs sharing ≥1 of the k
     * minhash values. Single-hash bands maximize recall (P[miss] = (1−j)^k:
     * 4e-9 at j=0.8, k=12 — zero expected misses up to billions of pairs);

@@ -27,6 +27,20 @@ object LlmQueries {
       |GROUP BY fingerprint
       |ORDER BY fingerprint""".stripMargin
 
+  def qDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicatesExact(table(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val qDedupKeepSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM documents),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d JOIN keep USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- minhash-LSH near-dup (verified by exact jaccard) ------------------
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", threshold = 0.8)

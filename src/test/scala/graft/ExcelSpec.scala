@@ -54,6 +54,23 @@ class ExcelSpec extends SparkSpec {
     assert(all.map(_.getString(1)).toSeq == Seq("upc", "111", "222"))
   }
 
+  test("inline-string cells parse like shared strings") {
+    // hand-build a sheet using t="inlineStr" (<is><t>) instead of the sst
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml", """<?xml version="1.0"?><workbook><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>hello</t></is></c><c r="B1"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val rows = ExcelSource.parseXlsx(bos.toByteArray).toVector
+    assert(rows.head.cells == Seq("hello", "7"))
+  }
+
   test("missing sheet falls back to first sheet; single-column range") {
     val bytes = XlsxTestWriter.build(Seq("S1" -> Seq(Seq("a", "b"), Seq("1", "2"))))
     val grid = spark.createDataset(ExcelSource.parseXlsx(bytes).toSeq)
