@@ -327,13 +327,14 @@ object AnalyticsQueries {
 
   val qEventsSessionizeSql: String =
     """WITH marked AS (
-      |  SELECT user_id, epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(12,2)) AS v,
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(12,2)) AS v,
       |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
       |), sess AS (
       |  SELECT user_id, ts_ms, v,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM marked
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -211,7 +211,7 @@ object LlmQueries {
       |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
       |SELECT doc_id,
       |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_ratio,
-      |  sum(c) AS n_bigrams
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams
       |FROM counts GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
