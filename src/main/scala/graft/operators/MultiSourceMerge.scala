@@ -22,14 +22,17 @@ final case class SubSourceFeed(df: DataFrame, key: String, fields: Seq[String], 
   */
 object MultiSourceMerge {
 
-  private def lastWins(df: DataFrame, key: String, orderCol: String): DataFrame =
-    KeyedMergeSet.dedupe(df, key, Map.empty, orderCol)
-
-  def merge(base: DataFrame, baseKey: String, baseOrderCol: String, subs: Seq[SubSourceFeed]): DataFrame =
-    subs.foldLeft(lastWins(base, baseKey, baseOrderCol)) { (acc, sub) =>
+  /** @param keepOrderCol carry the base set's recency (`max(baseOrderCol)`
+    *                      per key) through the merge so the caller's final
+    *                      dedupe has a genuine per-row order column
+    */
+  def merge(base: DataFrame, baseKey: String, baseOrderCol: String, subs: Seq[SubSourceFeed],
+            keepOrderCol: Boolean = false): DataFrame =
+    subs.foldLeft(KeyedMergeSet.dedupe(base, baseKey, Map.empty, baseOrderCol, keepOrderCol)) { (acc, sub) =>
       val subKey = s"__sub_${sub.key}"
-      val dedup = lastWins(sub.df.select((sub.key +: sub.orderCol +: sub.fields).distinct.map(col): _*),
-          sub.key, sub.orderCol)
+      val dedup = KeyedMergeSet.dedupe(
+          sub.df.select((sub.key +: sub.orderCol +: sub.fields).distinct.map(col): _*),
+          sub.key, Map.empty, sub.orderCol)
         .select((sub.key +: sub.fields).map(col): _*)
         .withColumnRenamed(sub.key, subKey)
         .withColumnsRenamed(sub.fields.map(f => f -> s"__new_$f").toMap)

@@ -61,21 +61,27 @@ object NativeHash {
   }
 
   /** k-minhash signature over the distinct word set in one pass:
-    * element i = min over words of hash(word, seed = i).
+    * element i = min over words of `xxhash64(i, word)` — the EXACT hash
+    * family of the declarative twin (TextFunctions.minhashSignature), so
+    * the two are interchangeable: Spark's XxHash64 chains seed 42 →
+    * hashInt(i) → hashUnsafeBytes(word), reproduced here with the i-seeds
+    * precomputed once per signature.
     */
   case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any = {
       val words = new java.util.HashSet[String]()
       tokenize(input.asInstanceOf[UTF8String]).foreach(words.add)
+      val seeds = new Array[Long](k)
+      var s = 0
+      while (s < k) { seeds(s) = XXH64.hashInt(s, 42L); s += 1 }
       val mins = Array.fill(k)(Long.MaxValue)
       val it = words.iterator()
       while (it.hasNext) {
-        val w = it.next()
-        val u = UTF8String.fromString(w)
+        val u = UTF8String.fromString(it.next())
         var i = 0
         while (i < k) {
-          val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, i.toLong)
+          val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(i))
           if (h < mins(i)) mins(i) = h
           i += 1
         }
@@ -167,6 +173,18 @@ object NativeHash {
   case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    // eval reads elements with ArrayData.getFloat — anything but
+    // array<float> must be an analysis error, not silent garbage
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

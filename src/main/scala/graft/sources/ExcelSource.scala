@@ -137,11 +137,25 @@ object ExcelSource {
   def parseXlsx(bytes: Array[Byte]): Iterator[GridRow] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
-    val sheetNames = parts.get("xl/workbook.xml").map(parseSheetNames).getOrElse(Vector.empty)
-    val sheetParts = parts.keys.filter(_.matches("xl/worksheets/sheet[0-9]+\\.xml")).toSeq
-      .sortBy(p => p.replaceAll("[^0-9]", "").toInt)
-    sheetParts.iterator.zipWithIndex.flatMap { case (part, idx) =>
-      val name = sheetNames.lift(idx).getOrElse(s"Sheet${idx + 1}")
+    val sheets = parts.get("xl/workbook.xml").map(parseWorkbookSheets).getOrElse(Vector.empty)
+    // The spec-correct pairing is workbook.xml's sheet order joined to
+    // worksheet parts via r:id through xl/_rels/workbook.xml.rels — part
+    // FILENAME numbering need not match workbook order (sheet reordering).
+    val rels = parts.get("xl/_rels/workbook.xml.rels").map(parseRels).getOrElse(Map.empty)
+    val resolved: Seq[(String, String)] = sheets.flatMap { case (name, rid) =>
+      rid.flatMap(rels.get).filter(parts.contains).map(name -> _)
+    }
+    val ordered: Seq[(String, String)] =
+      if (sheets.nonEmpty && resolved.size == sheets.size) resolved
+      else {
+        // no usable rels (minimal writers): fall back to numeric part order
+        val sheetParts = parts.keys.filter(_.matches("xl/worksheets/sheet[0-9]+\\.xml")).toSeq
+          .sortBy(p => p.replaceAll("[^0-9]", "").toInt)
+        sheetParts.zipWithIndex.map { case (p, i) =>
+          (sheets.map(_._1).lift(i).getOrElse(s"Sheet${i + 1}"), p)
+        }
+      }
+    ordered.iterator.zipWithIndex.flatMap { case ((name, part), idx) =>
       parseSheet(parts(part), shared).map { case (rowIdx, cells) => GridRow(name, idx, rowIdx, cells) }
     }
   }
@@ -188,15 +202,38 @@ object ExcelSource {
     strings.result()
   }
 
-  /** `<sheets><sheet name="…"/>…</sheets>` in workbook order. */
-  private def parseSheetNames(xml: Array[Byte]): Vector[String] = {
-    val names = Vector.newBuilder[String]
+  /** `<sheets><sheet name="…" r:id="rIdN"/>…</sheets>` in workbook order. */
+  private def parseWorkbookSheets(xml: Array[Byte]): Vector[(String, Option[String])] = {
+    val sheets = Vector.newBuilder[(String, Option[String])]
     val handler = new DefaultHandler {
       override def startElement(uri: String, local: String, qName: String, a: Attributes): Unit =
-        if (qName == "sheet") names += Option(a.getValue("name")).getOrElse("")
+        if (qName == "sheet")
+          sheets += ((Option(a.getValue("name")).getOrElse(""),
+            Option(a.getValue("r:id")).orElse(Option(a.getValue("id")))))
     }
     newParser.parse(new ByteArrayInputStream(xml), handler)
-    names.result()
+    sheets.result()
+  }
+
+  /** `xl/_rels/workbook.xml.rels`: relationship Id → zip part path.
+    * Targets are relative to `xl/` unless package-absolute (leading `/`).
+    */
+  private def parseRels(xml: Array[Byte]): Map[String, String] = {
+    val rels = Map.newBuilder[String, String]
+    val handler = new DefaultHandler {
+      override def startElement(uri: String, local: String, qName: String, a: Attributes): Unit =
+        if (qName == "Relationship")
+          (Option(a.getValue("Id")), Option(a.getValue("Target"))) match {
+            case (Some(id), Some(t)) =>
+              val norm =
+                if (t.startsWith("/")) t.drop(1)
+                else "xl/" + t.stripPrefix("./")
+              rels += id -> norm
+            case _ =>
+          }
+    }
+    newParser.parse(new ByteArrayInputStream(xml), handler)
+    rels.result()
   }
 
   /** Stream `<row r="N"><c r="A1" t="…"><v>…</v></c>…</row>`s. */

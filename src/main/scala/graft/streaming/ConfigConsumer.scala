@@ -26,7 +26,7 @@ object ConfigConsumer {
       sink: (InputConfig, DataFrame) => Unit,
       onError: (String, Throwable) => Unit = (m, e) => System.err.println(s"[consumer] failed: ${e.getMessage} in $m"),
       key: String = "upc",
-      orderCol: String = "version"): StreamingQuery = {
+      orderCol: Option[String] = None): StreamingQuery = {
 
     spark.readStream
       .option("maxFilesPerTrigger", "16")
@@ -44,6 +44,9 @@ object ConfigConsumer {
             case e: Throwable => onError(msg, e)
           }
         }
+        // caches persisted inside operators (Dedup.nearDupPairs) must not
+        // outlive the batch in a forever-running consumer
+        graft.operators.Dedup.releaseCaches()
       }
       .start()
   }

@@ -33,7 +33,7 @@ class AggregatorSpec extends SparkSpec {
         |"column_map_rules":{"upc":"sku","price":["cost","min"],"qty":["stock","max"],"seq":"seq"},
         |"version":7}""".stripMargin)
 
-    val out = Aggregator.run(spark, config, resolver(dir), key = "upc", orderCol = "seq")
+    val out = Aggregator.run(spark, config, resolver(dir), key = "upc", orderCol = Some("seq"))
       .orderBy("upc")
     val rows = out.select("upc", "price", "qty", "supplier_id", "version").collect()
     assert(rows.toSeq == Seq(
@@ -65,7 +65,7 @@ class AggregatorSpec extends SparkSpec {
       resolver(dir),
       sink = (cfg, feed) => results.synchronized { results(cfg.supplierId) = feed.count() },
       onError = (msg, _) => errors.synchronized { errors += msg },
-      orderCol = "seq")
+      orderCol = Some("seq"))
     try {
       q.processAllAvailable()
       assert(results.toMap == Map(1L -> 2L, 2L -> 2L))
@@ -90,10 +90,30 @@ class AggregatorSpec extends SparkSpec {
         |"column_map_rules":{"upc":"upc","price":"price","qty":"stock"},
         |"version":1}""".stripMargin)
 
-    val out = Aggregator.run(spark, config, resolver(dir), key = "upc", orderCol = "version")
+    val out = Aggregator.run(spark, config, resolver(dir), key = "upc")
       .orderBy("upc").collect()
     // 111 gets stock grafted (qty 4); 222 keeps null→0 qty; 999 dropped (not in base)
     assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
       Seq(("111", 5.0, 4L), ("222", 8.0, 0L)))
+  }
+
+  test("no orderCol: last-write-wins follows file row order via stamped ingest sequence") {
+    val dir = Files.createTempDirectory("agg3").toString
+    // 20 rows for the same key, value = row position; the reference keeps
+    // the LAST row of the file (arrival order), so must we — deterministically.
+    val rows = (1 to 20).map(i => s"K-1,$i.0,$i").mkString("\n")
+    Files.writeString(Paths.get(dir, "feed.csv"), s"sku,cost,stock\n$rows\n")
+    val config = InputConfig.fromJson(
+      """{"supplier_id":1,"type_id":2,"source":"feed.csv",
+        |"column_map_rules":{"upc":"sku","price":"cost","qty":"stock"},
+        |"version":1}""".stripMargin)
+    (1 to 3).foreach { _ =>
+      val out = Aggregator.run(spark, config, resolver(dir), key = "upc").collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getAs[Double]("price") == 20.0 && r.getAs[Long]("qty") == 20L,
+        s"expected the file's last row to win, got $r")
+      assert(!out.head.schema.fieldNames.contains(Aggregator.IngestSeqCol))
+    }
   }
 }

@@ -71,6 +71,21 @@ class ExcelSpec extends SparkSpec {
     assert(rows.head.cells == Seq("hello", "7"))
   }
 
+  test("sheet names follow workbook.xml.rels r:id mapping, not part numbering") {
+    // workbook order: First (stored as sheet9.xml), Second (stored as
+    // sheet2.xml) — numeric part order would pair the names backwards
+    val bytes = XlsxTestWriter.build(
+      Seq(
+        "First"  -> Seq(Seq("a"), Seq("from-first")),
+        "Second" -> Seq(Seq("b"), Seq("from-second"))),
+      partNumbering = Some(Seq(9, 2)))
+    val rows = ExcelSource.parseXlsx(bytes).toVector
+    assert(rows.filter(_.sheet == "First").map(_.cells.head) == Vector("a", "from-first"))
+    assert(rows.filter(_.sheet == "Second").map(_.cells.head) == Vector("b", "from-second"))
+    // workbook order preserved: First is sheet_idx 0 (the default sheet)
+    assert(rows.filter(_.sheetIdx == 0).forall(_.sheet == "First"))
+  }
+
   test("missing sheet falls back to first sheet; single-column range") {
     val bytes = XlsxTestWriter.build(Seq("S1" -> Seq(Seq("a", "b"), Seq("1", "2"))))
     val grid = spark.createDataset(ExcelSource.parseXlsx(bytes).toSeq)

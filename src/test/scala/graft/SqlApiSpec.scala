@@ -20,4 +20,26 @@ class SqlApiSpec extends SparkSpec {
     ).collect()
     assert(morris.head.getString(0) == "1" && morris.head.getDouble(2) == 3.5)
   }
+
+  test("native graft_minhash is bit-identical to the declarative xxhash64 twin") {
+    import org.apache.spark.sql.functions.col
+    GraftSession.registerTables(spark, sfDir)
+    val both = spark.table("documents").limit(50).select(
+      graft.plans.NativeHash.minhashSignature(col("text"), 8).as("native"),
+      graft.functions.TextFunctions.minhashSignature(col("text"), 8).as("decl"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_cosine on non-float arrays is an analysis error, not garbage") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D))").collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+    // and the legit float-array form still evaluates
+    val ok = spark.sql(
+      "SELECT graft_cosine(array(float(1), float(0)), array(float(1), float(0)))").collect()
+    assert(math.abs(ok.head.getDouble(0) - 1.0) < 1e-12)
+  }
 }

@@ -17,8 +17,17 @@ object XlsxTestWriter {
     sb.toString
   }
 
-  /** Cells: String → shared string; Number → inline numeric; null → gap. */
-  def build(sheets: Seq[(String, Seq[Seq[Any]])]): Array[Byte] = {
+  /** Cells: String → shared string; Number → inline numeric; null → gap.
+    *
+    * @param partNumbering worksheet part number per sheet (sheet i stored as
+    *                      `sheetN.xml` with N = partNumbering(i)), wired up
+    *                      through r:id + workbook.xml.rels like real writers
+    *                      do — pass a permutation that disagrees with the
+    *                      workbook order to exercise the rels join. None →
+    *                      minimal workbook with no rels (the fallback path).
+    */
+  def build(sheets: Seq[(String, Seq[Seq[Any]])],
+            partNumbering: Option[Seq[Int]] = None): Array[Byte] = {
     val sharedIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
     def sharedRef(s: String): Int = sharedIdx.getOrElseUpdate(s, sharedIdx.size)
 
@@ -39,7 +48,10 @@ object XlsxTestWriter {
 
     val workbook =
       s"""<?xml version="1.0"?><workbook><sheets>${
-        sheets.zipWithIndex.map { case ((n, _), i) => s"""<sheet name="${xmlEscape(n)}" sheetId="${i + 1}"/>""" }.mkString
+        sheets.zipWithIndex.map { case ((n, _), i) =>
+          val rid = if (partNumbering.isDefined) s""" r:id="rId${i + 1}"""" else ""
+          s"""<sheet name="${xmlEscape(n)}" sheetId="${i + 1}"$rid/>"""
+        }.mkString
       }</sheets></workbook>"""
     val sst =
       s"""<?xml version="1.0"?><sst>${
@@ -55,7 +67,17 @@ object XlsxTestWriter {
     }
     put("xl/workbook.xml", workbook)
     put("xl/sharedStrings.xml", sst)
-    sheetXmls.zipWithIndex.foreach { case (xml, i) => put(s"xl/worksheets/sheet${i + 1}.xml", xml) }
+    partNumbering match {
+      case Some(nums) =>
+        require(nums.size == sheets.size)
+        val rels = nums.zipWithIndex.map { case (n, i) =>
+          s"""<Relationship Id="rId${i + 1}" Target="worksheets/sheet$n.xml"/>"""
+        }.mkString
+        put("xl/_rels/workbook.xml.rels", s"""<?xml version="1.0"?><Relationships>$rels</Relationships>""")
+        sheetXmls.zip(nums).foreach { case (xml, n) => put(s"xl/worksheets/sheet$n.xml", xml) }
+      case None =>
+        sheetXmls.zipWithIndex.foreach { case (xml, i) => put(s"xl/worksheets/sheet${i + 1}.xml", xml) }
+    }
     zos.close()
     bos.toByteArray
   }
