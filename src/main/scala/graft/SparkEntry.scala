@@ -40,6 +40,7 @@ object SparkEntry {
     "q_dedup_exact"        -> (LlmQueries.qDedupExact _),
     "q_dedup_keep"         -> (LlmQueries.qDedupKeep _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
+    "q_dedup_embed"        -> (LlmQueries.qDedupEmbed _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
     "q_token_count"        -> (LlmQueries.qTokenCount _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_dedup_exact"        -> LlmQueries.qDedupExactSql,
     "q_dedup_keep"         -> LlmQueries.qDedupKeepSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
+    "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
     "q_token_count"        -> LlmQueries.qTokenCountSql,

@@ -175,6 +175,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold), brute force — the correctness baseline for semantic dedup.
+    * One side broadcasts, the other streams repartitioned, so the O(n²)
+    * pair scan parallelizes; cosine is the fused native expression
+    * (bit-identical to the declarative fold and the DuckDB oracle).
+    * At corpus scale use [[embedNearDupPairsLsh]].
+    */
+  def embedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", NativeHash.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane sign buckets make
+    * the candidate join an equi-join — per-task pair counts are bucket-
+    * bounded instead of corpus². High-cosine pairs agree on every
+    * hyperplane sign with probability (1 − θ/π)^nPlanes, so recall < 1 by
+    * construction (spec measures it; nPlanes = 0 degenerates to one bucket
+    * = exact brute force).
+    */
+  def embedNearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val keyed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.VectorFunctions.lshBucket(col(vecCol), nPlanes).as("bucket"))
+    keyed.as("a")
+      .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", NativeHash.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
   /** Exact all-pairs n-gram/word jaccard over a bounded id range (the
     * correctness baseline the LSH paths approximate).
     */

@@ -215,6 +215,25 @@ object LlmQueries {
       |FROM counts GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- embedding-cosine near-dup ------------------------------------------
+  /** Semantic near-dup pairs over the embeddings table. Threshold 0.3 is
+    * corpus-calibrated (≈ the 99th pairwise percentile of this synthetic
+    * corpus — real near-dup corpora use ~0.95 on the same code path).
+    */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Dedup.embedNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  val qDedupEmbedSql: String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql.replace("q.embedding", "a.embedding").replace("c.embedding", "b.embedding")} /
+       |      (${normSql("a")} * ${normSql("b")}) AS cosine
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- deterministic hash split/sample -----------------------------------
   def qHashSplit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")

@@ -91,4 +91,26 @@ class LlmOpsSpec extends SparkSpec {
     val fps = df.select(TF.contentFingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
+
+  test("embedding near-dup: brute force finds planted pair; LSH at 0 planes equals brute force") {
+    val mk = (base: Seq[Float]) => base.toArray
+    val vecs = Seq(
+      (1L, mk(Seq(1f, 0f, 0f, 0f))),
+      (2L, mk(Seq(0.99f, 0.1f, 0f, 0f))),   // near-dup of 1
+      (3L, mk(Seq(0f, 1f, 0f, 0f))),
+      (4L, mk(Seq(0f, 0f, 1f, 0f)))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embedNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute == Set((1L, 2L)))
+
+    val lsh0 = Dedup.embedNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9, nPlanes = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh0 == brute)
+
+    // with planes: output is a SUBSET of brute force (same filter, fewer candidates)
+    val lsh4 = Dedup.embedNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh4.subsetOf(brute))
+  }
 }
