@@ -23,7 +23,7 @@ object Bench {
       val runs = Seq(time(fn), time(fn)).filter(_ >= 0)
       // release operator-internal caches AFTER both timed runs, so run 2
       // measures steady state but caches never accumulate across queries
-      graft.operators.Dedup.releaseCaches()
+      graft.operators.Caches.release()
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

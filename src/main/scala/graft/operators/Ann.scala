@@ -43,8 +43,14 @@ object Ann {
               k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
 
-    var centroids = c.orderBy("vid").limit(nlist)
-      .select((row_number().over(Window.orderBy("vid")) - 1).as("cid"), col("v").as("centroid"))
+    // seed ids assigned on the driver: nlist rows by construction, and a
+    // window with no partition spec would log a misleading scale warning
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = spark.createDataset(
+        c.orderBy("vid").limit(nlist).select("v").as[Array[Float]].collect()
+          .zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
+      .toDF("cid", "centroid")
     for (_ <- 0 until iters) {
       val assigned = assignToNearest(c, centroids)
       centroids = assigned

@@ -11,23 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Frames persisted internally by [[nearDupPairs]], alive until released:
-    * Spark's CacheManager holds persisted frames for the session lifetime,
-    * so a long-running process (ConfigConsumer, a query loop) must call
-    * [[releaseCaches]] once the returned pairs have been materialized —
-    * unpersisting any earlier would just re-run the canonicalization per
-    * downstream subtree.
-    */
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Unpersist every internally-cached frame from prior [[nearDupPairs]]
-    * calls. Safe to call at any time (results stay correct; an unpersisted
-    * frame recomputes), intended between queries in long-running sessions.
-    */
-  def releaseCaches(): Unit = {
-    var df = liveCaches.poll()
-    while (df != null) { df.unpersist(false); df = liveCaches.poll() }
-  }
+  /** Unpersist operator-internal caches — see [[Caches.release]]. */
+  def releaseCaches(): Unit = Caches.release()
 
   /** Exact duplicate groups by content fingerprint. One groupBy shuffle with
     * map-side combine; at 100 TB the md5 keys shuffle, not the documents.
@@ -97,7 +82,7 @@ object Dedup {
     val groups = keyed.groupBy("set_key")
       .agg(collect_list(col("id")).as("ids"), first(col("words")).as("words"), count(lit(1)).as("n"))
       .persist()
-    liveCaches.add(groups)
+    Caches.register(groups)
 
     // Candidate strategy on the distinct sets, chosen like a planner would:
     // few reps → all-pairs broadcast join with an arrays_overlap(signature)

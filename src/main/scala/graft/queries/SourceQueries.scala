@@ -127,16 +127,15 @@ object SourceQueries {
 
   // ---- Excel grid + A1 range -------------------------------------------
   /** Lineitem rows laid out as a worksheet grid, then trimmed by an A1 range
-    * (`B2:D`) with the reference's normalization semantics. The explicit
-    * row_number here only exists to fabricate grid coordinates from a table;
-    * real xlsx ingest (ExcelSource.readXlsxGrid) carries row indexes from
-    * the file and needs no global window.
+    * (`B2:D`) with the reference's normalization semantics. Grid coordinates
+    * are fabricated with [[graft.operators.Scale.globalRowNumber]] — the
+    * distributed (range-partition + offset) global index, not a
+    * single-partition window; real xlsx ingest (ExcelSource.readXlsxGrid)
+    * carries row indexes from the file and needs no index at all.
     */
   def qExcelRange(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grid = table(s, dir, "lineitem")
-      .withColumn("row_idx",
-        row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).cast("long"))
+    val grid = graft.operators.Scale
+      .globalRowNumber(table(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
       .select(lit("Sheet1").as("sheet"), lit(0).as("sheet_idx"), col("row_idx"),
         array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
           col("l_quantity").cast("string"),

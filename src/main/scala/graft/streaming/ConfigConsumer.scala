@@ -46,7 +46,7 @@ object ConfigConsumer {
         }
         // caches persisted inside operators (Dedup.nearDupPairs) must not
         // outlive the batch in a forever-running consumer
-        graft.operators.Dedup.releaseCaches()
+        graft.operators.Caches.release()
       }
       .start()
   }

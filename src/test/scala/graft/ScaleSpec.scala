@@ -15,6 +15,22 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain && plain.size == 102)
   }
 
+  test("globalRowNumber equals the single-partition window, distributed") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq.tabulate(5000)(i => (i * 37 % 5000, s"v$i")).toDF("k", "v")
+      .repartition(16) // scrambled input partitions
+    val got = Scale.globalRowNumber(df, Seq("k"), partitions = 8)
+      .select("k", "row_idx").as[(Int, Long)].collect().sortBy(_._1)
+    val want = df.withColumn("row_idx", row_number().over(Window.orderBy("k")).cast("long"))
+      .select("k", "row_idx").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // no single-partition window: every physical partition holds rows
+    val parts = Scale.globalRowNumber(df, Seq("k"), partitions = 8)
+      .select("row_idx").rdd.getNumPartitions
+    assert(parts == 8)
+    graft.operators.Caches.release()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // the metastore is per-JVM but warehouse files persist: clear both
     Seq("bkt_a", "bkt_b").foreach { t =>
