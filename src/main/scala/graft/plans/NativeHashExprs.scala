@@ -259,6 +259,7 @@ object NativeHash {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaccardPruneRule)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[NativeHash.SimHash64].getName, "graft_simhash64"),

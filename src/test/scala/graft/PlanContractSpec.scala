@@ -47,6 +47,13 @@ class PlanContractSpec extends SparkSpec {
     assert(executed(df).toString.contains("BroadcastHashJoin"))
   }
 
+  test("q_window_topn auto-rewrites to the bounded graft_topk aggregate") {
+    val df = AnalyticsQueries.qWindowTopn(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_topk"), s"TopKRewriteRule did not fire:\n$opt")
+    assert(!opt.contains("row_number"), "window formulation survived the rewrite")
+  }
+
   test("ann lsh: bucket join is an equi hash join, not a nested loop") {
     val df = graft.queries.LlmQueries.qAnnLsh(spark, sfDir)
     df.collect()
