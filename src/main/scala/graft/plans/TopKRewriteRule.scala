@@ -39,15 +39,25 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transformUp {
+    // top-down so the Project(Filter(Window)) case wins over the bare
+    // Filter(Window) case when both could match the same Filter
+    else plan.transformDown {
+      // with a Project on top we know which columns survive — the topk
+      // payload struct then carries ONLY those through the shuffle
+      case p @ Project(_, f @ Filter(cond,
+          w @ Window(Seq(Alias(WindowExpression(_: RowNumber, spec), _)), partSpec, orderSpec, child, _)))
+          if spec.partitionSpec == partSpec && spec.orderSpec == orderSpec =>
+        rewrite(f, w, cond, partSpec, orderSpec, child, needed = Some(p.references))
+          .map(r => p.copy(child = r)).getOrElse(p)
       case f @ Filter(cond,
           w @ Window(Seq(Alias(WindowExpression(_: RowNumber, spec), _)), partSpec, orderSpec, child, _))
           if spec.partitionSpec == partSpec && spec.orderSpec == orderSpec =>
-        rewrite(f, w, cond, partSpec, orderSpec, child).getOrElse(f)
+        rewrite(f, w, cond, partSpec, orderSpec, child, needed = None).getOrElse(f)
     }
 
   private def rewrite(f: Filter, w: Window, cond: Expression, partSpec: Seq[Expression],
-                      orderSpec: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
+                      orderSpec: Seq[SortOrder], child: LogicalPlan,
+                      needed: Option[AttributeSet]): Option[LogicalPlan] = {
     val rnAttr = w.windowOutputSet.head
     val partAttrs = partSpec.collect { case a: AttributeReference => a }
     if (partAttrs.size != partSpec.size) return None
@@ -63,7 +73,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     }
     k match {
       case Some(kv) if kv >= 1 && kv <= maxK =>
-        val payloadAttrs = child.output.filterNot(a => partAttrs.exists(_.exprId == a.exprId))
+        val keep: Attribute => Boolean = needed match {
+          case Some(refs) =>
+            val req = refs ++ AttributeSet(residual.flatMap(_.references))
+            a => req.contains(a)
+          case None => _ => true
+        }
+        val nonPart = child.output.filterNot(a => partAttrs.exists(_.exprId == a.exprId))
+        val payloadAttrs = nonPart.filter(keep) match {
+          case Seq()  => nonPart.take(1) // group must stay non-empty per kept row
+          case pruned => pruned
+        }
         if (payloadAttrs.isEmpty) return None
         val payload = CreateNamedStruct(
           payloadAttrs.flatMap(a => Seq(Literal(a.name), a)))
@@ -80,9 +100,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
           generatorOutput = Seq(posAttr, elemAttr), agg)
 
         val fieldIdx = payloadAttrs.map(_.exprId).zipWithIndex.toMap
-        val restored: Seq[NamedExpression] = child.output.map { a =>
-          partAttrs.find(_.exprId == a.exprId).getOrElse(
-            Alias(GetStructField(elemAttr, fieldIdx(a.exprId), Some(a.name)), a.name)(exprId = a.exprId))
+        val restored: Seq[NamedExpression] = child.output.collect {
+          case a if partAttrs.exists(_.exprId == a.exprId) => a
+          case a if fieldIdx.contains(a.exprId) =>
+            Alias(GetStructField(elemAttr, fieldIdx(a.exprId), Some(a.name)), a.name)(exprId = a.exprId)
         }
         val rnRestored = Alias(Add(posAttr, Literal(1)), rnAttr.name)(exprId = rnAttr.exprId)
         val project = Project(restored :+ rnRestored, gen)
