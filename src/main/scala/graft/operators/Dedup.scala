@@ -116,8 +116,9 @@ object Dedup {
     val repPairs = candidates
       .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
-      // |A∪B| = |A|+|B|−|A∩B| — avoids materializing the union array
-      .withColumn("__i", size(array_intersect(col("words_a"), col("words_b"))))
+      // |A∪B| = |A|+|B|−|A∩B| — no union array; intersection size via the
+      // native merge scan (words_* are sorted+distinct by canonicalization)
+      .withColumn("__i", NativeHash.sortedIntersectSize(col("words_a"), col("words_b")))
       .withColumn("jaccard",
         col("__i").cast("double") /
           (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))

@@ -208,6 +208,44 @@ object NativeHash {
     override def prettyName: String = "graft_cosine"
   }
 
+  /** Intersection SIZE of two SORTED, duplicate-free string arrays in one
+    * merge scan over the raw UTF8String elements — no hash set, no output
+    * array, no String conversion. Replaces `size(array_intersect(a, b))`
+    * in the jaccard-verify hot path, where it runs once per candidate pair
+    * (millions of times on dense corpora). Caller contract: both arrays
+    * ascending by Spark's binary string order (sort_array) and distinct —
+    * exactly what Dedup's canonicalization produces.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(StringType, _) => true
+        case _                        => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_sorted_isect requires two array<string> arguments")
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var n = 0
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      n
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_sorted_isect"
+  }
+
   /** Per-document top-n-gram frequency ratio in one pass — the shuffle-free
     * form of the Gopher repetition gate. The explode+groupBy formulation
     * shuffles every n-gram twice; this computes `(max count / total, total)`
@@ -250,6 +288,8 @@ object NativeHash {
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   def topNgramRatio(c: Column, n: Int): Column = call_function("graft_top_ngram_ratio", c, lit(n))
+
+  def sortedIntersectSize(a: Column, b: Column): Column = call_function("graft_sorted_isect", a, b)
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -285,6 +325,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[NativeHash.CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => NativeHash.CosineSim(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_isect"),
+      new ExpressionInfo(classOf[NativeHash.SortedIntersectSize].getName, "graft_sorted_isect"),
+      (args: Seq[Expression]) => NativeHash.SortedIntersectSize(args(0), args(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

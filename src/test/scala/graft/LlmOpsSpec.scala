@@ -92,6 +92,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
 
+  test("native sorted-intersect size equals size(array_intersect) on canonical word sets") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .select(sort_array(TF.wordSet(col("text"))).as("w"))
+    val pairs = docs.as("a").crossJoin(docs.as("b")).limit(2000)
+    val both = pairs.select(
+      graft.plans.NativeHash.sortedIntersectSize(col("a.w"), col("b.w")).as("native"),
+      size(array_intersect(col("a.w"), col("b.w"))).as("decl")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1), s"${r.getInt(0)} != ${r.getInt(1)}"))
+  }
+
   test("embedding near-dup: brute force finds planted pair; LSH at 0 planes equals brute force") {
     val mk = (base: Seq[Float]) => base.toArray
     val vecs = Seq(
