@@ -56,6 +56,27 @@ object Multimodal {
     }
   }
 
+  /** Resize images to fit a bounding box, batched per partition like
+    * [[extractFeatures]] (decoder init amortized across the partition).
+    * Aspect ratio preserved; records already inside the box pass through
+    * untouched. The pixel work is the stub boundary; the metadata math,
+    * batching and schema are the real contract.
+    */
+  def resizeToFit(ds: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
+    ds.mapPartitions { records =>
+      // real impl: init codec ONCE here
+      records.map { r =>
+        if (r.width <= maxW && r.height <= maxH) r
+        else {
+          val scale = math.min(maxW.toDouble / r.width, maxH.toDouble / r.height)
+          val (w, h) = (math.max(1, (r.width * scale).toInt), math.max(1, (r.height * scale).toInt))
+          r.copy(width = w, height = h, bytes = stubResize(r.bytes, w, h))
+        }
+      }
+    }
+  }
+
   /** Sample k pseudo-frames per video at even offsets. Real impl swaps
     * stubFrame for a codec seek+decode; the explode shape (1 record → k
     * frames) and downstream schema are the real contract.
@@ -105,6 +126,16 @@ object Multimodal {
       s ^= s << 13; s ^= s >>> 7; s ^= s << 17
       (s % 1000L) / 1000.0f
     }
+  }
+
+  /** STUB — pixel resize. Real impl decodes, scales, re-encodes; the fake
+    * keeps a deterministic function of (bytes, target dims).
+    */
+  private[multimodal] def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.min(bytes.length, math.max(16, (w * h) % 64))
+    val out = java.util.Arrays.copyOf(bytes, n)
+    if (out.length > 1) { out(0) = (w % 251).toByte; out(1) = (h % 251).toByte }
+    out
   }
 
   /** STUB — frame decode at offset. */

@@ -34,4 +34,14 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 4)
     assert(frames.map(_.offset_ms).toSeq == Seq(0L, 2500L, 5000L, 7500L))
   }
+
+  test("resize fits the bounding box, preserves aspect, passes small images through") {
+    val ds = Seq(
+      MediaRecord(1L, "image", "big.bin", Array.tabulate(64)(_.toByte), 1920, 1080, 0L),
+      MediaRecord(2L, "image", "small.bin", Array[Byte](9, 9), 100, 50, 0L)
+    ).toDS()
+    val out = Multimodal.resizeToFit(ds, 640, 640).collect().sortBy(_.media_id)
+    assert(out(0).width == 640 && out(0).height == 360) // 16:9 preserved
+    assert(out(1).width == 100 && out(1).height == 50 && out(1).bytes.toSeq == Seq(9, 9))
+  }
 }

@@ -52,6 +52,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: gap splits sessions, watermark closes them") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "user", "value")
+
+    val sessions = graft.streaming.StreamPipeline.sessionize(
+      events, "ts", "user", gapMs = 30 * 60 * 1000L, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user A: two events 10 min apart (one session), then 2h silence,
+      // then another event (second session)
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "A", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "A", 2.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 02:10:00"), "A", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out the open session
+      in.addData((Timestamp.valueOf("2024-01-01 09:00:00"), "B", 0.5))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 23:00:00"), "B", 0.5))
+      q.processAllAvailable()
+
+      val out = spark.table("sess_out").orderBy("key", "startMs").collect()
+      val a = out.filter(_.getString(0) == "A")
+      assert(a.length == 2, s"expected 2 closed sessions for A, got ${out.mkString(";")}")
+      assert(a(0).getAs[Long]("nEvents") == 2 && a(0).getAs[Double]("totalValue") == 3.0)
+      assert(a(1).getAs[Long]("nEvents") == 1 && a(1).getAs[Double]("totalValue") == 5.0)
+    } finally q.stop()
+  }
+
   test("watermarked windowed agg over an event stream") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
