@@ -4,11 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Google Sheets / Drive-folder source model (reference type_id 1 and 3,
-  * /root/reference/src/Service/InputHandler/GoogleSheetsInputHandler.php,
-  * GoogleDriveFolderHandler.php). The Google API itself is out of scope
-  * (zero egress); what the API *returns* is public knowledge — a
-  * `spreadsheets.values.get` response:
+/** Google Sheets source model (reference type_id 1,
+  * /root/reference/src/Service/InputHandler/GoogleSheetsInputHandler.php;
+  * the Drive FOLDER type 3 lives in [[DriveFolderSource]]). The Google API
+  * itself is out of scope (zero egress); what the API *returns* is public
+  * knowledge — a `spreadsheets.values.get` response:
   *
   *   {"range":"Sheet1!A1:Z100","majorDimension":"ROWS","values":[[...],...]}
   *

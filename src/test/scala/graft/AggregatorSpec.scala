@@ -13,6 +13,7 @@ class AggregatorSpec extends SparkSpec {
     def read(spark: SparkSession, typeId: Int, source: String, range: Option[String]): DataFrame =
       typeId match {
         case 1     => SheetsSource.toTable(spark, s"$dir/$source", range)
+        case 3     => graft.sources.DriveFolderSource.read(spark, s"$dir/$source", range)
         case 2 | 7 => CsvSource.read(spark, s"$dir/$source")
         case 4 | 6 => ExcelSource.toTable(ExcelSource.readXlsxGrid(spark, s"$dir/$source"), range)
         case t     => throw new IllegalArgumentException(s"unresolved type $t")

@@ -44,6 +44,26 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("u1", 11.0, "A"), Row("u2", 20.0, null)))
   }
 
+  test("drive folder: first file (lexicographic) wins, extension dispatches parser") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("drv").toString
+    Files.writeString(Paths.get(dir, "b_feed.csv"), "sku,qty\nB-1,9\n")
+    Files.write(Paths.get(dir, "a_feed.xlsx"), XlsxTestWriter.build(Seq(
+      "S" -> Seq(Seq("sku", "qty"), Seq("A-1", 4)))))
+    // a_feed.xlsx sorts first -> excel path
+    val out = graft.sources.DriveFolderSource.read(spark, dir, None).collect()
+    assert(out.length == 1 && out.head.getAs[String]("sku") == "A-1")
+
+    val csvOnly = Files.createTempDirectory("drv2").toString
+    Files.writeString(Paths.get(csvOnly, "feed.csv"), "sku,qty\nC-1,2\nC-2,3\n")
+    assert(graft.sources.DriveFolderSource.read(spark, csvOnly, None).count() == 2)
+
+    val bad = Files.createTempDirectory("drv3").toString
+    Files.writeString(Paths.get(bad, "feed.pdf"), "nope")
+    val e = intercept[IllegalArgumentException](graft.sources.DriveFolderSource.read(spark, bad, None))
+    assert(e.getMessage.contains("Unsupported file type"))
+  }
+
   test("input config parses single and multi-source messages") {
     val single = InputConfig.fromJson(
       """{"supplier_id":123,"name":"S","type_id":2,"source":"https://x/feed.csv",
