@@ -19,17 +19,30 @@ object Cleaners {
   def cleanString(c: Column): Column =
     regexp_replace(c.cast("string"), KeepPattern, "")
 
-  /** Cleaned string truncated to 13 chars (UPC/EAN-13 width). */
-  def cleanUpc(c: Column): Column = substring(cleanString(c), 1, 13)
+  /** Cleaned string truncated to 13 chars (UPC/EAN-13 width). Native
+    * single-pass expression; null in → null out, like the regex twin.
+    */
+  def cleanUpc(c: Column): Column = call_function("graft_clean_upc", c.cast("string"))
 
-  /** Digits only → long; empty/overflow → 0 (PHP intval semantics). */
+  /** Digits only → long; null/empty/overflow → 0 (PHP intval semantics). */
   def cleanInteger(c: Column): Column =
-    coalesce(regexp_replace(c.cast("string"), "[^0-9]", "").cast("long"), lit(0L))
+    coalesce(call_function("graft_clean_int", c.cast("string")), lit(0L))
 
   /** Comma→dot, strip junk, take the leading numeric prefix → double;
-    * no parseable prefix → 0.0 (PHP floatval semantics: "1.2.3" → 1.2).
+    * null / no parseable prefix → 0.0 (PHP floatval: "1.2.3" → 1.2).
     */
-  def cleanFloat(c: Column): Column = {
+  def cleanFloat(c: Column): Column =
+    coalesce(call_function("graft_clean_float", c.cast("string")), lit(0.0))
+
+  // -- declarative regex twins (the original formulations): kept for
+  //    cross-validation specs and for sessions without graft extensions --
+
+  def declarativeCleanUpc(c: Column): Column = substring(cleanString(c), 1, 13)
+
+  def declarativeCleanInteger(c: Column): Column =
+    coalesce(regexp_replace(c.cast("string"), "[^0-9]", "").cast("long"), lit(0L))
+
+  def declarativeCleanFloat(c: Column): Column = {
     val s = regexp_replace(cleanString(regexp_replace(c.cast("string"), ",", ".")), "[^0-9.]", "")
     coalesce(regexp_extract(s, "^([0-9]*\\.?[0-9]*)", 1).cast("double"), lit(0.0))
   }

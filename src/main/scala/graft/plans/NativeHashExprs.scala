@@ -327,6 +327,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => NativeHash.CosineSim(args(0), args(1))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_clean_upc"),
+      new ExpressionInfo(classOf[CleanUpcExpr].getName, "graft_clean_upc"),
+      (args: Seq[Expression]) => CleanUpcExpr(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_clean_int"),
+      new ExpressionInfo(classOf[CleanIntegerExpr].getName, "graft_clean_int"),
+      (args: Seq[Expression]) => CleanIntegerExpr(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_clean_float"),
+      new ExpressionInfo(classOf[CleanFloatExpr].getName, "graft_clean_float"),
+      (args: Seq[Expression]) => CleanFloatExpr(args.head)
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_sorted_isect"),
       new ExpressionInfo(classOf[NativeHash.SortedIntersectSize].getName, "graft_sorted_isect"),
       (args: Seq[Expression]) => NativeHash.SortedIntersectSize(args(0), args(1))

@@ -34,6 +34,24 @@ class PropertySpec extends SparkSpec {
   private def messy(r: Random): String =
     Seq.fill(r.nextInt(40))(alphabet(r.nextInt(alphabet.length))).mkString
 
+  test("native cleaners are bit-identical to the declarative regex twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val alphabet = "0123456789abcXYZ.,-– кйч$%  \t"
+    val strs = Seq.fill(500)((0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) :+
+      "9223372036854775808" :+ "1.2.3" :+ "," :+ "." :+ ""
+    val rows = strs.toDF("v").select(
+      Cleaners.cleanUpc(col("v")).as("nu"), Cleaners.declarativeCleanUpc(col("v")).as("du"),
+      Cleaners.cleanInteger(col("v")).as("ni"), Cleaners.declarativeCleanInteger(col("v")).as("di"),
+      Cleaners.cleanFloat(col("v")).as("nf"), Cleaners.declarativeCleanFloat(col("v")).as("df")
+    ).collect()
+    rows.zip(strs).foreach { case (r, s) =>
+      assert(r.getString(0) == r.getString(1), s"upc '$s'")
+      assert(r.getLong(2) == r.getLong(3), s"int '$s'")
+      assert(r.getDouble(4) == r.getDouble(5), s"float '$s'")
+    }
+  }
+
   test("cleaners match the PHP model on 500 random messy strings") {
     val r = new Random(42)
     val strs = Seq.fill(500)(messy(r))
