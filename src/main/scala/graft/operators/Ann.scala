@@ -27,39 +27,59 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Max vectors collected for coarse-quantizer training — bounds driver
+    * memory; IVF quantizers train on a sample by design (the cells only
+    * need to partition space reasonably, assignment stays exact).
+    */
+  val MaxTrainSample = 65536
+
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` Voronoi
     * cells around trained centroids; a query scans only its `nprobe`
     * nearest cells. The standard coarse-quantizer scale path: per-query
     * work drops from |corpus| to ~nprobe/nlist of it, and the cell
     * assignment is a plain equi-join key — shuffle-friendly at 100 TB.
     *
-    * Training here is deterministic k-means: seeds = the `nlist` vectors
-    * with the lowest ids, `iters` Lloyd rounds run as DataFrame ops
-    * (assign = broadcast-centroids argmin; update = posexplode + per-
-    * dimension avg). With `nprobe == nlist` results equal brute force
-    * exactly (the spec asserts this).
+    * Training is deterministic k-means on a driver-side sample (seeds =
+    * the `nlist` lowest-id vectors, sample = the [[MaxTrainSample]]
+    * lowest-id vectors, `iters` Lloyd rounds) — quantizer training is
+    * sample-based in every production IVF build; running Lloyd as
+    * distributed jobs over a handful of centroids only buys scheduler
+    * overhead. Cell ASSIGNMENT of the full corpus stays distributed.
+    * With `nprobe == nlist` results equal brute force exactly (the spec
+    * asserts this, for any centroids).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
 
-    // seed ids assigned on the driver: nlist rows by construction, and a
-    // window with no partition spec would log a misleading scale warning
     val spark = corpus.sparkSession
     import spark.implicits._
-    var centroids = spark.createDataset(
-        c.orderBy("vid").limit(nlist).select("v").as[Array[Float]].collect()
-          .zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
-      .toDF("cid", "centroid")
+    val sample: Array[Array[Float]] =
+      c.orderBy("vid").limit(MaxTrainSample).select("v").as[Array[Float]].collect()
+    require(sample.nonEmpty, "IVF training: empty corpus")
+    var cents: Array[Array[Double]] = sample.take(nlist).map(_.map(_.toDouble))
     for (_ <- 0 until iters) {
-      val assigned = assignToNearest(c, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
+      val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val cnts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue
+        var ci = 0
+        while (ci < cents.length) {
+          val sim = cosineDD(v, cents(ci))
+          if (sim > bestSim) { bestSim = sim; best = ci }
+          ci += 1
+        }
+        cnts(best) += 1
+        var d = 0
+        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+      }
+      cents = cents.indices.map { ci =>
+        if (cnts(ci) == 0) cents(ci) else sums(ci).map(_ / cnts(ci))
+      }.toArray
     }
+    val centroids = spark.createDataset(
+        cents.zipWithIndex.map { case (v, i) => (i, v.map(_.toFloat)) }.toSeq)
+      .toDF("cid", "centroid")
 
     val cells = assignToNearest(c, centroids)                       // corpus → cell
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -76,6 +96,17 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Driver-side cosine for quantizer training (float vec × double centroid). */
+  private def cosineDD(a: Array[Float], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0; while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+    i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Nearest-centroid assignment: broadcast the (small) centroid table,
