@@ -28,6 +28,28 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("123", 5L, 9.99), Row("456", 2L, 1.5), Row("789", 1L, 0.0)))
   }
 
+  test("morris xml scanner: entities, attributes, comments, self-closing, CDATA fallback") {
+    // entities + attributes + comments + PI + whitespace — fast-scan path
+    val fancy =
+      """<?xml version="1.0"?><root>
+        |<!-- comment with <brackets> -->
+        |<available kind="a&gt;b"><gtin> A&amp;B&#65; </gtin><qty>7.9</qty>
+        |  <detail note='x>y'><price> 3.5 </price></detail></available>
+        |<available><gtin/><qty/><detail/></available>
+        |</root>""".stripMargin
+    val out = MorrisXmlSource.parse(Seq(fancy).toDF("xml"), "xml").orderBy("gtin").collect()
+    // gtin keeps raw text (trim happens in numeric casts only); qty "7.9" → PHP intval via float → 7
+    assert(out.toSeq == Seq(Row("", 0L, 0.0), Row(" A&BA ", 7L, 3.5)))
+
+    // CDATA → StAX fallback path. The StAX reader reports CDATA as its own
+    // event type, which the parser has always ignored — the scanner's
+    // fallback preserves that exact (pre-existing) behavior.
+    val cdata = "<root><available><gtin><![CDATA[X<Y]]></gtin><qty>1</qty>" +
+      "<detail><price>2</price></detail></available></root>"
+    val cd = MorrisXmlSource.parse(Seq(cdata).toDF("xml"), "xml").collect()
+    assert(cd.toSeq == Seq(Row("", 1L, 2.0)))
+  }
+
   test("rest json pages explode data rows") {
     val page = """{"data":[{"id":1,"name":"x"},{"id":2,"name":"y"}],"meta":{"last_page":1}}"""
     val schema = new StructType().add("id", LongType).add("name", StringType)
