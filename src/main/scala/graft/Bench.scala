@@ -11,16 +11,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
-    // steady-state timing: each query runs twice at the target SF, min
-    // reported — the first execution of eval-heavy operators pays a
-    // measured ~3.5× JIT penalty that says nothing about throughput
+    // steady-state timing: each query runs three times at the target SF,
+    // min reported — the first executions of eval-heavy operators pay a
+    // measured 3-5× JIT/codegen/broadcast-build penalty that says nothing
+    // about sustained throughput (C2 can still be compiling during run 2)
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = Seq(time(fn), time(fn)).filter(_ >= 0)
+      val runs = Seq(time(fn), time(fn), time(fn)).filter(_ >= 0)
       // release operator-internal caches AFTER both timed runs, so run 2
       // measures steady state but caches never accumulate across queries
       graft.operators.Caches.release()

@@ -85,35 +85,41 @@ object Dedup {
     Caches.register(groups)
 
     // Candidate strategy on the distinct sets, chosen like a planner would:
-    // few reps → all-pairs broadcast join with an arrays_overlap(signature)
-    // probe (no explode, no pair-dedup shuffle); many reps → banded LSH
-    // bucket join. Both produce the identical candidate set ("shares ≥1 of
-    // k minhashes"), so results don't depend on the strategy.
+    // few reps → all-pairs broadcast join probing (size-ratio, signature
+    // overlap) INSIDE the join condition — the candidate stream stays slim
+    // (two keys), no word arrays ride the O(n²) scan; many reps → banded
+    // LSH bucket join. Both produce the identical candidate set ("shares
+    // ≥1 of k minhashes" ∩ size-compatible), so results don't depend on
+    // the strategy. Word arrays join back only for the verify step.
     val nReps = groups.count() // also materializes the persisted frame
-    val sets = groups.select(col("set_key"), col("words"), col("ids"),
-      NativeHash.minhashSignature(array_join(col("words"), " "), k).as("sig"))
-    val candidates =
-      if (nReps <= 8192) {
+    val broadcastable = nReps <= 8192
+    val candidates: DataFrame =
+      if (broadcastable) {
+        val sets = groups.select(col("set_key"), size(col("words")).as("sz"),
+          NativeHash.minhashSignature(array_join(col("words"), " "), k).as("sig"))
         // probe side repartitioned so the O(nReps²) pair scan parallelizes
         // across all cores (the persisted groups frame is few-partition)
-        val a = sets.select(col("set_key").as("id_a"), col("words").as("words_a"),
-          col("ids").as("ids_a"), col("sig").as("sig_a"))
+        val a = sets.select(col("set_key").as("id_a"), col("sz").as("sz_a"), col("sig").as("sig_a"))
           .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        val b = sets.select(col("set_key").as("id_b"), col("words").as("words_b"),
-          col("ids").as("ids_b"), col("sig").as("sig_b"))
-        a.join(broadcast(b), col("id_a") < col("id_b"))
-          // size-ratio prune first (j ≥ t ⇒ min|set| ≥ t·max|set|): cheap
-          // int compare eliminates pairs before any array work
-          .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
-            lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
-          .filter(arrays_overlap(col("sig_a"), col("sig_b")))
+        val b = sets.select(col("set_key").as("id_b"), col("sz").as("sz_b"), col("sig").as("sig_b"))
+        a.join(broadcast(b),
+            col("id_a") < col("id_b") &&
+            // size-ratio prune (j ≥ t ⇒ min|set| ≥ t·max|set|): cheap int
+            // compare eliminates pairs before the signature probe
+            least(col("sz_a"), col("sz_b")).cast("double") >=
+              lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double") &&
+            arrays_overlap(col("sig_a"), col("sig_b")))
+          .select("id_a", "id_b")
       } else {
         val reps = groups.select(col("set_key").as("id"), array_join(col("words"), " ").as("text"))
         minhashCandidates(reps, "id", "text", k)
-          .join(groups.select(col("set_key").as("id_a"), col("words").as("words_a"), col("ids").as("ids_a")), "id_a")
-          .join(groups.select(col("set_key").as("id_b"), col("words").as("words_b"), col("ids").as("ids_b")), "id_b")
       }
+    val maybeBroadcast: DataFrame => DataFrame = if (broadcastable) broadcast else identity
     val repPairs = candidates
+      .join(maybeBroadcast(groups.select(col("set_key").as("id_a"),
+        col("words").as("words_a"), col("ids").as("ids_a"))), "id_a")
+      .join(maybeBroadcast(groups.select(col("set_key").as("id_b"),
+        col("words").as("words_b"), col("ids").as("ids_b"))), "id_b")
       .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
       // |A∪B| = |A|+|B|−|A∩B| — no union array; intersection size via the
