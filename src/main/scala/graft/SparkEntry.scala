@@ -41,6 +41,8 @@ object SparkEntry {
     "q_dedup_keep"         -> (LlmQueries.qDedupKeep _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_dedup_embed"        -> (LlmQueries.qDedupEmbed _),
+    "q_stratified_sample"  -> (LlmQueries.qStratifiedSample _),
+    "q_seq_pack"           -> (LlmQueries.qSeqPack _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
     "q_token_count"        -> (LlmQueries.qTokenCount _),
@@ -86,6 +88,8 @@ object SparkEntry {
     "q_dedup_keep"         -> LlmQueries.qDedupKeepSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
+    "q_stratified_sample"  -> LlmQueries.qStratifiedSampleSql,
+    "q_seq_pack"           -> LlmQueries.qSeqPackSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
     "q_token_count"        -> LlmQueries.qTokenCountSql,

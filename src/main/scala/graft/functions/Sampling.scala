@@ -33,4 +33,19 @@ object Sampling {
 
   /** Deterministic pct% sample predicate. */
   def sampled(key: Column, pct: Int): Column = md5Bucket(key, 100) < pct
+
+  /** Stratified deterministic sample predicate: per-stratum keep
+    * percentages (rebalancing a skewed corpus — keep 10% of the dominant
+    * language, 100% of the rare ones). Same hash-bucket mechanics as
+    * [[sampled]], so the sample is reproducible across engines and stable
+    * under repartitioning; default applies to strata not listed.
+    */
+  def stratifiedSampled(key: Column, stratum: Column, pcts: Map[String, Int],
+                        defaultPct: Int): Column = {
+    val b = md5Bucket(key, 100)
+    val pctCol = pcts.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, p).otherwise(acc)
+    }
+    b < pctCol
+  }
 }

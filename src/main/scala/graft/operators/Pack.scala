@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.{Sampling, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: concatenate a deterministic
+  * per-stratum document stream and cut it into fixed-size token windows
+  * (the GPT-style "pack then chunk" shape). Each document reports the
+  * sequence it starts in and its offset there; documents may straddle a
+  * boundary — the trainer's chunker splits them, exactly like a packed
+  * tokenized corpus on disk.
+  *
+  * Scale: packing is inherently sequential IN THE ORDER THAT DEFINES THE
+  * STREAM, so the stream is sharded first — `shards` hash-shards per
+  * stratum, each packed independently by a window over (stratum, shard).
+  * Parallelism = |strata| × shards regardless of corpus size; shard
+  * assignment is the deterministic md5 bucket, so re-runs give identical
+  * sequences on any cluster.
+  */
+object Pack {
+
+  /** @param maxTokens window length in tokens
+    * @param shards    independent packing streams per stratum
+    * @return input columns + n_tokens, shard, seq_id (global within
+    *         (stratum, shard)), seq_offset (token offset within seq_id)
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+                    maxTokens: Int, shards: Int = 64): DataFrame = {
+    require(maxTokens > 0 && shards > 0)
+    val shard = Sampling.md5Bucket(col(idCol), shards)
+    val toks: Column = TextFunctions.tokenCountWs(col(textCol)).cast("long")
+    val w = Window.partitionBy(col(stratumCol), col("shard"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", shard)
+      .withColumn("n_tokens", toks)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", ((col("__cum") - col("n_tokens")) / maxTokens).cast("long"))
+      .withColumn("seq_offset", (col("__cum") - col("n_tokens")) % maxTokens)
+      .drop("__cum")
+  }
+}

@@ -253,6 +253,50 @@ object LlmQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- stratified deterministic sampling ---------------------------------
+  /** Corpus rebalancing: keep 25% of English, 70% of German, 50% of
+    * everything else — hash-deterministic, so the sample is identical on
+    * any engine and stable under repartitioning.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .filter(graft.functions.Sampling.stratifiedSampled(
+        col("doc_id"), col("lang"), Map("en" -> 25, "de" -> 70), defaultPct = 50))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val qStratifiedSampleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
+      |  CASE WHEN lang = 'en' THEN 25 WHEN lang = 'de' THEN 70 ELSE 50 END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- sequence packing (GPT-style pack-then-chunk) ----------------------
+  /** Pack each (lang, shard) document stream into 2048-token windows;
+    * every doc reports its sequence id and token offset. Sharding keeps
+    * packing parallel (|strata|×shards streams) and deterministic.
+    */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pack.packSequences(table(s, dir, "documents"),
+        "doc_id", "text", "lang", maxTokens = 2048, shards = 8)
+      .select("doc_id", "lang", "shard", "n_tokens", "seq_id", "seq_offset")
+      .orderBy("doc_id")
+
+  val qSeqPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS INT) AS shard,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |                                ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, lang, shard, n_tokens,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+      |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- rows-only queries (no SQL-expressible oracle) ---------------------
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 10)

@@ -92,6 +92,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
 
+  test("sequence packing: offsets chain through each shard stream, stable under repartition") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val packed = graft.operators.Pack.packSequences(docs, "doc_id", "text", "lang",
+      maxTokens = 512, shards = 4)
+      .select("doc_id", "lang", "shard", "n_tokens", "seq_id", "seq_offset")
+    val rows = packed.collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      val stream = g.sortBy(_._3)
+      // first doc of every stream opens sequence 0 at offset 0
+      assert(stream.head._5 == 0L && stream.head._6 == 0L)
+      // each doc starts exactly where the previous one ended (mod window)
+      stream.sliding(2).foreach {
+        case Array((_, _, _, n1, s1, o1), (_, _, _, _, s2, o2)) =>
+          val cum1 = s1 * 512 + o1 + n1
+          assert(s2 * 512 + o2 == cum1, "stream must be gapless")
+        case _ =>
+      }
+    }
+    // repartition-stable
+    val again = graft.operators.Pack.packSequences(docs.repartition(13), "doc_id", "text", "lang",
+      maxTokens = 512, shards = 4)
+      .select("doc_id", "seq_id", "seq_offset").collect().map(_.toSeq).sortBy(_.toString)
+    assert(again.toSeq == packed.select("doc_id", "seq_id", "seq_offset")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("native sorted-intersect size equals size(array_intersect) on canonical word sets") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
       .select(sort_array(TF.wordSet(col("text"))).as("w"))
