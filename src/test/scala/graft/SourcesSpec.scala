@@ -86,6 +86,25 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("Unsupported file type"))
   }
 
+  test("rest api config: per-supplier lookup, defaults, reference error modes") {
+    val json =
+      """{"42": {"base_uri": "https://api.example.com/", "auth": {"kind": "jwt"},
+        |        "items": {"uri": "/items", "page_size": "250"}, "verify_ssl": false},
+        | "7":  {"base_uri": "http://x"}}""".stripMargin
+    val cfg = graft.config.RestApiConfigProvider.fromJson(json, "42")
+    assert(cfg.baseUri == "https://api.example.com") // trailing slash trimmed
+    assert(cfg.pageSize == 250 && cfg.pageParam == "page" && cfg.sizeParam == "per_page")
+    assert(!cfg.verifySsl && cfg.auth == Map("kind" -> "jwt"))
+    assert(graft.config.RestApiConfigProvider.fromJson(json, "7").verifySsl)
+
+    val miss = intercept[RuntimeException](graft.config.RestApiConfigProvider.fromJson(json, "99"))
+    assert(miss.getMessage == "REST config not found for supplier: 99")
+    val badFile = intercept[RuntimeException](graft.config.RestApiConfigProvider.fromFile("/nope.json", "1"))
+    assert(badFile.getMessage.startsWith("REST config file not found"))
+    val badJson = intercept[RuntimeException](graft.config.RestApiConfigProvider.fromJson("not json", "1"))
+    assert(badJson.getMessage.startsWith("Invalid REST config JSON"))
+  }
+
   test("input config parses single and multi-source messages") {
     val single = InputConfig.fromJson(
       """{"supplier_id":123,"name":"S","type_id":2,"source":"https://x/feed.csv",
