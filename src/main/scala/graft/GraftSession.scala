@@ -23,6 +23,10 @@ object GraftSession {
     // default; read as long nanos — we convert to epoch millis explicitly,
     // which is also the determinism-safe interchange with the oracle.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // CsvSource enforces the reference's skip-ragged-rows semantics through
+    // the corrupt-record column; parser-side pruning would skip the arity
+    // check on pruned reads (EDI feeds are narrow — pruning buys nothing)
+    .config("spark.sql.csv.parser.columnPruning.enabled", "false")
 
   def local(threads: Int = 4): SparkSession = {
     val s = tune(

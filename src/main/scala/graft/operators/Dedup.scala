@@ -16,6 +16,10 @@ object Dedup {
 
   /** Exact duplicate groups by content fingerprint. One groupBy shuffle with
     * map-side combine; at 100 TB the md5 keys shuffle, not the documents.
+    * The id-list payload is per-fingerprint-bounded — this is the audit
+    * view; the dedup MATERIALIZER ([[dropDuplicatesExact]]) aggregates only
+    * min(id) per fingerprint and is safe under pathological duplication
+    * (a boilerplate page with 10⁸ copies costs one min, not a 10⁸ array).
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs

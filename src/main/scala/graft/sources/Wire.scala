@@ -15,13 +15,34 @@ object CsvSource {
 
   /** File-level CSV ingest with the reference handler's semantics
     * (/root/reference/src/Service/InputHandler/CsvInputHandler.php:66-96):
-    * first row is the header, rows with a column-count mismatch are skipped.
+    * first row is the header, rows whose token count differs from the
+    * header's are skipped. DROPMALFORMED alone does NOT enforce arity with
+    * an inferred all-string schema (short rows pad with nulls silently), so
+    * the schema is pinned explicitly and arity violations surface through
+    * the corrupt-record column, which the reader then filters.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // the CSV parser only detects arity violations when it parses the full
+    // row — with parser-side column pruning it silently pads/truncates, so
+    // pruned queries would keep rows the reference skips
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    val header = spark.read.option("header", "true").csv(path).columns
+    val schema = StructType(
+      header.map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("_graft_corrupt", org.apache.spark.sql.types.StringType))
     spark.read
       .option("header", "true")
-      .option("mode", "DROPMALFORMED")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_graft_corrupt")
+      .schema(schema)
       .csv(path)
+      // the second conjunct references a data column without constraining
+      // anything: Spark refuses scans whose only required column is the
+      // corrupt-record column, and the optimizer cannot fold this away
+      .filter(col("_graft_corrupt").isNull &&
+        coalesce(length(col(header.head)) >= -1, lit(true)))
+      .drop("_graft_corrupt")
+  }
 
   /** Line-level parse for already-loaded content (streaming bodies, tests). */
   def parseLines(df: DataFrame, lineCol: Column, schema: StructType): DataFrame =

@@ -60,4 +60,35 @@ class PlanContractSpec extends SparkSpec {
     val s = executed(df).toString
     assert(s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("minhash near-dup: candidate scan carries no word arrays; verify joins are hash joins") {
+    val df = graft.queries.LlmQueries.qDedupMinhash(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString
+    // the O(n²) pair scan probes (size, sig) only — words join back later
+    val bnlj = s.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).mkString
+    assert(!bnlj.contains("words"), s"word arrays must not ride the pair scan:\n$bnlj")
+    assert(s.contains("BroadcastHashJoin"))
+    graft.operators.Caches.release()
+  }
+
+  test("seq packing: one shuffle (the stratum×shard window), no global window") {
+    val df = graft.queries.LlmQueries.qSeqPack(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString
+    // window partitioned by (lang, shard): never a single-partition window
+    assert(s.contains("Window"))
+    assert(!s.contains("SinglePartition) hashpartitioning") &&
+      !s.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")))
+  }
+
+  test("cleaners map stage runs the native single-pass exprs, no regex chains") {
+    val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("graft_clean_upc") && s.contains("graft_clean_float") &&
+      s.contains("graft_clean_int"), s"native cleaners missing from plan:\n$s")
+    // the regex formulations must be fully displaced from the hot path
+    // (asinValidate's single RLIKE is the one intended regex)
+    assert(!s.contains("regexp_replace"), "regex cleaner chain leaked back into the map stage")
+  }
 }

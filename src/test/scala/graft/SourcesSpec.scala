@@ -17,6 +17,17 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(1L, "a,b", 2.5), Row(2L, "plain", 3.5)))
   }
 
+  test("csv file read skips ragged rows like the reference handler") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("csvragged").toString
+    Files.writeString(Paths.get(dir, "feed.csv"),
+      "sku,cost,stock\nA-1,5,2\nB-2,8\nC-3,1,4,9\nD-4,2,7\n")
+    val out = graft.sources.CsvSource.read(spark, s"$dir/feed.csv")
+    // B-2 (too few) and C-3 (too many) dropped, like count(row) != count(header)
+    assert(out.select("sku").collect().map(_.getString(0)).sorted.toSeq == Seq("A-1", "D-4"))
+    assert(out.count() == 2)
+  }
+
   test("morris xml parses available items, missing fields get PHP-cast defaults") {
     val xml =
       """<root>
