@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dedup_keep"         -> LlmQueries.qDedupKeepSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
+    "q_ann_lsh"            -> LlmQueries.qAnnLshSql,
     "q_stratified_sample"  -> LlmQueries.qStratifiedSampleSql,
     "q_seq_pack"           -> LlmQueries.qSeqPackSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
@@ -99,6 +100,6 @@ object SparkEntry {
     "q_hash_split"         -> LlmQueries.qHashSplitSql,
     "q_text_clean"         -> LlmQueries.qTextCleanSql,
     "q_repetition"         -> LlmQueries.qRepetitionSql
-    // q_dedup_simhash / q_ann_lsh: approximate-by-construction — rows-only check
+    // q_dedup_simhash / q_ann_ivf: native-hash / trained-centroid based — rows-only check
   )
 }

@@ -33,18 +33,32 @@ object VectorFunctions {
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Sign-bit LSH bucket id from `nPlanes` pseudo-random hyperplanes; plane
-    * p's component j is a deterministic hash-derived value in [-0.5, 0.5).
-    * Same-bucket vectors are ANN candidates — the 100 TB path that turns
-    * brute-force O(n·q) into per-bucket re-ranking.
+    * p's component j is the md5-derived value in [-0.5, 0.5) that DuckDB
+    * reproduces bit-exactly (`md5_number_lower(p||':'||j) % 1000 / 1000 -
+    * 0.5` — same machinery as [[Sampling.md5Bucket]]), so LSH bucket ids —
+    * and therefore the whole bucketed-ANN result — sit under the oracle's
+    * exact hash gate. Same-bucket vectors are ANN candidates — the 100 TB
+    * path that turns brute-force O(n·q) into per-bucket re-ranking.
     */
-  def lshBucket(v: Column, nPlanes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          x.cast("double") * (pmod(xxhash64(p, j), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    if (nPlanes <= 0) lit(0L)
+    else graft.plans.NativeHash.lshBucket(v, nPlanes)
+
+  /** Pure-functions formulation of the same buckets, for cross-checking —
+    * the interpreted md5 chain per (plane, dim) is ~15× slower.
+    */
+  def lshBucketDeclarative(v: Column, nPlanes: Int): Column =
+    if (nPlanes <= 0) lit(0L)
+    else {
+      val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+            x.cast("double") *
+              (Sampling.md5Bucket(concat(p.cast("string"), lit(":"), j.cast("string")), 1000)
+                .cast("double") / lit(1000.0) - lit(0.5))),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      })
+      aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+    }
 }

@@ -208,6 +208,74 @@ object NativeHash {
     override def prettyName: String = "graft_cosine"
   }
 
+  /** Sign-bit LSH bucket over an array<float> embedding — the native twin
+    * of VectorFunctions.lshBucketDeclarative, bit-identical by
+    * construction: plane component (p, j) is
+    * `md5_number_lower("p:j") % 1000 / 1000.0 - 0.5` (the cross-engine
+    * md5 formula DuckDB reproduces), the projection folds left-to-right
+    * in double. Plane values are data-independent and cached per thread.
+    */
+  case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lsh_bucket requires array<float>, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = v.numElements()
+      if (nPlanes <= 0) return 0L
+      val planes = LshBucket.planesFor(nPlanes, n)
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val row = planes(p)
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += v.getFloat(j).toDouble * row(j); j += 1 }
+        if (acc > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(newChild: Expression): LshBucket = copy(child = newChild)
+    override def prettyName: String = "graft_lsh_bucket"
+  }
+
+  object LshBucket {
+    // per-thread grow-on-demand plane matrix (plane values are pure
+    // functions of (p, j) — identical across threads, so racing is benign
+    // but ThreadLocal avoids synchronization entirely)
+    private val cache = ThreadLocal.withInitial[java.util.HashMap[Integer, Array[Array[Double]]]](
+      () => new java.util.HashMap[Integer, Array[Array[Double]]]())
+
+    /** md5_number_lower("p:j") % 1000 / 1000.0 - 0.5 — bytes 8..15 of the
+      * digest as a little-endian uint64, unsigned mod (matches
+      * Sampling.md5Bucket / DuckDB bit-exactly).
+      */
+    private def component(p: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 15
+      while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+      java.lang.Long.remainderUnsigned(v, 1000L) / 1000.0 - 0.5
+    }
+
+    private[plans] def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+      val m = cache.get()
+      val cur = m.get(nPlanes)
+      if (cur != null && cur(0).length >= dim) cur
+      else {
+        val fresh = Array.tabulate(nPlanes, math.max(dim, 64))((p, j) => component(p, j))
+        m.put(nPlanes, fresh)
+        fresh
+      }
+    }
+  }
+
   /** Intersection SIZE of two SORTED, duplicate-free string arrays in one
     * merge scan over the raw UTF8String elements — no hash set, no output
     * array, no String conversion. Replaces `size(array_intersect(a, b))`
@@ -290,6 +358,8 @@ object NativeHash {
   def topNgramRatio(c: Column, n: Int): Column = call_function("graft_top_ngram_ratio", c, lit(n))
 
   def sortedIntersectSize(a: Column, b: Column): Column = call_function("graft_sorted_isect", a, b)
+
+  def lshBucket(v: Column, nPlanes: Int): Column = call_function("graft_lsh_bucket", v, lit(nPlanes))
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -325,6 +395,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[NativeHash.CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => NativeHash.CosineSim(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[NativeHash.LshBucket].getName, "graft_lsh_bucket"),
+      (args: Seq[Expression]) => NativeHash.LshBucket(args.head, args(1).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_clean_upc"),

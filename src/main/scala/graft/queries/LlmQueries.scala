@@ -308,6 +308,33 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The hyperplane components are md5-derived with the cross-engine
+    * formula (see VectorFunctions.lshBucket), so even the LSH bucket ids
+    * are oracle-reproducible: the whole bucketed search is value-exact, not
+    * rows-only.
+    */
+  val qAnnLshSql: String = {
+    val planeSql = "((md5_number_lower(CAST(p AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)) % 1000) / 1000.0 - 0.5)"
+    val bucketSql =
+      s"""list_reduce(list_transform(range(0, 4), p ->
+         |  CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))), z ->
+         |         CAST(z[1] AS DOUBLE) * $planeSql), (acc, x) -> acc + x) > 0
+         |       THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
+         |  (acc, b) -> acc | b)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $dotSql / (${normSql("q")} * ${normSql("c")}) AS cosine
+       |  FROM b c JOIN b q ON c.bucket = q.bucket
+       |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM s) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)

@@ -92,6 +92,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
 
+  test("native LSH bucket is bit-identical to the declarative md5-plane twin") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val both = emb.select(
+      VF.lshBucket(col("embedding"), 6).as("native"),
+      VF.lshBucketDeclarative(col("embedding"), 6).as("decl")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"${r.getLong(0)} != ${r.getLong(1)}"))
+  }
+
   test("sequence packing: offsets chain through each shard stream, stable under repartition") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val packed = graft.operators.Pack.packSequences(docs, "doc_id", "text", "lang",
