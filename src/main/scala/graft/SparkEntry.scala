@@ -99,7 +99,9 @@ object SparkEntry {
     "q_fingerprint"        -> LlmQueries.qFingerprintSql,
     "q_hash_split"         -> LlmQueries.qHashSplitSql,
     "q_text_clean"         -> LlmQueries.qTextCleanSql,
-    "q_repetition"         -> LlmQueries.qRepetitionSql
-    // q_dedup_simhash / q_ann_ivf: native-hash / trained-centroid based — rows-only check
+    "q_repetition"         -> LlmQueries.qRepetitionSql,
+    "q_dedup_simhash"      -> LlmQueries.qDedupSimhashSql
+    // q_ann_ivf: trained-centroid based (k-means not SQL-expressible) —
+    // rows-only check; spec proves nprobe=nlist == brute force instead
   )
 }

@@ -110,14 +110,22 @@ object TextFunctions {
   }
 
   /** 64-bit SimHash over tokens: bit b set iff the sum over tokens of
-    * ±1 (sign of bit b of xxhash64(token)) is positive.
+    * ±1 (sign of bit b of `md5_number_lower(token)`) is positive. The md5
+    * family is the cross-engine one (DuckDB-reproducible), so simhash
+    * fingerprints sit under the exact oracle gate; bit b of the LE uint64
+    * lives in digest byte 8 + b/8 = hex chars 17+2k..18+2k of the digest.
     */
   def simhash64(c: Column): Column = {
-    // hash each token ONCE; the 64 per-bit folds then reuse the long
-    val hashes = transform(tokens(c), t => xxhash64(t))
-    val bitSums = transform(sequence(lit(0), lit(63)), b =>
+    // hash each token ONCE (md5 hex); per-bit folds then index into it
+    val hashes = transform(tokens(c), t => md5(t))
+    val bitSums = transform(sequence(lit(0), lit(63)), b => {
+      val bytePos = lit(17) + (b.cast("int") / 8).cast("int") * 2
+      val bitInByte = b.cast("int") % 8
       aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+        acc + when(call_function("shiftright",
+            conv(h.substr(bytePos, lit(2)), 16, 10).cast("int"), bitInByte)
+            .bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    })
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)), (s, b) =>
         when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),

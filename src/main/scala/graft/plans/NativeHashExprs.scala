@@ -28,14 +28,27 @@ object NativeHash {
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 
-  private def hashToken(tok: String, seed: Long): Long = {
-    val u = UTF8String.fromString(tok)
-    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  private val md5s = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** `md5_number_lower(s)` — little-endian uint64 of digest bytes 8..15,
+    * the cross-engine hash family shared with DuckDB and Sampling.md5Bucket.
+    */
+  private[plans] def md5Lower64(s: String): Long = {
+    val md = md5s.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is the majority vote of
     * bit b across token hashes (ties → 0), matching
-    * TextFunctions.simhash64's shape in one pass.
+    * TextFunctions.simhash64's shape in one pass. The token hash is
+    * `md5_number_lower` (not xxhash64) so fingerprints — and therefore the
+    * whole near-dup pair set — are reproducible by the DuckDB oracle.
     */
   case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -44,7 +57,7 @@ object NativeHash {
       val counts = new Array[Int](64)
       var i = 0
       while (i < toks.length) {
-        val h = hashToken(toks(i), 42L)
+        val h = md5Lower64(toks(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -251,18 +264,12 @@ object NativeHash {
     private val cache = ThreadLocal.withInitial[java.util.HashMap[Integer, Array[Array[Double]]]](
       () => new java.util.HashMap[Integer, Array[Array[Double]]]())
 
-    /** md5_number_lower("p:j") % 1000 / 1000.0 - 0.5 — bytes 8..15 of the
-      * digest as a little-endian uint64, unsigned mod (matches
-      * Sampling.md5Bucket / DuckDB bit-exactly).
+    /** md5_number_lower("p:j") % 1000 / 1000.0 - 0.5 — unsigned mod of the
+      * shared cross-engine md5 uint64 (matches Sampling.md5Bucket / DuckDB
+      * bit-exactly).
       */
-    private def component(p: Int, j: Int): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val d = md.digest(s"$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var v = 0L
-      var i = 15
-      while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
-      java.lang.Long.remainderUnsigned(v, 1000L) / 1000.0 - 0.5
-    }
+    private def component(p: Int, j: Int): Double =
+      java.lang.Long.remainderUnsigned(NativeHash.md5Lower64(s"$p:$j"), 1000L) / 1000.0 - 0.5
 
     private[plans] def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] = {
       val m = cache.get()

@@ -298,9 +298,30 @@ object LlmQueries {
       |FROM c ORDER BY doc_id""".stripMargin
 
   // ---- rows-only queries (no SQL-expressible oracle) ---------------------
+  /** maxHamming = 3 keeps the 16-bit-quarter bucketing pigeonhole-COMPLETE
+    * (any ≤3-bit-distant pair shares a quarter), so the bucketed result
+    * equals the all-pairs scan the oracle runs — value-exact, not
+    * approximate. The md5-family fingerprints are DuckDB-reproducible.
+    */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+    Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  val qDedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |fp AS (
+      |  SELECT doc_id, list_reduce(list_transform(range(0, 64), b ->
+      |    CASE WHEN list_sum(list_transform(t, w ->
+      |           CASE WHEN (md5_number_lower(w) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END),
+      |    (a, b) -> a | b) AS sim
+      |  FROM toks)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      |FROM fp a, fp b
+      |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
