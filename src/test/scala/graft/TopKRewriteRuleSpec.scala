@@ -68,6 +68,31 @@ class TopKRewriteRuleSpec extends SparkSpec {
     assert(!hasTopK(q2))
   }
 
+  test("randomized: rewrite matches the window plan across k/direction/null-ordering") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // keys with heavy groups + nullable order column
+    val data = Seq.tabulate(3000) { i =>
+      (i % 37L, if (i % 11 == 0) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf((i * 131) % 500),
+        i.toLong)
+    }.toDF("k", "ord", "id")
+    val sortVariants: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("asc",              col("ord").asc),
+      ("desc",             col("ord").desc),
+      ("asc_nulls_last",   col("ord").asc_nulls_last),
+      ("desc_nulls_first", col("ord").desc_nulls_first))
+    for ((name, ordCol) <- sortVariants; kBound <- Seq(1, 3, 7)) {
+      val w = Window.partitionBy("k").orderBy(ordCol, col("id").asc)
+      def q = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= kBound)
+      assert(hasTopK(q), s"$name k=$kBound should rewrite")
+      val got = q.collect().map(_.toSeq).sortBy(_.toString)
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val want = try q.collect().map(_.toSeq).sortBy(_.toString)
+                 finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(got.toSeq == want.toSeq, s"variant $name k=$kBound diverged")
+    }
+  }
+
   test("rank()/large k/non-literal bounds are left alone") {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
     val ranked = orders.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
