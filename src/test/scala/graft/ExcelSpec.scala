@@ -86,6 +86,49 @@ class ExcelSpec extends SparkSpec {
     assert(rows.filter(_.sheetIdx == 0).forall(_.sheet == "First"))
   }
 
+  test("fuzz: random grids round-trip through build→parse exactly") {
+    val rnd = new scala.util.Random(31)
+    val alphabet = Seq("plain", "with space", "uni-кир", "a&b<c>\"d'", "", "123", "x.y")
+    (1 to 20).foreach { trial =>
+      val nSheets = 1 + rnd.nextInt(3)
+      val sheets = (1 to nSheets).map { si =>
+        val rows = (0 until 1 + rnd.nextInt(6)).map { _ =>
+          (0 until 1 + rnd.nextInt(5)).map { _ =>
+            rnd.nextInt(4) match {
+              case 0 => null
+              case 1 => alphabet(rnd.nextInt(alphabet.length))
+              case 2 => java.lang.Integer.valueOf(rnd.nextInt(1000))
+              case 3 => java.lang.Double.valueOf(math.round(rnd.nextDouble() * 1e4) / 100.0)
+            }
+          }
+        }
+        (s"Sheet$si", rows.map(_.toSeq))
+      }
+      val useRels = rnd.nextBoolean()
+      val parts = if (useRels) Some(rnd.shuffle((10 until 10 + nSheets).toList).toSeq) else None
+      val bytes = XlsxTestWriter.build(sheets, partNumbering = parts)
+      val parsed = ExcelSource.parseXlsx(bytes).toVector
+      sheets.zipWithIndex.foreach { case ((name, rows), si) =>
+        val got = parsed.filter(_.sheet == name).sortBy(_.rowIdx)
+        assert(got.size == rows.count(_.exists(_ != null)) ||
+          got.size == rows.size, s"trial $trial sheet $name row count")
+        rows.zipWithIndex.foreach { case (cells, ri) =>
+          got.find(_.rowIdx == ri + 1).foreach { gr =>
+            cells.zipWithIndex.foreach { case (c, ci) =>
+              val want = c match {
+                case null      => null
+                case s: String => s
+                case n         => n.toString
+              }
+              val actual = if (ci < gr.cells.length) gr.cells(ci) else null
+              assert(actual == want, s"trial $trial $name r${ri + 1}c${ci + 1}: '$actual' != '$want'")
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("missing sheet falls back to first sheet; single-column range") {
     val bytes = XlsxTestWriter.build(Seq("S1" -> Seq(Seq("a", "b"), Seq("1", "2"))))
     val grid = spark.createDataset(ExcelSource.parseXlsx(bytes).toSeq)
