@@ -26,7 +26,9 @@ object ConfigConsumer {
       sink: (InputConfig, DataFrame) => Unit,
       onError: (String, Throwable) => Unit = (m, e) => System.err.println(s"[consumer] failed: ${e.getMessage} in $m"),
       key: String = "upc",
-      orderCol: Option[String] = None): StreamingQuery = {
+      orderCol: Option[String] = None,
+      onStats: (InputConfig, graft.operators.Metrics.RunStats) => Unit =
+        (cfg, st) => System.err.println(st.render(s"Supplier (${cfg.name}) (${cfg.supplierId})"))): StreamingQuery = {
 
     spark.readStream
       .option("maxFilesPerTrigger", "16")
@@ -39,7 +41,10 @@ object ConfigConsumer {
           try {
             val config = InputConfig.fromJson(msg)
             val feed = Aggregator.run(spark, config, resolver, key, orderCol)
-            sink(config, feed)
+            // stats ride the sink's own action (observe) — the reference's
+            // per-message outputStats, with row counts instead of RSS
+            val (_, stats) = graft.operators.Metrics.timed(feed, key)(f => sink(config, f))
+            onStats(config, stats)
           } catch {
             case e: Throwable => onError(msg, e)
           }

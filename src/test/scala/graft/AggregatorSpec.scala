@@ -98,6 +98,27 @@ class AggregatorSpec extends SparkSpec {
       Seq(("111", 5.0, 4L), ("222", 8.0, 0L)))
   }
 
+  test("metrics ride the sink action: rows/keyed counts per consumed message") {
+    val dir = Files.createTempDirectory("met").toString
+    Files.writeString(Paths.get(dir, "feed.csv"), "sku,cost\nA-1,5\nB-2,8\n,3\n")
+    val cfgDir = Files.createTempDirectory("metcfg").toString
+    Files.writeString(Paths.get(cfgDir, "m.jsonl"),
+      """{"supplier_id":3,"type_id":2,"source":"feed.csv","column_map_rules":{"upc":"sku","price":"cost"},"version":1}""" + "\n")
+    val stats = scala.collection.mutable.ArrayBuffer[graft.operators.Metrics.RunStats]()
+    val q = graft.streaming.ConfigConsumer.start(
+      spark, cfgDir, Files.createTempDirectory("metckpt").toString,
+      resolver(dir),
+      sink = (_, feed) => feed.count(): Unit,
+      onStats = (_, st) => stats.synchronized { stats += st })
+    try {
+      q.processAllAvailable()
+      assert(stats.size == 1)
+      // 3 csv rows, but the empty-key row is dropped by the keyed dedupe → 2
+      assert(stats.head.rows == 2 && stats.head.nonNullKeys == 2, stats.head)
+      assert(stats.head.render("x").startsWith("SUCCESS: x | Rows: 2"))
+    } finally q.stop()
+  }
+
   test("no orderCol: last-write-wins follows file row order via stamped ingest sequence") {
     val dir = Files.createTempDirectory("agg3").toString
     // 20 rows for the same key, value = row position; the reference keeps
