@@ -31,16 +31,28 @@ object NativeHash {
   private val md5s = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  // token vocabularies are far smaller than token streams — memoize the
+  // pure token→hash function per thread, bounded so adversarial vocab
+  // can't grow the heap (clear-on-full keeps amortized O(1))
+  private val md5Memo = ThreadLocal.withInitial[java.util.HashMap[String, java.lang.Long]](
+    () => new java.util.HashMap[String, java.lang.Long](1 << 14))
+  private val Md5MemoMax = 1 << 16
+
   /** `md5_number_lower(s)` — little-endian uint64 of digest bytes 8..15,
     * the cross-engine hash family shared with DuckDB and Sampling.md5Bucket.
     */
   private[plans] def md5Lower64(s: String): Long = {
+    val memo = md5Memo.get()
+    val hit = memo.get(s)
+    if (hit != null) return hit.longValue()
     val md = md5s.get()
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 15
     while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    if (memo.size >= Md5MemoMax) memo.clear()
+    memo.put(s, v)
     v
   }
 
