@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import graft.plans.NativeHash
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication family (SURVEY.md §2.3): exact, MinHash+LSH,
@@ -73,12 +73,22 @@ object Dedup {
     * groups expand back to doc pairs (identical-set pairs are jaccard 1.0 by
     * construction). On boilerplate-heavy corpora this shrinks the quadratic
     * stage by the duplication factor squared.
+    *
+    * @param shingleN jaccard unit: 1 = word sets (default — order-blind),
+    *                 n>1 = n-word shingle sets (word-order-sensitive, the
+    *                 classic MinHash text-dedup configuration)
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 12): DataFrame = {
+                   threshold: Double, k: Int = 12, shingleN: Int = 1): DataFrame = {
+    val units: Column => Column =
+      if (shingleN <= 1) TextFunctions.wordSet
+      else c => array_distinct(transform(TextFunctions.wordShingles(c, shingleN),
+        // minhashSignature re-tokenizes on whitespace downstream — keep
+        // each shingle one token
+        s => translate(s, " ", "")))
     val keyed = docs.select(
       col(idCol).as("id"),
-      sort_array(TextFunctions.wordSet(col(textCol))).as("words"))
+      sort_array(units(col(textCol))).as("words"))
       .withColumn("set_key", md5(array_join(col("words"), " ")))
     // consumed by 5 downstream subtrees (reps, both LSH join sides, both
     // verify joins) — persist once or the canonicalization re-runs per use.

@@ -92,6 +92,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
 
+  test("shingled near-dup is word-order-sensitive where word sets are blind") {
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val scrambled = scala.util.Random.shuffle((1 to 40).toList).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, doc), (2L, scrambled)).toDF("doc_id", "text")
+    // word sets identical → jaccard 1.0
+    val bySet = Dedup.nearDupPairs(docs, "doc_id", "text", 0.9).collect()
+    assert(bySet.length == 1 && bySet.head.getAs[Double]("jaccard") == 1.0)
+    graft.operators.Caches.release()
+    // 3-shingle sets nearly disjoint after scrambling → no pair
+    val byShingle = Dedup.nearDupPairs(docs, "doc_id", "text", 0.9, shingleN = 3).collect()
+    assert(byShingle.isEmpty, byShingle.mkString(";"))
+    graft.operators.Caches.release()
+  }
+
   test("native LSH bucket is bit-identical to the declarative md5-plane twin") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
     val both = emb.select(
