@@ -47,6 +47,6 @@ object KeyedMergeSet {
     require(aggs.nonEmpty, "KeyedMergeSet.dedupe needs at least one non-key column")
     df.filter(col(key).isNotNull && col(key).cast("string") =!= "")
       .groupBy(col(key))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 }

@@ -69,7 +69,7 @@ object Scale {
     val offExpr =
       if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(
-        map(offsets.flatMap { case (p, _, off) => Seq(lit(p), lit(off)) }: _*), pid), lit(0L))
+        map(offsets.toIndexedSeq.flatMap { case (p, _, off) => Seq(lit(p), lit(off)) }: _*), pid), lit(0L))
     sorted
       .withColumn(out, (offExpr + localOff + lit(1L)).cast("long"))
       .drop("__mid")

@@ -19,7 +19,7 @@ object ProduceSink {
   def toMessages(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Batch produce: JSON-lines files (message values; the key column rides
     * inside the JSON as well, as the reference's DataRow payload does).
