@@ -21,6 +21,29 @@ class AsofJoinSpec extends SparkSpec {
     ))
   }
 
+  test("differential: random data matches the in-memory reference model") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val keys = Seq("a", "b", "c", "d")
+      val left = Seq.fill(120)((keys(rnd.nextInt(4)), rnd.nextInt(200).toLong, rnd.nextInt(1000)))
+      // right unique per (key, time) — the operator's documented contract
+      val right = Seq.fill(150)((keys(rnd.nextInt(4)), rnd.nextInt(200).toLong, rnd.nextDouble()))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val got = AsofJoin.join(
+          left.toDF("k", "t", "v"), right.toDF("k", "rt", "rv"), "k", "t", "rt", Seq("rt", "rv"))
+        .select("k", "t", "v", "rt", "rv")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Double])))
+        .sortBy(_.toString)
+      val want = left.map { case (k, t, v) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+        (k, t, v, m.map(_._2), m.map(_._3))
+      }.sortBy(_.toString)
+      assert(got.toSeq == want, s"trial $trial")
+    }
+  }
+
   test("payload columns always come from the SAME matched right row") {
     val left = Seq(("k", 100L, "L")).toDF("k", "t", "tag")
     val right = Seq(("k", 10L, Some("old"), Some(1.0)), ("k", 50L, None, Some(2.0)))

@@ -22,6 +22,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(band == Set(("l0", "r0"), ("l0", "r10"), ("l95", "r100"), ("l95", "r101")))
   }
 
+  test("differential: random bands match the naive nested-loop model") {
+    val rnd = new scala.util.Random(29)
+    (1 to 5).foreach { trial =>
+      val keys = Seq("x", "y", "z")
+      val lo = rnd.nextInt(20) - 10L
+      val hi = lo + rnd.nextInt(30)
+      val left = Seq.tabulate(80)(i => (keys(rnd.nextInt(3)), rnd.nextInt(300).toLong, i))
+      val right = Seq.tabulate(100)(i => (keys(rnd.nextInt(3)), rnd.nextInt(300).toLong, i))
+      val got = graft.operators.RangeJoin.bandJoin(
+          left.toDF("k", "t", "lid"), right.toDF("k", "rt", "rid"), "k", "t", "rt", lo, hi)
+        .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+      val want = (for {
+        (lk, lt, lid) <- left
+        (rk, rt, rid) <- right
+        if lk == rk && rt >= lt + lo && rt <= lt + hi
+      } yield (lid, rid)).sorted
+      assert(got.toSeq == want, s"trial $trial lo=$lo hi=$hi")
+    }
+  }
+
   test("band join produces no duplicate pairs despite double-bucketed right rows") {
     val left = Seq(("k", 10L)).toDF("k", "t")
     val right = Seq(("k", 15L)).toDF("k", "rt")
