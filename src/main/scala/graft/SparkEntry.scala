@@ -41,6 +41,7 @@ object SparkEntry {
     "q_dedup_keep"         -> (LlmQueries.qDedupKeep _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_dedup_embed"        -> (LlmQueries.qDedupEmbed _),
+    "q_curation_pipeline"  -> (LlmQueries.qCurationPipeline _),
     "q_stratified_sample"  -> (LlmQueries.qStratifiedSample _),
     "q_seq_pack"           -> (LlmQueries.qSeqPack _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
     "q_ann_lsh"            -> LlmQueries.qAnnLshSql,
+    "q_curation_pipeline"  -> LlmQueries.qCurationPipelineSql,
     "q_stratified_sample"  -> LlmQueries.qStratifiedSampleSql,
     "q_seq_pack"           -> LlmQueries.qSeqPackSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,

@@ -253,6 +253,53 @@ object LlmQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- full curation pipeline (the gates composed) ------------------------
+  /** The end-to-end curation shape a pretraining corpus runs: quality gate
+    * (≥0.35) → repetition gate (top-bigram ratio ≤ 0.06, gram-less docs
+    * pass) → exact-dedup keep (lowest id per fingerprint among survivors).
+    * Every stage is an already-oracle-exact operator; this query pins their
+    * COMPOSITION under the same gate.
+    */
+  def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TF.qualityScore(col("text")).as("quality"),
+        graft.plans.NativeHash.topNgramRatio(col("text"), 2).getField("ratio").as("rep_ratio"),
+        TF.contentFingerprint(col("text")).as("fp"))
+    val gated = scored.filter(col("quality") >= 0.35 &&
+      (col("rep_ratio").isNull || col("rep_ratio") <= 0.06))
+    val keep = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    gated.join(keep, Seq("fp", "doc_id"))
+      .select("doc_id", "lang", "quality", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
+  val qCurationPipelineSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang, text,
+      |    greatest(least(
+      |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+      |      + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+      |              / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+      |      - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+      |    1.0), 0.0) AS quality,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM toks, unnest(range(1, len(t))) AS u(i)),
+      |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
+      |        FROM counts GROUP BY doc_id),
+      |gated AS (
+      |  SELECT q.doc_id, q.lang, q.quality, rep.rep_ratio, q.fp
+      |  FROM q LEFT JOIN rep ON q.doc_id = rep.doc_id
+      |  WHERE q.quality >= 0.35 AND (rep.rep_ratio IS NULL OR rep.rep_ratio <= 0.06)),
+      |keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp)
+      |SELECT g.doc_id, g.lang, g.quality, g.rep_ratio
+      |FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   // ---- stratified deterministic sampling ---------------------------------
   /** Corpus rebalancing: keep 25% of English, 70% of German, 50% of
     * everything else — hash-deterministic, so the sample is identical on
