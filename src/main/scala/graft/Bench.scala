@@ -21,25 +21,34 @@ object Bench {
       }
       graft.operators.Caches.release()
     }
-    // steady-state timing: each query runs three times at the target SF,
-    // min reported — the first executions of eval-heavy operators pay a
-    // measured 3-5× JIT/codegen/broadcast-build penalty that says nothing
-    // about sustained throughput (C2 can still be compiling during run 2)
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = Seq(time(fn), time(fn), time(fn)).filter(_ >= 0)
-      // release operator-internal caches AFTER both timed runs, so run 2
-      // measures steady state but caches never accumulate across queries
+    // steady-state timing: per-query MIN across three INTERLEAVED full
+    // passes (pass 1 of every query, then pass 2, then pass 3) — not three
+    // back-to-back runs per query. Each query still executes 3× (first
+    // executions pay a measured 3-5× JIT/codegen/broadcast-build penalty
+    // that says nothing about sustained throughput), but a transient
+    // machine-load spike now inflates ONE pass of many queries instead of
+    // every run of whichever query it lands on: the r2 driver bench showed
+    // a 2×/1.9× one-off inflation on exactly the first two queries of the
+    // iteration order that no isolated re-run reproduces.
+    val order = SparkEntry.queries.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 3; (name, fn) <- order) {
+      val t = time(fn)
+      // release operator-internal caches after every execution so caches
+      // never accumulate across queries (each pass rebuilds its own)
       graft.operators.Caches.release()
-      name -> (if (runs.isEmpty) -1.0 else runs.min)
+      if (t >= 0) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      else best.getOrElseUpdate(name, -1.0)
     }
+    val results = order.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

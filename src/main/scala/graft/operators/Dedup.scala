@@ -41,24 +41,51 @@ object Dedup {
     docs.join(keep, idCol)
   }
 
-  /** MinHash-LSH candidate pairs (id_a < id_b): docs sharing ≥1 of the k
-    * minhash values. Single-hash bands maximize recall (P[miss] = (1−j)^k:
-    * 4e-9 at j=0.8, k=12 — zero expected misses up to billions of pairs);
-    * precision is restored by the exact-jaccard verify in [[nearDupPairs]].
-    * k trades duplicate-candidate shuffle volume (≈ k·j̄ copies per pair on
-    * j-dense corpora) against recall margin.
-    *
-    * Scale: explode k values per doc → groupBy-free self-join on
-    * (band, value) buckets. Boilerplate-heavy buckets are capped upstream by
-    * AQE skew handling; the verify join only ever sees candidate pairs.
+  /** Banded bucket keys over a minhash signature: band i's key is a
+    * polynomial combine of signature values [i·r, i·r+r) seeded by the band
+    * index, so one long column is the whole (band, r-row-slice) identity.
+    * With r ≥ 2 a bucket collision needs agreement on r independent
+    * minhashes — the "globally-minimum-hashed common word" mega-bucket of
+    * single-value bands (every doc containing that word shares the band
+    * value) shrinks by another factor of P[agree] per extra row. Candidate
+    * recall for a pair at jaccard j is 1 − (1 − j^r)^bands.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String, k: Int = 12): DataFrame = {
-    val sigs = docs.select(
+  private[graft] def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), i =>
+      aggregate(slice(sig, i * lit(r) + lit(1), lit(r)),
+        (i + lit(1)).cast("long"),
+        (acc, v) => acc * lit(1000003L) + v))
+
+  /** MinHash-LSH candidate pairs (id_a < id_b): docs sharing ≥1 of `bands`
+    * banded bucket keys (r minhash rows per band). Defaults bands=20, r=2:
+    * P[miss] = (1 − j²)^20 ≈ 1.3e-9 at j = 0.8 — zero expected misses up
+    * to billions of pairs — while bucket sizes under common-word skew stay
+    * bounded (a single-hash band puts every doc containing the globally
+    * minimum-hashed word in ONE bucket; an r=2 key needs two such
+    * agreements, shrinking buckets quadratically). Precision is restored by
+    * the exact-jaccard verify in [[nearDupPairs]].
+    *
+    * Scale: explode `bands` keys per doc → groupBy-free equi-join on the
+    * key. The band index is baked into the key's seed, so a plain key join
+    * reproduces exactly the "∃ band pair agreeing" predicate the broadcast
+    * path's arrays_overlap evaluates — both strategies see identical
+    * candidate sets. Residual skew is handled by AQE skew-join splitting;
+    * the verify join only ever sees candidate pairs.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 20, r: Int = 2): DataFrame = {
+    // both self-join sides read the keys frame — persist the slim
+    // (id, bands longs) projection so the signature (the dominant map cost
+    // over a 100 TB corpus: one pass over every token) is computed ONCE
+    // per document, not once per join side
+    val keys = docs.select(
       col(idCol).as("id"),
-      posexplode(NativeHash.minhashSignature(col(textCol), k)).as(Seq("band", "mh"))
-    )
+      bandKeys(NativeHash.minhashSignature(col(textCol), bands * r), bands, r).as("bks"))
+      .persist()
+    Caches.register(keys)
+    val sigs = keys.select(col("id"), explode(col("bks")).as("bk"))
     sigs.as("a")
-      .join(sigs.as("b"), col("a.band") === col("b.band") && col("a.mh") === col("b.mh") && col("a.id") < col("b.id"))
+      .join(sigs.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -77,15 +104,26 @@ object Dedup {
     * @param shingleN jaccard unit: 1 = word sets (default — order-blind),
     *                 n>1 = n-word shingle sets (word-order-sensitive, the
     *                 classic MinHash text-dedup configuration)
+    * @param bands number of LSH bands; candidate recall = 1 − (1 − j^r)^bands
+    * @param r minhash rows per band (r ≥ 2 keeps bucket sizes bounded under
+    *          common-word skew — see [[minhashCandidates]])
+    * @param broadcastThreshold max distinct word sets for the broadcast
+    *                           all-pairs probe; above it the banded bucket
+    *                           join runs. 0 forces the banded path — both
+    *                           strategies produce the identical candidate
+    *                           set, so results never depend on the route.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 12, shingleN: Int = 1): DataFrame = {
+                   threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
+                   broadcastThreshold: Long = 8192L): DataFrame = {
     val units: Column => Column =
       if (shingleN <= 1) TextFunctions.wordSet
       else c => array_distinct(transform(TextFunctions.wordShingles(c, shingleN),
         // minhashSignature re-tokenizes on whitespace downstream — keep
-        // each shingle one token
-        s => translate(s, " ", "")))
+        // each shingle ONE non-whitespace token; the U+0001 sentinel (vs
+        // deleting spaces) keeps distinct shingles distinct ('a bc' and
+        // 'ab c' must not both become 'abc')
+        s => translate(s, " ", "\u0001")))
     val keyed = docs.select(
       col(idCol).as("id"),
       sort_array(units(col(textCol))).as("words"))
@@ -99,18 +137,20 @@ object Dedup {
     Caches.register(groups)
 
     // Candidate strategy on the distinct sets, chosen like a planner would:
-    // few reps → all-pairs broadcast join probing (size-ratio, signature
+    // few reps → all-pairs broadcast join probing (size-ratio, band-key
     // overlap) INSIDE the join condition — the candidate stream stays slim
     // (two keys), no word arrays ride the O(n²) scan; many reps → banded
-    // LSH bucket join. Both produce the identical candidate set ("shares
-    // ≥1 of k minhashes" ∩ size-compatible), so results don't depend on
-    // the strategy. Word arrays join back only for the verify step.
+    // LSH bucket join. Both evaluate the same predicate ("∃ agreeing band
+    // key" ∩ size-compatible), so the candidate set — and therefore the
+    // verified result — never depends on the route taken. Word arrays join
+    // back only for the verify step.
     val nReps = groups.count() // also materializes the persisted frame
-    val broadcastable = nReps <= 8192
+    val broadcastable = nReps <= broadcastThreshold
     val candidates: DataFrame =
       if (broadcastable) {
         val sets = groups.select(col("set_key"), size(col("words")).as("sz"),
-          NativeHash.minhashSignature(array_join(col("words"), " "), k).as("sig"))
+          bandKeys(NativeHash.minhashSignature(array_join(col("words"), " "), bands * r),
+            bands, r).as("sig"))
         // probe side repartitioned so the O(nReps²) pair scan parallelizes
         // across all cores (the persisted groups frame is few-partition)
         val a = sets.select(col("set_key").as("id_a"), col("sz").as("sz_a"), col("sig").as("sig_a"))
@@ -126,7 +166,7 @@ object Dedup {
           .select("id_a", "id_b")
       } else {
         val reps = groups.select(col("set_key").as("id"), array_join(col("words"), " ").as("text"))
-        minhashCandidates(reps, "id", "text", k)
+        minhashCandidates(reps, "id", "text", bands, r)
       }
     val maybeBroadcast: DataFrame => DataFrame = if (broadcastable) broadcast else identity
     val repPairs = candidates

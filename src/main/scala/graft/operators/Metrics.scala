@@ -36,9 +36,21 @@ object Metrics {
     val result = action(instrumented)
     // Observation.getOrEmpty (bounded wait) is private[sql] in Scala but
     // public in bytecode — the blocking get() would hang forever on an
-    // action-less sink, which a library must never do
-    val row = classOf[Observation].getMethod("getOrEmpty")
-      .invoke(obs).asInstanceOf[Map[String, Any]]
+    // action-less sink, which a library must never do. Its internal wait is
+    // only ~100ms, so under listener-bus load one call can miss metrics
+    // that ARE coming: poll with a bounded overall deadline. A reflection
+    // failure (Spark rename) degrades to zero stats instead of killing the
+    // consumer loop.
+    val row: Map[String, Any] =
+      try {
+        val getOrEmpty = classOf[Observation].getMethod("getOrEmpty")
+        val deadline = System.nanoTime() + 2000000000L // 2s overall bound
+        var r = getOrEmpty.invoke(obs).asInstanceOf[Map[String, Any]]
+        while (r.isEmpty && System.nanoTime() < deadline) {
+          r = getOrEmpty.invoke(obs).asInstanceOf[Map[String, Any]]
+        }
+        r
+      } catch { case _: ReflectiveOperationException | _: ClassCastException => Map.empty }
     (result, RunStats(
       row.getOrElse("rows", 0L).asInstanceOf[Long],
       row.getOrElse("non_null_keys", 0L).asInstanceOf[Long],

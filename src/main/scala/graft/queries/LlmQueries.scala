@@ -46,8 +46,20 @@ object LlmQueries {
     Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** Oracle = exact all-pairs jaccard; matches because 32 single-hash bands
-    * have ~zero false-negative mass at j ≥ 0.8 (P[miss] = 0.2³²).
+  /** Same operator FORCED down the banded bucket-join path (the 100 TB
+    * branch — broadcastThreshold 0 routes past the broadcast probe), same
+    * all-pairs oracle: both candidate strategies evaluate the identical
+    * "∃ agreeing band key" predicate, so the oracle-exact evidence covers
+    * the branch a large-corpus run takes, not just the small-corpus one.
+    */
+  def qDedupMinhashBanded(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text", threshold = 0.8,
+        broadcastThreshold = 0L)
+      .orderBy("id_a", "id_b")
+
+  /** Oracle = exact all-pairs jaccard; matches because 20 bands × r=2 have
+    * ~zero false-negative mass at j ≥ 0.8 (P[miss] = (1−0.8²)²⁰ ≈ 1.3e-9;
+    * identical word sets collapse in canonicalization and never touch LSH).
     */
   val qDedupMinhashSql: String =
     s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents)
@@ -268,8 +280,14 @@ object LlmQueries {
         TF.contentFingerprint(col("text")).as("fp"))
     val gated = scored.filter(col("quality") >= 0.35 &&
       (col("rep_ratio").isNull || col("rep_ratio") <= 0.06))
-    val keep = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    gated.join(keep, Seq("fp", "doc_id"))
+    // dedup-keep via a window min instead of groupBy+join-back: ONE scan of
+    // documents (the quality/repetition/fingerprint native exprs run once),
+    // one shuffle on fp. The join-back formulation consumed `gated` twice,
+    // recomputing the whole gate stack — at 100 TB that doubles the
+    // dominant map cost.
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    gated.withColumn("__keep", min("doc_id").over(byFp))
+      .filter(col("doc_id") === col("__keep"))
       .select("doc_id", "lang", "quality", "rep_ratio")
       .orderBy("doc_id")
   }

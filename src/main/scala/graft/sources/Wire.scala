@@ -24,9 +24,16 @@ object CsvSource {
   def read(spark: SparkSession, path: String): DataFrame = {
     // the CSV parser only detects arity violations when it parses the full
     // row — with parser-side column pruning it silently pads/truncates, so
-    // pruned queries would keep rows the reference skips
-    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    // pruned queries would keep rows the reference skips. The conf is part
+    // of GraftSession.tune; readers must NOT mutate the caller's session
+    // (a library entry point silently reconfiguring every later CSV read
+    // is a worse failure mode than this error).
+    require(
+      spark.conf.get("spark.sql.csv.parser.columnPruning.enabled", "true") == "false",
+      "CsvSource.read requires spark.sql.csv.parser.columnPruning.enabled=false " +
+        "(set by GraftSession.tune) so ragged-row detection survives column pruning")
     val header = spark.read.option("header", "true").csv(path).columns
+    require(header.nonEmpty, s"CsvSource.read: no header row found in $path")
     val schema = StructType(
       header.map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType)) :+
         org.apache.spark.sql.types.StructField("_graft_corrupt", org.apache.spark.sql.types.StringType))
@@ -38,9 +45,11 @@ object CsvSource {
       .csv(path)
       // the second conjunct references a data column without constraining
       // anything: Spark refuses scans whose only required column is the
-      // corrupt-record column, and the optimizer cannot fold this away
+      // corrupt-record column, and the optimizer cannot fold this away.
+      // Backtick-quoted: a header like "price.usd" must stay one flat
+      // column reference, not a nested-field path.
       .filter(col("_graft_corrupt").isNull &&
-        coalesce(length(col(header.head)) >= -1, lit(true)))
+        coalesce(length(col(s"`${header.head}`")) >= -1, lit(true)))
       .drop("_graft_corrupt")
   }
 
