@@ -90,49 +90,52 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-duplicate pairs: LSH candidates filtered by exact word-set jaccard
-    * ≥ threshold. Output is verifiable against an all-pairs oracle because
-    * the LSH stage has ~zero false-negative mass at useful thresholds.
+  /** Canonicalized distinct-word-set view of a corpus plus its verified
+    * near-dup rep-pair graph — the shared substrate of [[nearDupPairs]] and
+    * [[dropDuplicatesNear]].
     *
-    * Canonicalization first: jaccard depends only on the word SET, so docs
-    * with identical sets collapse to one representative before any pairwise
-    * work — LSH, candidate dedup and verify all run on distinct sets, then
-    * groups expand back to doc pairs (identical-set pairs are jaccard 1.0 by
-    * construction). On boilerplate-heavy corpora this shrinks the quadratic
-    * stage by the duplication factor squared.
-    *
-    * @param shingleN jaccard unit: 1 = word sets (default — order-blind),
-    *                 n>1 = n-word shingle sets (word-order-sensitive, the
-    *                 classic MinHash text-dedup configuration)
-    * @param bands number of LSH bands; candidate recall = 1 − (1 − j^r)^bands
-    * @param r minhash rows per band (r ≥ 2 keeps bucket sizes bounded under
-    *          common-word skew — see [[minhashCandidates]])
-    * @param broadcastThreshold max distinct word sets for the broadcast
-    *                           all-pairs probe; above it the banded bucket
-    *                           join runs. 0 forces the banded path — both
-    *                           strategies produce the identical candidate
-    *                           set, so results never depend on the route.
+    * @param keyed    (id, set_key) per document — slim, persisted; NO word
+    *                 arrays and no per-group id arrays ever materialize in a
+    *                 row (a 10⁸-copy boilerplate group must never become one
+    *                 10⁸-element executor row)
+    * @param groups   (set_key, gmin, n, words) per DISTINCT word set; words
+    *                 are re-derived from the one representative doc, so the
+    *                 full-corpus tokenization pass runs exactly once
+    * @param repPairs (id_a, id_b, jaccard) over set_keys — exact-jaccard
+    *                 verified LSH candidates between distinct sets
     */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
-                   broadcastThreshold: Long = 8192L): DataFrame = {
-    val units: Column => Column =
-      if (shingleN <= 1) TextFunctions.wordSet
-      else c => array_distinct(transform(TextFunctions.wordShingles(c, shingleN),
-        // minhashSignature re-tokenizes on whitespace downstream — keep
-        // each shingle ONE non-whitespace token; the U+0001 sentinel (vs
-        // deleting spaces) keeps distinct shingles distinct ('a bc' and
-        // 'ab c' must not both become 'abc')
-        s => translate(s, " ", "\u0001")))
+  private[graft] final case class SetGraph(keyed: DataFrame, groups: DataFrame, repPairs: DataFrame)
+
+  private def setUnits(shingleN: Int): Column => Column =
+    if (shingleN <= 1) TextFunctions.wordSet
+    else c => array_distinct(transform(TextFunctions.wordShingles(c, shingleN),
+      // minhashSignature re-tokenizes on whitespace downstream — keep
+      // each shingle ONE non-whitespace token; the U+0001 sentinel (vs
+      // deleting spaces) keeps distinct shingles distinct ('a bc' and
+      // 'ab c' must not both become 'abc')
+      s => translate(s, " ", "\u0001")))
+
+  private[graft] def setGraph(docs: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, bands: Int, r: Int, shingleN: Int,
+                              broadcastThreshold: Long): SetGraph = {
+    val units = setUnits(shingleN)
+    // pass 1 — the only full-corpus tokenization: every doc collapses to its
+    // set identity. Only the slim (id, set_key) projection persists.
     val keyed = docs.select(
       col(idCol).as("id"),
-      sort_array(units(col(textCol))).as("words"))
-      .withColumn("set_key", md5(array_join(col("words"), " ")))
-    // consumed by 5 downstream subtrees (reps, both LSH join sides, both
-    // verify joins) — persist once or the canonicalization re-runs per use.
-    // Size = one row per distinct word set (small by construction).
-    val groups = keyed.groupBy("set_key")
-      .agg(collect_list(col("id")).as("ids"), first(col("words")).as("words"), count(lit(1)).as("n"))
+      md5(array_join(sort_array(units(col(textCol))), " ")).as("set_key"))
+      .persist()
+    Caches.register(keyed)
+    // group skeleton: min id + size per distinct set — pure min/count agg,
+    // bounded state under ANY duplication factor (no collect_list)
+    val skeleton = keyed.groupBy("set_key")
+      .agg(min(col("id")).as("gmin"), count(lit(1)).as("n"))
+    // rep words: tokenization re-runs only for the one representative doc of
+    // each distinct set; representative bodies move once through this join
+    val groups = skeleton
+      .join(docs.select(col(idCol).as("gmin"), col(textCol).as("__text")), "gmin")
+      .select(col("set_key"), col("gmin"), col("n"),
+        sort_array(units(col("__text"))).as("words"))
       .persist()
     Caches.register(groups)
 
@@ -170,10 +173,8 @@ object Dedup {
       }
     val maybeBroadcast: DataFrame => DataFrame = if (broadcastable) broadcast else identity
     val repPairs = candidates
-      .join(maybeBroadcast(groups.select(col("set_key").as("id_a"),
-        col("words").as("words_a"), col("ids").as("ids_a"))), "id_a")
-      .join(maybeBroadcast(groups.select(col("set_key").as("id_b"),
-        col("words").as("words_b"), col("ids").as("ids_b"))), "id_b")
+      .join(maybeBroadcast(groups.select(col("set_key").as("id_a"), col("words").as("words_a"))), "id_a")
+      .join(maybeBroadcast(groups.select(col("set_key").as("id_b"), col("words").as("words_b"))), "id_b")
       .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
       // |A∪B| = |A|+|B|−|A∩B| — no union array; intersection size via the
@@ -183,21 +184,125 @@ object Dedup {
         col("__i").cast("double") /
           (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    SetGraph(keyed, groups, repPairs)
+  }
 
-    // expand cross-group candidate pairs back to doc pairs
-    val cross = repPairs
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
-      .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+  /** Near-duplicate pairs: LSH candidates filtered by exact word-set jaccard
+    * ≥ threshold. Output is verifiable against an all-pairs oracle because
+    * the LSH stage has ~zero false-negative mass at useful thresholds.
+    *
+    * Canonicalization first: jaccard depends only on the word SET, so docs
+    * with identical sets collapse to one representative before any pairwise
+    * work — LSH, candidate dedup and verify all run on distinct sets, then
+    * rep pairs expand back to doc pairs by JOIN against the slim keyed frame
+    * (identical-set pairs are jaccard 1.0 by construction). On
+    * boilerplate-heavy corpora this shrinks the quadratic stage by the
+    * duplication factor squared — and because the expansion is a join, not
+    * collect_list + explode, no executor row ever holds a per-group id
+    * array. The pair LIST itself is still inherently quadratic under
+    * duplication — a real curation run should consume
+    * [[dropDuplicatesNear]], which never expands to doc pairs at all.
+    *
+    * @param shingleN jaccard unit: 1 = word sets (default — order-blind),
+    *                 n>1 = n-word shingle sets (word-order-sensitive, the
+    *                 classic MinHash text-dedup configuration)
+    * @param bands number of LSH bands; candidate recall = 1 − (1 − j^r)^bands
+    * @param r minhash rows per band (r ≥ 2 keeps bucket sizes bounded under
+    *          common-word skew — see [[minhashCandidates]])
+    * @param broadcastThreshold max distinct word sets for the broadcast
+    *                           all-pairs probe; above it the banded bucket
+    *                           join runs. 0 forces the banded path — both
+    *                           strategies produce the identical candidate
+    *                           set, so results never depend on the route.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
+                   broadcastThreshold: Long = 8192L): DataFrame = {
+    val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
 
-    // identical-set doc pairs: jaccard exactly 1.0
-    val intra = groups.filter(col("n") > 1)
-      .select(explode(col("ids")).as("ia"), col("ids"))
-      .select(col("ia"), explode(col("ids")).as("ib"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jaccard"))
+    // cross-group pairs: rep pairs × member ids via two equi-joins on the
+    // slim (id, set_key) frame
+    val cross = g.repPairs
+      .join(g.keyed.select(col("set_key").as("id_a"), col("id").as("ia")), "id_a")
+      .join(g.keyed.select(col("set_key").as("id_b"), col("id").as("ib")), "id_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+
+    // identical-set doc pairs: jaccard exactly 1.0 (self equi-join on the
+    // set key — singleton groups drop out naturally)
+    val intra = g.keyed.as("a")
+      .join(g.keyed.as("b"), col("a.set_key") === col("b.set_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
 
     if (threshold <= 1.0) cross.unionByName(intra) else cross
+  }
+
+  /** The near-dup dedup MATERIALIZER: one surviving row per connected
+    * component of the near-duplicate graph (cluster-minimum id wins) — what
+    * a real 100 TB curation run consumes. Mirrors [[dropDuplicatesExact]]:
+    * document bodies move at most once, into the final winners join.
+    *
+    * Never expands to doc pairs: clustering runs on the REP graph (one node
+    * per distinct word set, labeled by the group's min doc id), so a
+    * boilerplate page with 10⁸ copies contributes ONE node, not 10¹⁶ pairs.
+    * Components form by iterative min-label propagation — each round is one
+    * shuffle join over rep edges plus a pointer-halving label-of-label
+    * lookup, so rounds grow with log(component diameter), and near-dup
+    * graphs at useful thresholds are dense/clique-ish (tiny diameters).
+    * Every round localCheckpoints the label frame: lineage stays constant-
+    * depth and superseded blocks are released by the ContextCleaner.
+    */
+  def dropDuplicatesNear(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
+                         broadcastThreshold: Long = 8192L, maxRounds: Int = 50): DataFrame = {
+    val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
+    val gm = g.groups.select(col("set_key"), col("gmin"))
+    // rep pairs → undirected edges over group-min node ids
+    val e0 = g.repPairs
+      .join(gm.select(col("set_key").as("id_a"), col("gmin").as("ga")), "id_a")
+      .join(gm.select(col("set_key").as("id_b"), col("gmin").as("gb")), "id_b")
+      .select("ga", "gb")
+    val edges = e0.select(col("ga").as("src"), col("gb").as("dst"))
+      .unionByName(e0.select(col("gb").as("src"), col("ga").as("dst")))
+      .persist() // re-read every propagation round
+    Caches.register(edges)
+
+    // only nodes with ≥1 near-dup edge iterate; isolated groups keep their
+    // own min unconditionally (at corpus scale that is almost everything)
+    val touched = edges.select(col("src").as("node")).distinct()
+    var labels = touched.select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val byNbr = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy("src").agg(min(col("dlbl")).as("nlbl"))
+        .withColumnRenamed("src", "node")
+      val step1 = labels.join(byNbr, Seq("node"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("l1"))
+      // pointer halving: also adopt the label OF the adopted label — this is
+      // what turns O(diameter) rounds into O(log diameter)
+      val step2 = step1
+        .join(labels.select(col("node").as("ln"), col("lbl").as("llbl")),
+          step1("l1") === col("ln"), "left")
+        .select(col("node"), col("old"),
+          least(col("l1"), coalesce(col("llbl"), col("l1"))).as("lbl"))
+        .localCheckpoint()
+      changed = step2.filter(col("lbl") =!= col("old")).count()
+      labels = step2.select("node", "lbl")
+      rounds += 1
+    }
+    require(changed == 0,
+      s"dropDuplicatesNear: min-label propagation did not converge in $maxRounds rounds")
+
+    // cluster label = min doc id of the component ⇒ the winner IS the doc
+    // whose id equals the label
+    val winners = labels.select(col("lbl").as(idCol)).distinct()
+      .unionByName(g.groups.select(col("gmin").as(idCol))
+        .join(touched.withColumnRenamed("node", idCol), Seq(idCol), "left_anti"))
+    docs.join(winners, idCol)
   }
 
   /** SimHash near-dup candidates: 64-bit fingerprints bucketed by 16-bit

@@ -72,6 +72,37 @@ object LlmQueries {
        |      CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The near-dup MATERIALIZER: one surviving document per connected
+    * component of the jaccard-≥0.8 graph (cluster-min id wins). The oracle
+    * computes the same components with a recursive CTE over the all-pairs
+    * edge list — transitive closure, not just pairs, sits under the hash
+    * gate.
+    */
+  def qDedupNearKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicatesNear(table(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val qDedupNearKeepSql: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN cl USING (doc_id)
+       |WHERE d.doc_id = cl.cluster_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- exact n-gram jaccard over a bounded window ------------------------
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.5)
