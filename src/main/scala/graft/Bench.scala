@@ -1,6 +1,8 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  type Q = (SparkSession, String) => DataFrame
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,45 +13,66 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
+
+    // real-ingest extras beyond the oracle registry: q_excel_file parses the
+    // sf lineitem table from an actual directory of .xlsx workbooks
+    // (file-carried row coordinates — no fabricated global index), so the
+    // Excel ingest number measures ExcelSource.readXlsxGrid + toTable, not
+    // grid fabrication. Fixture generation happens here, outside timing.
+    val extras: Seq[(String, Q)] = Seq(
+      "q_excel_file" -> ((s: SparkSession, dir: String) =>
+        graft.sources.ExcelSource.toTable(
+          graft.sources.ExcelSource.readXlsxGrid(s, BenchFixtures.xlsxDir(s, dir)), None)))
+    val order: Seq[(String, Q)] = SparkEntry.queries.toSeq ++ extras
+    BenchFixtures.xlsxDir(spark, sfDir)
+
     // JIT/codegen warmup: run every query once on the SMALLEST scale factor
     // (negligible data, same generated code paths) so timing at the target
     // SF starts compiled — C2 can otherwise still be compiling in run 2
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory && warmDir.getPath != sfDir) {
-      SparkEntry.queries.values.foreach { fn =>
+      order.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
+        graft.operators.Caches.release()
       }
-      graft.operators.Caches.release()
     }
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(fn: Q): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // steady-state timing: per-query MIN across three INTERLEAVED full
-    // passes (pass 1 of every query, then pass 2, then pass 3) — not three
-    // back-to-back runs per query. Each query still executes 3× (first
-    // executions pay a measured 3-5× JIT/codegen/broadcast-build penalty
-    // that says nothing about sustained throughput), but a transient
-    // machine-load spike now inflates ONE pass of many queries instead of
-    // every run of whichever query it lands on: the r2 driver bench showed
-    // a 2×/1.9× one-off inflation on exactly the first two queries of the
-    // iteration order that no isolated re-run reproduces.
-    val order = SparkEntry.queries.toSeq
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    // COLD: per-query MIN across three INTERLEAVED full passes (pass 1 of
+    // every query, then pass 2, then pass 3), operator-internal caches
+    // released after every single run — each number pays the query's full
+    // per-run cost (canonicalization, persists, driver counts). Interleaving
+    // keeps a transient machine-load spike from landing on every run of one
+    // query (the r2 driver bench showed exactly that artifact).
+    val cold = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to 3; (name, fn) <- order) {
       val t = time(fn)
-      // release operator-internal caches after every execution so caches
-      // never accumulate across queries (each pass rebuilds its own)
       graft.operators.Caches.release()
-      if (t >= 0) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-      else best.getOrElseUpdate(name, -1.0)
+      if (t >= 0) cold(name) = math.min(cold.getOrElse(name, Double.MaxValue), t)
+      else cold.getOrElseUpdate(name, -1.0)
     }
-    val results = order.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // WARM (steady-state): three back-to-back runs per query with caches
+    // RETAINED within the query (Spark's CacheManager reuses persisted
+    // plans across identical re-executions), released between queries —
+    // the r2 methodology, kept so round-over-round comparisons have a
+    // stable axis on both regimes.
+    val warm = scala.collection.mutable.Map.empty[String, Double]
+    for ((name, fn) <- order) {
+      for (_ <- 1 to 3) {
+        val t = time(fn)
+        if (t >= 0) warm(name) = math.min(warm.getOrElse(name, Double.MaxValue), t)
+        else warm.getOrElseUpdate(name, -1.0)
+      }
+      graft.operators.Caches.release()
+    }
+    def js(m: collection.Map[String, Double]): String =
+      order.map { case (k, _) => s"\"" + k + "\":" + m(k) }.mkString("{", ",", "}")
+    def total(m: collection.Map[String, Double]): Double = m.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${js(cold)},""" +
+      s""""warm_total":${total(warm)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.XlsxWriter
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+/** One-time bench fixtures, written under target/bench_fixtures and reused
+  * across runs.
+  *
+  * [[xlsxDir]]: the sf lineitem table rendered as a DIRECTORY of real .xlsx
+  * workbooks (one per partition; header row + inline-number cells), so the
+  * bench measures `ExcelSource.readXlsxGrid` ingesting file-carried row
+  * coordinates — the actual 100 TB shape (thousands of supplier workbooks
+  * on shared storage) — instead of the fabricated in-memory grid
+  * `q_excel_range` uses to sit under the DuckDB oracle. Executors write to
+  * the local filesystem, which in bench-local mode is shared with the
+  * driver; fixture generation is not part of any timed region.
+  */
+object BenchFixtures {
+
+  def xlsxDir(spark: SparkSession, sfDir: String, parts: Int = 16): String = {
+    val dir = new File(s"target/bench_fixtures/xlsx_${new File(sfDir).getName}")
+    val done = new File(dir, "_DONE")
+    if (!done.exists()) {
+      dir.mkdirs()
+      val path = dir.getAbsolutePath
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice").cast("decimal(12,2)").cast("double").as("l_price"))
+        .repartition(parts)
+        .foreachPartition { (it: Iterator[Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val rows = Seq[Any]("ok", "ln", "qty", "price") +: it.map(_.toSeq).toSeq
+          Files.write(Paths.get(path, f"part-$pid%05d.xlsx"),
+            XlsxWriter.build(Seq("Sheet1" -> rows)))
+          ()
+        }
+      Files.write(done.toPath, Array.emptyByteArray)
+    }
+    dir.getPath
+  }
+}

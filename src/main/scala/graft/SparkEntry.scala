@@ -37,6 +37,7 @@ object SparkEntry {
     "q_multisource_merge"  -> (SourceQueries.qMultisourceMerge _),
     "q_config_route"       -> (SourceQueries.qConfigRoute _),
     "q_excel_range"        -> (SourceQueries.qExcelRange _),
+    "q_excel_table"        -> (SourceQueries.qExcelTable _),
     "q_dedup_exact"        -> (LlmQueries.qDedupExact _),
     "q_dedup_keep"         -> (LlmQueries.qDedupKeep _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_multisource_merge"  -> SourceQueries.qMultisourceMergeSql,
     "q_config_route"       -> SourceQueries.qConfigRouteSql,
     "q_excel_range"        -> SourceQueries.qExcelRangeSql,
+    "q_excel_table"        -> SourceQueries.qExcelTableSql,
     "q_dedup_exact"        -> LlmQueries.qDedupExactSql,
     "q_dedup_keep"         -> LlmQueries.qDedupKeepSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,

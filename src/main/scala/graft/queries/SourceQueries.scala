@@ -157,6 +157,35 @@ object SourceQueries {
       |  FROM lineitem)
       |SELECT row_idx, b, c, d FROM g WHERE row_idx >= 2 ORDER BY row_idx""".stripMargin
 
+  /** The reference's full Excel table pipeline (grid → header row → named
+    * columns, ExcelInputHandler.php:159-186) under the oracle, including
+    * the array_combine duplicate-header rule: the header names cells 2 AND
+    * 3 "qty", so the surviving qty column must carry cell 3's value (last
+    * occurrence wins) at position 2 (first occurrence).
+    */
+  def qExcelTable(s: SparkSession, dir: String): DataFrame = {
+    val data = graft.operators.Scale
+      .globalRowNumber(table(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      .select(lit("Sheet1").as("sheet"), lit(0).as("sheet_idx"), (col("row_idx") + 1).as("row_idx"),
+        array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          col("l_quantity").cast("string"),
+          col("l_extendedprice").cast("decimal(12,2)").cast("string")).as("cells"))
+    val header = s.range(1)
+      .select(lit("Sheet1").as("sheet"), lit(0).as("sheet_idx"), lit(1L).as("row_idx"),
+        array(lit("ok"), lit("qty"), lit("qty"), lit("price")).as("cells"))
+    graft.sources.ExcelSource.toTableDF(header.unionByName(data), None)
+      .orderBy("row_idx")
+  }
+
+  val qExcelTableSql: String =
+    """WITH g AS (
+      |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) + 1 AS row_idx,
+      |    CAST(l_orderkey AS VARCHAR) AS ok,
+      |    CAST(l_quantity AS VARCHAR) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price
+      |  FROM lineitem)
+      |SELECT row_idx, ok, qty, price FROM g ORDER BY row_idx""".stripMargin
+
   // ---- Config routing ---------------------------------------------------
   /** Configs built as JSON strings from supplier rows, parsed with from_json
     * and routed type_id → handler, mirroring Aggregator::getHandlerByType.

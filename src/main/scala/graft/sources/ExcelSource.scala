@@ -75,24 +75,46 @@ object ExcelSource {
       .flatMap(parseXlsx(_))
   }
 
-  /** Reference pipeline: grid → optional A1 range → first row is the header,
-    * remaining rows become named columns padded/truncated to the header
-    * (ExcelInputHandler.php:159-186). Header discovery is one tiny driver
-    * action (as with Spark's own csv header inference).
-    */
   /** Canonical snake_case column view of a GridRow Dataset. */
   def gridDF(grid: Dataset[GridRow]): DataFrame =
     grid.toDF("sheet", "sheet_idx", "row_idx", "cells")
 
-  def toTable(grid: Dataset[GridRow], range: Option[String]): DataFrame = {
-    val sliced = selectRange(gridDF(grid), range)
+  /** Reference pipeline: grid → optional A1 range → first row is the header,
+    * remaining rows become named columns
+    * (ExcelInputHandler.php:159-186, `buildCollectionFromRows`). Reference
+    * parity details: PhpSpreadsheet's toArray/rangeToArray rectangularizes,
+    * so the effective header is the first row PADDED to the widest row in
+    * range (missing header cells → null), and PHP's array_combine collapses
+    * duplicate column names with the LAST occurrence's value at the FIRST
+    * occurrence's position (null/empty names all collapse into one "" key).
+    * Spark columns need non-empty names, so the "" key surfaces as `_c<i>`.
+    * Header discovery and the width probe are two tiny driver actions (as
+    * with Spark's own csv header inference); rows shorter than the header
+    * read as nulls (array_pad parity).
+    */
+  def toTable(grid: Dataset[GridRow], range: Option[String]): DataFrame =
+    toTableDF(gridDF(grid), range)
+
+  /** [[toTable]] over an already-columnar grid frame (sheet, sheet_idx,
+    * row_idx, cells).
+    */
+  def toTableDF(grid: DataFrame, range: Option[String]): DataFrame = {
+    val sliced = selectRange(grid, range)
     val headerRow = sliced.orderBy("row_idx").limit(1).collect()
     require(headerRow.nonEmpty, "Excel: no rows in range")
     val headerIdx = headerRow.head.getAs[Long]("row_idx")
-    val header = headerRow.head.getSeq[String](headerRow.head.fieldIndex("cells")).toVector
-    val cols = header.zipWithIndex.map { case (name, i) =>
-      element_at(col("cells"), i + 1).as(Option(name).filter(_.nonEmpty).getOrElse(s"_c$i"))
-    }
+    val rawHeader = headerRow.head.getSeq[String](headerRow.head.fieldIndex("cells")).toVector
+    val width = sliced.agg(max(size(col("cells")))).first().getInt(0)
+    // header padded to the rectangularized width, names normalized (null→"")
+    val named = rawHeader.padTo(math.max(width, rawHeader.size), null: String)
+      .zipWithIndex.map { case (n, i) => (Option(n).getOrElse(""), i) }
+    // array_combine: position of first occurrence, cell of last occurrence
+    val lastIdx = named.groupMapReduce(_._1)(_._2)(math.max)
+    val cols = named.filter { case (n, i) => named.indexWhere(_._1 == n) == i }
+      .map { case (n, firstI) =>
+        val cellI = lastIdx(n)
+        element_at(col("cells"), cellI + 1).as(if (n.isEmpty) s"_c$firstI" else n)
+      }
     sliced.filter(col("row_idx") > headerIdx)
       .select(col("row_idx") +: cols: _*)
   }

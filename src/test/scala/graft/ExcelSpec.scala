@@ -54,6 +54,35 @@ class ExcelSpec extends SparkSpec {
     assert(all.map(_.getString(1)).toSeq == Seq("upc", "111", "222"))
   }
 
+  test("toTable: duplicate header names collapse last-occurrence-wins (array_combine parity)") {
+    val bytes = XlsxTestWriter.build(Seq(
+      "S" -> Seq(
+        Seq("id", "qty", "qty", "price"),
+        Seq("a", 1, 2, 9.5),
+        Seq("b", 3, 4, 1.5))))
+    val grid = spark.createDataset(ExcelSource.parseXlsx(bytes).toSeq)
+    val table = ExcelSource.toTable(grid, None).orderBy("row_idx")
+    assert(table.columns.toSeq == Seq("row_idx", "id", "qty", "price"))
+    // qty must carry cell 3 (the LAST occurrence), not cell 2
+    assert(table.collect().map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("a", "2"), ("b", "4")))
+  }
+
+  test("toTable: data wider than the header reads through padded null-name columns") {
+    // PhpSpreadsheet rectangularizes, so header gains null cells → all
+    // collapse into ONE trailing column (PHP "" key, last occurrence wins)
+    val bytes = XlsxTestWriter.build(Seq(
+      "S" -> Seq(
+        Seq("id"),
+        Seq("a", "x1", "x2"),
+        Seq("b"))))
+    val grid = spark.createDataset(ExcelSource.parseXlsx(bytes).toSeq)
+    val table = ExcelSource.toTable(grid, None).orderBy("row_idx")
+    assert(table.columns.toSeq == Seq("row_idx", "id", "_c1"))
+    assert(table.collect().map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("a", "x2"), ("b", null)))
+  }
+
   test("inline-string cells parse like shared strings") {
     // hand-build a sheet using t="inlineStr" (<is><t>) instead of the sst
     val bos = new java.io.ByteArrayOutputStream()
