@@ -305,19 +305,57 @@ object Dedup {
     docs.join(winners, idCol)
   }
 
-  /** SimHash near-dup candidates: 64-bit fingerprints bucketed by 16-bit
-    * quarters (any hamming-≤3 pair shares ≥1 identical quarter — pigeonhole;
-    * cutoffs above 3 are best-effort recall),
-    * verified by exact hamming distance.
+  /** SimHash near-dup candidates: 64-bit fingerprints bucketed so any
+    * hamming-≤3 pair shares ≥1 bucket key (pigeonhole-complete; cutoffs
+    * above 3 are best-effort recall), verified by exact hamming distance.
+    *
+    * Two pigeonhole-complete bucketings, selected by corpus size:
+    *
+    *  - QUARTERS (default below `blockThreshold` docs): 4 tables of 16-bit
+    *    keys — 3 flipped bits leave ≥1 of 4 quarters clean. Cheap (4 keys/
+    *    doc) but only 2¹⁶ buckets per table: at 10⁹ docs every bucket holds
+    *    ~15k fingerprints and the in-bucket pair scan goes quadratic.
+    *  - BLOCKS (auto at corpus scale): 64 bits split into 6 blocks
+    *    (11/11/11/11/10/10); 3 flipped bits leave ≥3 of 6 blocks clean, so
+    *    every ≤3-distant pair agrees on at least one of the C(6,3)=20
+    *    3-block combinations. Key = combo-seeded injective polynomial of
+    *    the 3 block values → 20 tables of ~2³²-key space; buckets stay
+    *    tiny at 10⁹+ docs at the price of 20 keys/doc.
+    *
+    * Both produce IDENTICAL results (each emits a superset of the ≤3-
+    * distant pairs, exact-hamming verified, then distinct) — the spec
+    * proves block == quarter == all-pairs, so the oracle evidence covers
+    * the branch a 100 TB run takes.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                   blockKeys: Option[Boolean] = None,
+                   blockThreshold: Long = 4000000L): DataFrame = {
     val fp = docs.select(col(idCol).as("id"), NativeHash.simhash64(col(textCol)).as("sim"))
-    val quarters = fp.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)), q =>
-        call_function("shiftright", col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))).as(Seq("q", "chunk")))
-    quarters.as("a")
-      .join(quarters.as("b"),
-        col("a.q") === col("b.q") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+    val useBlocks = blockKeys.getOrElse(docs.count() > blockThreshold)
+    val keyed =
+      if (useBlocks) {
+        val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+        val keyExprs = blocks.indices.combinations(3).toSeq.zipWithIndex.map {
+          case (combo, ci) =>
+            combo.foldLeft(lit(ci.toLong)) { (acc, bi) =>
+              val (shift, width) = blocks(bi)
+              // polynomial base > 2^11 ⇒ injective over the block values
+              acc * lit(1000003L) + call_function("shiftright", col("sim"), lit(shift))
+                .bitwiseAND(lit((1L << width) - 1))
+            }
+        }
+        fp.select(col("id"), col("sim"), explode(array(keyExprs: _*)).as("bk"))
+      } else {
+        fp.select(col("id"), col("sim"),
+          explode(transform(sequence(lit(0), lit(3)), q =>
+            // quarter index seeds the key so one equi-join column carries
+            // (table, chunk) identity, same shape as the block path
+            q.cast("long") * lit(1000003L) +
+              call_function("shiftright", col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))).as("bk"))
+      }
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       // filter BEFORE distinct: the hamming cut runs map-side on the raw
