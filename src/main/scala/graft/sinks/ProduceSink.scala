@@ -38,4 +38,28 @@ object ProduceSink {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Kafka swap-in contract (production; broker + connector absent here, so
+    * nothing executes — resolution happens at `start()`). The Kafka sink
+    * consumes exactly the (key string, value string) frame [[toMessages]]
+    * already produces; topic routes via the sink option like the
+    * reference's producer (`KafkaProducer.php` produces to one configured
+    * output topic). The checkpoint carries the exactly-once-per-epoch sink
+    * state, the same contract [[streamTo]] pins for the file sink.
+    */
+  def kafkaSinkOptions(bootstrapServers: String, topic: String,
+                       checkpoint: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic"                   -> topic,
+    "checkpointLocation"      -> checkpoint)
+
+  /** The configured (unstarted) Kafka writer: `.start()` on a cluster with
+    * the connector is the only production delta vs [[streamTo]].
+    */
+  def kafkaWriter(df: DataFrame, keyCol: String, bootstrapServers: String,
+                  topic: String, checkpoint: String): DataStreamWriter[Row] =
+    toMessages(df, keyCol)
+      .writeStream
+      .format("kafka")
+      .options(kafkaSinkOptions(bootstrapServers, topic, checkpoint))
 }

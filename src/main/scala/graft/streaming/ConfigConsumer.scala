@@ -18,6 +18,40 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object ConfigConsumer {
 
+  /** Kafka swap-in contract (production; the broker and the
+    * spark-sql-kafka connector are absent in this container, so nothing
+    * here can execute — resolution happens at `load()`). Option names are
+    * the Structured-Streaming Kafka source's public surface; subscribe =
+    * the reference's config topic (`KafkaConsumer.php` subscribes one
+    * topic, blocking reads → `startingOffsets=earliest` + committed
+    * checkpointed progress reproduce its at-least-once consume).
+    */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+                         startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe"               -> topic,
+    "startingOffsets"         -> startingOffsets,
+    // a consumer loop must outlive topic retention cleanup, like the
+    // reference's forever-running CLI consumer
+    "failOnDataLoss"          -> "false")
+
+  /** The configured (unresolved, unstarted) Kafka reader for the config
+    * topic: `kafkaReader(...).load()` on a cluster with the connector is
+    * the only production delta vs the file stream in [[start]].
+    */
+  def kafkaReader(spark: SparkSession, bootstrapServers: String, topic: String,
+                  startingOffsets: String = "earliest"): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(bootstrapServers, topic, startingOffsets))
+
+  /** Kafka source frame (key/value binary, topic, partition, offset, …) →
+    * the one-message-per-row text frame the consumer loop processes. Pure
+    * transform: testable against a static frame with the Kafka source
+    * schema, no broker needed.
+    */
+  def kafkaMessages(kafkaFrame: DataFrame): DataFrame =
+    kafkaFrame.selectExpr("CAST(value AS STRING) AS value")
+
   def start(
       spark: SparkSession,
       configDir: String,
