@@ -443,7 +443,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
-      (args: Seq[Expression]) => TopKAgg(args(0), args(1), args(2))
+      (args: Seq[Expression]) =>
+        if (args.size >= 4) TopKAgg(args(0), args(1), args(2), args(3))
+        else TopKAgg(args(0), args(1), args(2))
     ))
   }
 }

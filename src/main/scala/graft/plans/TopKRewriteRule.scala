@@ -2,17 +2,19 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Auto-rewrite of the "top-k per key" window idiom into the bounded
   * [[TopKAgg]] aggregate:
   *
   * {{{
-  *   Filter(rn <= k)                      Project(cols..., rn = pos+1)
-  *     Window(rn = row_number()     =>      Generate(posexplode(topk))
-  *            over p order o)                 Aggregate(p, graft_topk(k, enc(o), struct(cols)))
+  *   Filter(rn <= k)                      Project(cols..., rn = pos+1 | __rank)
+  *     Window(rn = row_number() | rank()    Generate(posexplode(topk))
+  *            over p order o)          =>     Aggregate(p, graft_topk(k, enc(o), struct(cols), ties))
   * }}}
   *
   * Why: the window formulation shuffles and sorts EVERY row of every group;
@@ -21,13 +23,18 @@ import org.apache.spark.sql.types._
   * the latest-order-per-customer shape at sf0.1; at 100 TB the shuffle
   * carries k·|keys| rows instead of |rows|).
   *
-  * Safety: fires only when every ORDER BY key is integral-like (int/long/
-  * date/timestamp/boolean — encoded order-isomorphically into the agg's
-  * array<long> sort key, descending = "kept first"), the partition keys are
-  * plain attributes, k ≤ spark.graft.topk.rewrite.maxK, and the bound is a
-  * literal. Ties beyond the ORDER BY keys are arbitrary in BOTH
-  * formulations, so results are plan-equivalent. Disable with
-  * spark.graft.topk.rewrite=false.
+  * Safety: fires when every ORDER BY key is integral-like (int/long/date/
+  * timestamp/boolean — encoded order-isomorphically into the agg's
+  * array<long> sort key) or STRING (any string key switches the whole sort
+  * key to the array<binary> mode: order-preserving byte blobs, exact — see
+  * [[TopKAgg]]), the partition keys are plain attributes, k ≤
+  * spark.graft.topk.rewrite.maxK, and the bound is a literal. Every
+  * nullable sort key contributes a separate null-flag element encoding the
+  * window's null placement — nulls never share an encoding with extreme
+  * real values. `row_number()` keeps arbitrary ties like the window does;
+  * `rank()` rewrites with keep_ties=true (every rank ≤ k row retained, the
+  * rank restored from the aggregate's own tie-aware numbering). Disable
+  * with spark.graft.topk.rewrite=false.
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
@@ -45,24 +52,44 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       // with a Project on top we know which columns survive — the topk
       // payload struct then carries ONLY those through the shuffle
       case p @ Project(_, f @ Filter(cond,
-          w @ Window(Seq(Alias(WindowExpression(_: RowNumber, spec), _)), partSpec, orderSpec, child, _)))
-          if spec.partitionSpec == partSpec && spec.orderSpec == orderSpec =>
-        rewrite(f, w, cond, partSpec, orderSpec, child, needed = Some(p.references))
+          w @ Window(Seq(Alias(WindowExpression(rankFn, spec), _)), partSpec, orderSpec, child, _)))
+          if rankLike(rankFn).isDefined && spec.partitionSpec == partSpec && spec.orderSpec == orderSpec =>
+        rewrite(f, w, cond, partSpec, orderSpec, child, needed = Some(p.references),
+            tieRank = rankLike(rankFn).get)
           .map(r => p.copy(child = r)).getOrElse(p)
       case f @ Filter(cond,
-          w @ Window(Seq(Alias(WindowExpression(_: RowNumber, spec), _)), partSpec, orderSpec, child, _))
-          if spec.partitionSpec == partSpec && spec.orderSpec == orderSpec =>
-        rewrite(f, w, cond, partSpec, orderSpec, child, needed = None).getOrElse(f)
+          w @ Window(Seq(Alias(WindowExpression(rankFn, spec), _)), partSpec, orderSpec, child, _))
+          if rankLike(rankFn).isDefined && spec.partitionSpec == partSpec && spec.orderSpec == orderSpec =>
+        rewrite(f, w, cond, partSpec, orderSpec, child, needed = None,
+          tieRank = rankLike(rankFn).get).getOrElse(f)
     }
+
+  /** Some(false) = row_number (arbitrary ties), Some(true) = rank (keep
+    * ties); None = not rewritable. dense_rank is NOT rewritable to a
+    * k-bounded heap (k distinct key VALUES can cover unbounded rows whose
+    * per-row ranks the heap can't see).
+    */
+  private def rankLike(e: Expression): Option[Boolean] = e match {
+    case _: RowNumber => Some(false)
+    case _: Rank      => Some(true)
+    case _            => None
+  }
 
   private def rewrite(f: Filter, w: Window, cond: Expression, partSpec: Seq[Expression],
                       orderSpec: Seq[SortOrder], child: LogicalPlan,
-                      needed: Option[AttributeSet]): Option[LogicalPlan] = {
+                      needed: Option[AttributeSet], tieRank: Boolean): Option[LogicalPlan] = {
     val rnAttr = w.windowOutputSet.head
     val partAttrs = partSpec.collect { case a: AttributeReference => a }
     if (partAttrs.size != partSpec.size) return None
-    if (orderSpec.isEmpty || !orderSpec.forall(so => encodable(so.child.dataType))) return None
+    if (orderSpec.isEmpty) return None
     if (orderSpec.exists(so => !so.child.deterministic)) return None
+    // any string key switches ALL keys to the binary encoding (one array,
+    // one element type); otherwise the cheaper long encoding carries them
+    val useBinary =
+      if (orderSpec.forall(so => integralEncodable(so.child.dataType))) false
+      else if (orderSpec.forall(so =>
+        integralEncodable(so.child.dataType) || so.child.dataType == StringType)) true
+      else return None
 
     // split the filter: exactly one conjunct bounds rn, the rest must not see rn
     val conjuncts = splitConjuncts(cond)
@@ -87,25 +114,33 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         if (payloadAttrs.isEmpty) return None
         val payload = CreateNamedStruct(
           payloadAttrs.flatMap(a => Seq(Literal(a.name), a)))
-        val ordArray = CreateArray(orderSpec.map(encode))
-        val aggFn = TopKAgg(Literal(kv), ordArray, payload)
+        val ordArray = CreateArray(orderSpec.flatMap(so =>
+          if (useBinary) encodeBinary(so) else encodeLong(so)))
+        val aggFn = TopKAgg(Literal(kv), ordArray, payload, Literal(tieRank))
         val topkAlias = Alias(
           AggregateExpression(aggFn, aggregate.Complete, isDistinct = false), "__graft_topk")()
         val agg = Aggregate(partAttrs, (partAttrs: Seq[NamedExpression]) :+ topkAlias, child, None)
 
         val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
-        val elemAttr = AttributeReference("__graft_row", payload.dataType, nullable = false)()
+        val elemType = aggFn.dataType.asInstanceOf[ArrayType].elementType
+        val elemAttr = AttributeReference("__graft_row", elemType, nullable = false)()
         val gen = Generate(PosExplode(topkAlias.toAttribute),
           unrequiredChildIndex = Seq(partAttrs.size), outer = false, qualifier = None,
           generatorOutput = Seq(posAttr, elemAttr), agg)
 
+        // rank mode wraps the payload: struct<__rank int, __row payload>
+        val rowExpr: Expression =
+          if (tieRank) GetStructField(elemAttr, 1, Some("__row")) else elemAttr
         val fieldIdx = payloadAttrs.map(_.exprId).zipWithIndex.toMap
         val restored: Seq[NamedExpression] = child.output.collect {
           case a if partAttrs.exists(_.exprId == a.exprId) => a
           case a if fieldIdx.contains(a.exprId) =>
-            Alias(GetStructField(elemAttr, fieldIdx(a.exprId), Some(a.name)), a.name)(exprId = a.exprId)
+            Alias(GetStructField(rowExpr, fieldIdx(a.exprId), Some(a.name)), a.name)(exprId = a.exprId)
         }
-        val rnRestored = Alias(Add(posAttr, Literal(1)), rnAttr.name)(exprId = rnAttr.exprId)
+        val rnRestored =
+          if (tieRank)
+            Alias(GetStructField(elemAttr, 0, Some("__rank")), rnAttr.name)(exprId = rnAttr.exprId)
+          else Alias(Add(posAttr, Literal(1)), rnAttr.name)(exprId = rnAttr.exprId)
         val project = Project(restored :+ rnRestored, gen)
         Some(if (residual.isEmpty) project
              else Filter(residual.reduce(And), project))
@@ -129,18 +164,35 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def encodable(dt: DataType): Boolean = dt match {
+  private def integralEncodable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType |
          TimestampNTZType | BooleanType => true
     case _ => false
   }
 
+  /** The null-placement flag element preceding every nullable key: larger =
+    * kept first, so the null rows get the larger flag exactly when the
+    * window sorts them first. A SEPARATE element (not a sentinel value in
+    * the key's own range) — Long.MaxValue/MinValue are real encodings of
+    * extreme values and must stay distinguishable from null.
+    */
+  private def nullFlag(so: SortOrder, mk: Long => Literal): Seq[Expression] =
+    if (!so.child.nullable) Nil
+    else {
+      val (nullV, nonNullV) = so.nullOrdering match {
+        case NullsFirst => (mk(1L), mk(0L)) // first ⇒ best ⇒ larger
+        case NullsLast  => (mk(0L), mk(1L))
+      }
+      Seq(If(IsNull(so.child), nullV, nonNullV))
+    }
+
   /** Order-isomorphic long encoding: "earlier in the window's sort order" ⇒
     * "larger encoded value" (TopKAgg keeps the largest). Bitwise NOT
-    * reverses long order without overflow; nulls map to the boundary that
-    * reproduces the sort's null placement.
+    * reverses long order without overflow; null rows read a constant 0 in
+    * the value slot — their placement is already decided by the flag
+    * element.
     */
-  private def encode(so: SortOrder): Expression = {
+  private def encodeLong(so: SortOrder): Seq[Expression] = {
     val asLong: Expression = so.child.dataType match {
       case LongType    => so.child
       case BooleanType => Cast(so.child, LongType)
@@ -150,11 +202,26 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case Ascending  => BitwiseNot(asLong)
       case Descending => asLong
     }
-    val nullBoundary = (so.direction, so.nullOrdering) match {
-      case (_, NullsFirst) => Literal(Long.MaxValue) // first ⇒ best ⇒ largest
-      case (_, NullsLast)  => Literal(Long.MinValue)
+    val value = if (so.child.nullable) If(IsNull(so.child), Literal(0L), nonNull) else nonNull
+    nullFlag(so, v => Literal(v)) :+ value
+  }
+
+  /** Order-preserving byte encoding (strings exact — see [[OrderedBytes]]);
+    * integral keys ride along as 8-byte blobs of the same long encoding.
+    */
+  private def encodeBinary(so: SortOrder): Seq[Expression] = {
+    val invert = so.direction == Ascending // kept-first = largest encoding
+    val nonNull: Expression = so.child.dataType match {
+      case StringType => OrderedBytes(so.child, invert)
+      case LongType   => OrderedBytes(so.child, invert)
+      case BooleanType => OrderedBytes(Cast(so.child, LongType), invert)
+      case _          => OrderedBytes(OrdinalLong(so.child), invert)
     }
-    if (so.child.nullable) If(IsNull(so.child), nullBoundary, nonNull) else nonNull
+    val value =
+      if (so.child.nullable)
+        If(IsNull(so.child), Literal(Array[Byte](0), BinaryType), nonNull)
+      else nonNull
+    nullFlag(so, v => Literal(Array[Byte](0, v.toByte), BinaryType)) :+ value
   }
 }
 
@@ -173,5 +240,44 @@ private[plans] case class OrdinalLong(child: Expression) extends UnaryExpression
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     defineCodeGen(ctx, ev, c => s"(long)($c)")
   override protected def withNewChildInternal(newChild: Expression): OrdinalLong =
+    copy(child = newChild)
+}
+
+/** Order-preserving binary sort-key blob for [[TopKAgg]]'s array<binary>
+  * mode. Byte 0 is the tie-mode header [[TopKAgg]] compares by; the rest:
+  *
+  *  - strings: UTF-8 bytes (unsigned bytewise compare == Spark's
+  *    UTF8String order). `invert` flips every byte AND sets the header so
+  *    common-prefix ties resolve shorter-first — an EXACT order reversal
+  *    (bit-flipping alone gets prefix pairs backwards; truncated-prefix
+  *    schemes are not exact at all).
+  *  - longs: 8 bytes big-endian with the sign bit flipped (unsigned byte
+  *    order == signed long order); fixed width, so the header never
+  *    matters.
+  */
+private[plans] case class OrderedBytes(child: Expression, invert: Boolean)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType =>
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val out = new Array[Byte](bytes.length + 1)
+      out(0) = if (invert) 1 else 0
+      var i = 0
+      while (i < bytes.length) {
+        out(i + 1) = if (invert) (~bytes(i)).toByte else bytes(i)
+        i += 1
+      }
+      out
+    case _ =>
+      val raw = input.asInstanceOf[Long] ^ Long.MinValue
+      val v = if (invert) ~raw else raw
+      Array[Byte](0,
+        (v >>> 56).toByte, (v >>> 48).toByte, (v >>> 40).toByte, (v >>> 32).toByte,
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedBytes =
     copy(child = newChild)
 }

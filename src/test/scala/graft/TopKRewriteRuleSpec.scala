@@ -59,13 +59,102 @@ class TopKRewriteRuleSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.size == 5)
   }
 
-  test("non-encodable order keys (string/double) do NOT rewrite") {
+  test("non-encodable order keys (double) do NOT rewrite") {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
     val q = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
     assert(!hasTopK(q))
-    val w2 = Window.partitionBy("o_custkey").orderBy(col("o_orderstatus").asc)
-    val q2 = orders.withColumn("rn", row_number().over(w2)).filter(col("rn") <= 2)
-    assert(!hasTopK(q2))
+  }
+
+  test("string order keys rewrite via the binary encoding and match the window plan") {
+    // o_orderkey tiebreak makes row_number deterministic across plans
+    for (ordCol <- Seq(col("o_orderstatus").asc, col("o_orderstatus").desc)) {
+      val w = Window.partitionBy("o_custkey").orderBy(ordCol, col("o_orderkey").asc)
+      def q = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      assert(hasTopK(q), s"string key $ordCol should rewrite")
+      val got = collectSorted(q)
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val want = try collectSorted(q) finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(got.toSeq == want.toSeq && got.nonEmpty)
+    }
+  }
+
+  test("string prefix pairs and nulls order exactly (inverted byte encoding)") {
+    // "ab" vs "abc" is where truncated/bit-flipped schemes break: the
+    // inverted mode must still reverse order exactly, nulls must follow
+    // the window's null placement
+    val data = Seq((1L, "ab", 1L), (1L, "abc", 2L), (1L, "aa", 3L), (1L, "b", 4L),
+      (1L, "", 5L), (1L, null, 6L), (1L, "ab", 7L), (1L, null, 8L),
+      (2L, "abc", 9L), (2L, "ab", 10L)).toDF("k", "s", "id")
+    val variants = Seq(col("s").asc, col("s").desc, col("s").asc_nulls_last, col("s").desc_nulls_first)
+    for (ordCol <- variants; kBound <- Seq(1, 2, 3, 5)) {
+      val w = Window.partitionBy("k").orderBy(ordCol, col("id").asc)
+      def q = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= kBound)
+      assert(hasTopK(q), s"$ordCol k=$kBound should rewrite")
+      val got = q.collect().map(_.toSeq).sortBy(_.toString)
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val want = try q.collect().map(_.toSeq).sortBy(_.toString)
+                 finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(got.toSeq == want.toSeq, s"variant $ordCol k=$kBound diverged")
+    }
+  }
+
+  test("null rows stay distinguishable from extreme-valued rows at the k boundary") {
+    // regression: the old encoding mapped NullsFirst-null to Long.MaxValue,
+    // which collides with BitwiseNot(Long.MinValue) under asc — a null row
+    // and a Long.MinValue row became an arbitrary tie at the cut
+    val data = Seq(
+      (1L, java.lang.Long.valueOf(Long.MinValue), 1L),
+      (1L, null.asInstanceOf[java.lang.Long], 2L),
+      (1L, java.lang.Long.valueOf(Long.MaxValue), 3L),
+      (1L, null.asInstanceOf[java.lang.Long], 4L),
+      (1L, java.lang.Long.valueOf(0L), 5L)).toDF("k", "ord", "id")
+    val variants = Seq(col("ord").asc, col("ord").desc, col("ord").asc_nulls_last,
+      col("ord").desc_nulls_first)
+    for (ordCol <- variants; kBound <- 1 to 4) {
+      val w = Window.partitionBy("k").orderBy(ordCol, col("id").asc)
+      def q = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= kBound)
+      assert(hasTopK(q))
+      val got = q.collect().map(_.toSeq).sortBy(_.toString)
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val want = try q.collect().map(_.toSeq).sortBy(_.toString)
+                 finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(got.toSeq == want.toSeq, s"boundary variant $ordCol k=$kBound diverged")
+    }
+  }
+
+  test("rank() <= k rewrites with keep_ties and retains every tying row") {
+    // o_orderdate alone ties heavily within a customer — rank keeps all
+    // rows of the cut rank, so the result set is deterministic
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc)
+    def q = orders.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
+    assert(hasTopK(q), q.queryExecution.optimizedPlan.toString)
+    val got = collectSorted(q)
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    val want = try {
+      val d = q
+      assert(!hasTopK(d))
+      collectSorted(d)
+    } finally spark.conf.unset("spark.graft.topk.rewrite")
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("rank ties at the boundary survive across partial-merge paths") {
+    // many copies of the boundary key per partition so map-side partials
+    // carry tie lists through merge
+    val data = Seq.tabulate(4000) { i =>
+      (i % 7L, (i % 5).toLong, i.toLong)
+    }.toDF("k", "ord", "id").repartition(8)
+    for (kBound <- Seq(1, 2, 3)) {
+      val w = Window.partitionBy("k").orderBy(col("ord").desc)
+      def q = data.withColumn("rn", rank().over(w)).filter(col("rn") <= kBound)
+      assert(hasTopK(q))
+      val got = q.collect().map(_.toSeq).sortBy(_.toString)
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val want = try q.collect().map(_.toSeq).sortBy(_.toString)
+                 finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(got.toSeq == want.toSeq, s"rank ties k=$kBound diverged")
+      assert(got.size >= kBound, "tie groups must widen the result")
+    }
   }
 
   test("randomized: rewrite matches the window plan across k/direction/null-ordering") {
@@ -93,10 +182,12 @@ class TopKRewriteRuleSpec extends SparkSpec {
     }
   }
 
-  test("rank()/large k/non-literal bounds are left alone") {
+  test("dense_rank()/large k are left alone") {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
-    val ranked = orders.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
-    assert(!hasTopK(ranked))
+    // dense_rank over k distinct VALUES can cover unbounded rows — not
+    // expressible as a k-bounded heap
+    val denseRanked = orders.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 2)
+    assert(!hasTopK(denseRanked))
     val bigK = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 100000)
     assert(!hasTopK(bigK))
   }
