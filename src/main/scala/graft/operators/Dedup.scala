@@ -218,7 +218,7 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
-                   broadcastThreshold: Long = 8192L): DataFrame = {
+                   broadcastThreshold: Long = 1024L): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
 
     // cross-group pairs: rep pairs × member ids via two equi-joins on the
@@ -255,7 +255,7 @@ object Dedup {
     */
   def dropDuplicatesNear(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
-                         broadcastThreshold: Long = 8192L, maxRounds: Int = 50): DataFrame = {
+                         broadcastThreshold: Long = 1024L, maxRounds: Int = 50): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
     val gm = g.groups.select(col("set_key"), col("gmin"))
     // rep pairs → undirected edges over group-min node ids

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The minhash BANDED path (the 100 TB branch) on a corpus big enough to
-  * route past the broadcast probe (>8192 distinct word sets), with the
+  * route past the broadcast probe (>1024 distinct word sets), with the
   * skew shape the single-value-band design dies on: words present in EVERY
   * document.
   *
@@ -33,7 +33,7 @@ class MinhashBandedSpec extends SparkSpec {
     base.unionByName(variant)
   }
 
-  test("banded path (auto-selected on >8192 sets) finds exactly the constructed pairs") {
+  test("banded path (auto-selected on >1024 sets) finds exactly the constructed pairs") {
     val docs = corpus()
     val pairs = Dedup.nearDupPairs(docs, "id", "text", threshold = 0.8).collect()
     Caches.release()
