@@ -246,16 +246,25 @@ object Dedup {
     * Never expands to doc pairs: clustering runs on the REP graph (one node
     * per distinct word set, labeled by the group's min doc id), so a
     * boilerplate page with 10⁸ copies contributes ONE node, not 10¹⁶ pairs.
-    * Components form by iterative min-label propagation — each round is one
-    * shuffle join over rep edges plus a pointer-halving label-of-label
-    * lookup, so rounds grow with log(component diameter), and near-dup
-    * graphs at useful thresholds are dense/clique-ish (tiny diameters).
-    * Every round localCheckpoints the label frame: lineage stays constant-
-    * depth and superseded blocks are released by the ContextCleaner.
+    *
+    * Component strategy, chosen like a planner would (both routes produce
+    * identical components — spec-asserted):
+    *  - rep-edge count ≤ `collectEdgeThreshold` → BOUNDED driver union-find
+    *    (path compression, union-by-min). Rep edges are the post-verify
+    *    pairs of DISTINCT word sets — already collapsed quadratically by
+    *    canonicalization — and 4M edges is ~64 MB: the same bounded
+    *    control-plane class as IVF's quantizer sample. One job instead of
+    *    3 jobs × rounds.
+    *  - above it → distributed min-label propagation: each round is one
+    *    shuffle join over rep edges plus a pointer-halving label-of-label
+    *    lookup, so rounds grow with log(component diameter). Every round
+    *    localCheckpoints the label frame: lineage stays constant-depth and
+    *    superseded blocks are released by the ContextCleaner.
     */
   def dropDuplicatesNear(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
-                         broadcastThreshold: Long = 1024L, maxRounds: Int = 50): DataFrame = {
+                         broadcastThreshold: Long = 1024L, maxRounds: Int = 50,
+                         collectEdgeThreshold: Long = 1L << 22): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
     val gm = g.groups.select(col("set_key"), col("gmin"))
     // rep pairs → undirected edges over group-min node ids
@@ -263,45 +272,78 @@ object Dedup {
       .join(gm.select(col("set_key").as("id_a"), col("gmin").as("ga")), "id_a")
       .join(gm.select(col("set_key").as("id_b"), col("gmin").as("gb")), "id_b")
       .select("ga", "gb")
-    val edges = e0.select(col("ga").as("src"), col("gb").as("dst"))
-      .unionByName(e0.select(col("gb").as("src"), col("ga").as("dst")))
-      .persist() // re-read every propagation round
-    Caches.register(edges)
+      .persist() // consumed by count + (collect | both union directions)
+    Caches.register(e0)
+    val nEdges = e0.count()
 
-    // only nodes with ≥1 near-dup edge iterate; isolated groups keep their
-    // own min unconditionally (at corpus scale that is almost everything)
-    val touched = edges.select(col("src").as("node")).distinct()
-    var labels = touched.select(col("node"), col("node").as("lbl")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val byNbr = edges
-        .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
-        .groupBy("src").agg(min(col("dlbl")).as("nlbl"))
-        .withColumnRenamed("src", "node")
-      val step1 = labels.join(byNbr, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("l1"))
-      // pointer halving: also adopt the label OF the adopted label — this is
-      // what turns O(diameter) rounds into O(log diameter)
-      val step2 = step1
-        .join(labels.select(col("node").as("ln"), col("lbl").as("llbl")),
-          step1("l1") === col("ln"), "left")
-        .select(col("node"), col("old"),
-          least(col("l1"), coalesce(col("llbl"), col("l1"))).as("lbl"))
-        .localCheckpoint()
-      changed = step2.filter(col("lbl") =!= col("old")).count()
-      labels = step2.select("node", "lbl")
-      rounds += 1
-    }
-    require(changed == 0,
-      s"dropDuplicatesNear: min-label propagation did not converge in $maxRounds rounds")
+    val spark = docs.sparkSession
+    val winnersTouched: DataFrame =
+      if (nEdges <= collectEdgeThreshold) {
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x
+          while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        e0.collect().foreach { row =>
+          val ra = find(row.getLong(0))
+          val rb = find(row.getLong(1))
+          // union-by-min: roots only ever decrease, so the final root IS
+          // the component's minimum doc id
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+        val roots = new java.util.HashSet[java.lang.Long]()
+        parent.keySet().forEach(n => { roots.add(find(n)); () })
+        // nodes never unioned under anything are their own root; they are
+        // not in `parent`, but they are winners via the untouched path or
+        // as roots of other nodes — collect explicit roots only
+        import scala.jdk.CollectionConverters._
+        import spark.implicits._
+        spark.createDataset(roots.asScala.map(Long.unbox).toSeq).toDF(idCol)
+      } else {
+        val edges = e0.select(col("ga").as("src"), col("gb").as("dst"))
+          .unionByName(e0.select(col("gb").as("src"), col("ga").as("dst")))
+          .persist() // re-read every propagation round
+        Caches.register(edges)
+        val touched = edges.select(col("src").as("node")).distinct()
+        var labels = touched.select(col("node"), col("node").as("lbl")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < maxRounds) {
+          val byNbr = edges
+            .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
+            .groupBy("src").agg(min(col("dlbl")).as("nlbl"))
+            .withColumnRenamed("src", "node")
+          val step1 = labels.join(byNbr, Seq("node"), "left")
+            .select(col("node"), col("lbl").as("old"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("l1"))
+          // pointer halving: also adopt the label OF the adopted label —
+          // this is what turns O(diameter) rounds into O(log diameter)
+          val step2 = step1
+            .join(labels.select(col("node").as("ln"), col("lbl").as("llbl")),
+              step1("l1") === col("ln"), "left")
+            .select(col("node"), col("old"),
+              least(col("l1"), coalesce(col("llbl"), col("l1"))).as("lbl"))
+            .localCheckpoint()
+          changed = step2.filter(col("lbl") =!= col("old")).count()
+          labels = step2.select("node", "lbl")
+          rounds += 1
+        }
+        require(changed == 0,
+          s"dropDuplicatesNear: min-label propagation did not converge in $maxRounds rounds")
+        labels.select(col("lbl").as(idCol)).distinct()
+      }
 
     // cluster label = min doc id of the component ⇒ the winner IS the doc
-    // whose id equals the label
-    val winners = labels.select(col("lbl").as(idCol)).distinct()
+    // whose id equals the label; isolated groups (no near-dup edge) keep
+    // their own min unconditionally
+    val touchedNodes = e0.select(col("ga").as(idCol))
+      .unionByName(e0.select(col("gb").as(idCol))).distinct()
+    val winners = winnersTouched
       .unionByName(g.groups.select(col("gmin").as(idCol))
-        .join(touched.withColumnRenamed("node", idCol), Seq(idCol), "left_anti"))
+        .join(touchedNodes, Seq(idCol), "left_anti"))
     docs.join(winners, idCol)
   }
 

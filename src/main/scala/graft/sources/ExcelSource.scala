@@ -99,12 +99,21 @@ object ExcelSource {
     * row_idx, cells).
     */
   def toTableDF(grid: DataFrame, range: Option[String]): DataFrame = {
-    val sliced = selectRange(grid, range)
-    val headerRow = sliced.orderBy("row_idx").limit(1).collect()
-    require(headerRow.nonEmpty, "Excel: no rows in range")
-    val headerIdx = headerRow.head.getAs[Long]("row_idx")
-    val rawHeader = headerRow.head.getSeq[String](headerRow.head.fieldIndex("cells")).toVector
-    val width = sliced.agg(max(size(col("cells")))).first().getInt(0)
+    // the probe action and the caller's own action both consume the sliced
+    // grid — persist so the (possibly expensive) upstream computes once
+    val sliced = selectRange(grid, range).persist()
+    graft.operators.Caches.register(sliced)
+    // ONE probe job for header row, header position and rectangularized
+    // width (min_by picks the first row; three scans would triple the
+    // upstream cost)
+    val probe = sliced.agg(
+      min(col("row_idx")).as("hidx"),
+      min_by(col("cells"), col("row_idx")).as("header"),
+      max(size(col("cells"))).as("width")).first()
+    require(!probe.isNullAt(0), "Excel: no rows in range")
+    val headerIdx = probe.getLong(0)
+    val rawHeader = probe.getSeq[String](1).toVector
+    val width = probe.getInt(2)
     // header padded to the rectangularized width, names normalized (null→"")
     val named = rawHeader.padTo(math.max(width, rawHeader.size), null: String)
       .zipWithIndex.map { case (n, i) => (Option(n).getOrElse(""), i) }

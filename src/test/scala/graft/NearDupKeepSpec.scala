@@ -73,6 +73,18 @@ class NearDupKeepSpec extends SparkSpec {
     assert(kept == Seq(0L), s"chain should collapse to doc 0, got $kept")
   }
 
+  test("driver union-find and distributed label propagation keep identical survivors") {
+    val docs = corpus()
+    val viaUnionFind = Dedup.dropDuplicatesNear(docs, "id", "text", 0.8)
+      .select("id").orderBy("id").collect().toSeq
+    Caches.release()
+    // collectEdgeThreshold = -1 forces the distributed propagation loop
+    val viaLoop = Dedup.dropDuplicatesNear(docs, "id", "text", 0.8, collectEdgeThreshold = -1L)
+      .select("id").orderBy("id").collect().toSeq
+    Caches.release()
+    assert(viaUnionFind == viaLoop && viaUnionFind.nonEmpty)
+  }
+
   test("no collect_list anywhere in the materializer or pair plans") {
     val docs = corpus()
     for (df <- Seq(
