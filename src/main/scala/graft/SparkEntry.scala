@@ -43,6 +43,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_dedup_minhash_banded" -> (LlmQueries.qDedupMinhashBanded _),
     "q_dedup_near_keep"    -> (LlmQueries.qDedupNearKeep _),
+    "q_decontaminate"      -> (LlmQueries.qDecontaminate _),
     "q_dedup_embed"        -> (LlmQueries.qDedupEmbed _),
     "q_curation_pipeline"  -> (LlmQueries.qCurationPipeline _),
     "q_stratified_sample"  -> (LlmQueries.qStratifiedSample _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_dedup_minhash_banded" -> LlmQueries.qDedupMinhashSql,
     "q_dedup_near_keep"    -> LlmQueries.qDedupNearKeepSql,
+    "q_decontaminate"      -> LlmQueries.qDecontaminateSql,
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
     "q_ann_lsh"            -> LlmQueries.qAnnLshSql,
     "q_curation_pipeline"  -> LlmQueries.qCurationPipelineSql,

@@ -349,6 +349,43 @@ object LlmQueries {
       |FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ---- benchmark decontamination ------------------------------------------
+  /** Every 50th doc plays the eval benchmark; the query returns the
+    * surviving corpus docs with their 3-gram containment stats (docs whose
+    * shingles are >50% contained in the benchmark set are contaminated and
+    * dropped). The corpus's heavy near-dup structure guarantees real
+    * contamination hits at sf scales.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.operators.Decontaminate.overlap(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .filter(col("overlap_ratio") <= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+      |    ELSE [array_to_string(t, ' ')] END AS gs
+      |  FROM t),
+      |bsh AS (SELECT DISTINCT g FROM (SELECT unnest(list_distinct(gs)) AS g FROM sh WHERE doc_id % 50 = 0)),
+      |csh AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM sh WHERE doc_id % 50 <> 0),
+      |hits AS (
+      |  SELECT c.doc_id, count(*) AS n_shingles, count(b.g) AS matched
+      |  FROM csh c LEFT JOIN bsh b ON c.g = b.g
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, n_shingles, matched,
+      |  CAST(matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_ratio
+      |FROM hits
+      |WHERE CAST(matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) <= 0.5
+      |ORDER BY doc_id""".stripMargin
+
   // ---- stratified deterministic sampling ---------------------------------
   /** Corpus rebalancing: keep 25% of English, 70% of German, 50% of
     * everything else — hash-deterministic, so the sample is identical on

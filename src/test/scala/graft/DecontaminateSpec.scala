@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Decontaminate
+import org.apache.spark.sql.functions._
+
+/** Cross-corpus n-gram containment decontamination on constructed
+  * contamination: verbatim leaks, partial quotes, clean docs, short docs.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchText = "the quick brown fox jumps over the lazy dog tonight"
+
+  private def benchmark = Seq((100L, benchText)).toDF("id", "text")
+
+  private def corpus = Seq(
+    (1L, benchText),                                           // verbatim leak → 1.0
+    (2L, s"intro words here $benchText and a tail"),           // mostly contained
+    (3L, "completely unrelated content about spark plans and shuffles today"),
+    (4L, "quick brown fox appears briefly in otherwise novel running text about engines"),
+    (5L, "tiny doc")                                           // < n words: single whole-text shingle
+  ).toDF("id", "text")
+
+  test("overlap ratios: verbatim = 1.0, clean = 0.0, partial in between") {
+    val stats = Decontaminate.overlap(corpus, benchmark, "id", "text", n = 3)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(stats(1L) == 1.0)
+    assert(stats(2L) > 0.5 && stats(2L) < 1.0, s"partial quote: ${stats(2L)}")
+    assert(stats(3L) == 0.0)
+    assert(stats(4L) > 0.0 && stats(4L) < 0.2, s"brief mention: ${stats(4L)}")
+    assert(stats(5L) == 0.0, "whole-text shingle of a short doc must not match")
+  }
+
+  test("dropContaminated keeps exactly the low-overlap docs, bodies intact") {
+    val kept = Decontaminate.dropContaminated(corpus, benchmark, "id", "text",
+        n = 3, maxOverlap = 0.5)
+      .orderBy("id").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    assert(kept.forall(_.getString(1).nonEmpty))
+  }
+
+  test("benchmark shingle set broadcasts (plan contract)") {
+    val plan = Decontaminate.overlap(corpus, benchmark, "id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}
