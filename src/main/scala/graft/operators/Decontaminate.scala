@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,12 +25,14 @@ object Decontaminate {
   /** Per-corpus-doc overlap stats: (id, n_shingles, matched, overlap_ratio). */
   def overlap(corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
               n: Int = 8): DataFrame = {
+    // native one-pass shingle set: the declarative HOF
+    // (array_distinct(TF.wordShingles)) evaluates interpreted, ~10× slower
+    val shingles = graft.plans.NativeHash.shingleSet(col(textCol), n)
     val bsh = benchmark
-      .select(explode(array_distinct(TF.wordShingles(col(textCol), n))).as("g"))
+      .select(explode(shingles).as("g"))
       .distinct()
       .withColumn("__hit", lit(1))
-    val csh = corpus.select(col(idCol).as("id"),
-      explode(array_distinct(TF.wordShingles(col(textCol), n))).as("g"))
+    val csh = corpus.select(col(idCol).as("id"), explode(shingles).as("g"))
     csh.join(broadcast(bsh), Seq("g"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("matched"))

@@ -333,6 +333,40 @@ object NativeHash {
     override def prettyName: String = "graft_sorted_isect"
   }
 
+  /** Distinct word n-gram shingles in one native pass. The declarative
+    * `transform(sequence(…), i => array_join(slice(…)))` higher-order
+    * function evaluates interpreted and allocates a fresh slice per
+    * position — measured ~10× slower on the decontamination probe at
+    * sf0.1. Docs with < n tokens contribute their whole token stream as
+    * ONE shingle (TextFunctions.wordShingles parity; empty text → the ""
+    * shingle, like the declarative form and the DuckDB mirror).
+    */
+  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      if (toks.length < n) out.add(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out.add(UTF8String.fromString(sb.toString))
+          i += 1
+        }
+      }
+      new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size())))
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleSet = copy(child = newChild)
+  }
+
   /** Per-document top-n-gram frequency ratio in one pass — the shuffle-free
     * form of the Gopher repetition gate. The explode+groupBy formulation
     * shuffles every n-gram twice; this computes `(max count / total, total)`
@@ -376,6 +410,8 @@ object NativeHash {
 
   def topNgramRatio(c: Column, n: Int): Column = call_function("graft_top_ngram_ratio", c, lit(n))
 
+  def shingleSet(c: Column, n: Int): Column = call_function("graft_shingle_set", c, lit(n))
+
   def sortedIntersectSize(a: Column, b: Column): Column = call_function("graft_sorted_isect", a, b)
 
   def lshBucket(v: Column, nPlanes: Int): Column = call_function("graft_lsh_bucket", v, lit(nPlanes))
@@ -409,6 +445,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_ngram_ratio"),
       new ExpressionInfo(classOf[NativeHash.TopNgramRatio].getName, "graft_top_ngram_ratio"),
       (args: Seq[Expression]) => NativeHash.TopNgramRatio(args.head, args(1).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[NativeHash.ShingleSet].getName, "graft_shingle_set"),
+      (args: Seq[Expression]) => NativeHash.ShingleSet(args.head, args(1).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),

@@ -40,6 +40,24 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept.forall(_.getString(1).nonEmpty))
   }
 
+  test("native shingle set == declarative array_distinct(wordShingles) on random text") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("a", "bb", "ccc", "Dd", "e!", "ff", "g", "hh", "", "  ")
+    val texts = (1 to 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ ((99L, ""))
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = df.select(col("id"),
+        explode(graft.plans.NativeHash.shingleSet(col("text"), n)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val declarative = df.select(col("id"),
+        explode(array_distinct(graft.functions.TextFunctions.wordShingles(col("text"), n))).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(native == declarative, s"n=$n diverged")
+    }
+  }
+
   test("benchmark shingle set broadcasts (plan contract)") {
     val plan = Decontaminate.overlap(corpus, benchmark, "id", "text", n = 3)
       .queryExecution.executedPlan.toString
