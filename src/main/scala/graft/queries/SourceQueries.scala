@@ -134,8 +134,12 @@ object SourceQueries {
     * carries row indexes from the file and needs no index at all.
     */
   def qExcelRange(s: SparkSession, dir: String): DataFrame = {
+    // prune BEFORE the global index: globalRowNumber persists its input,
+    // so pruning after it would still scan and cache all 16 columns
     val grid = graft.operators.Scale
-      .globalRowNumber(table(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      .globalRowNumber(table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber"))
       .select(lit("Sheet1").as("sheet"), lit(0).as("sheet_idx"), col("row_idx"),
         array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
           col("l_quantity").cast("string"),
@@ -165,7 +169,9 @@ object SourceQueries {
     */
   def qExcelTable(s: SparkSession, dir: String): DataFrame = {
     val data = graft.operators.Scale
-      .globalRowNumber(table(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      .globalRowNumber(table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber"))
       .select(lit("Sheet1").as("sheet"), lit(0).as("sheet_idx"), (col("row_idx") + 1).as("row_idx"),
         array(col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
           col("l_quantity").cast("string"),
