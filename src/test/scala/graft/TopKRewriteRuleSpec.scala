@@ -84,7 +84,10 @@ class TopKRewriteRuleSpec extends SparkSpec {
     // the window's null placement
     val data = Seq((1L, "ab", 1L), (1L, "abc", 2L), (1L, "aa", 3L), (1L, "b", 4L),
       (1L, "", 5L), (1L, null, 6L), (1L, "ab", 7L), (1L, null, 8L),
-      (2L, "abc", 9L), (2L, "ab", 10L)).toDF("k", "s", "id")
+      (2L, "abc", 9L), (2L, "ab", 10L),
+      // multi-byte UTF-8: the byte encoding must order like UTF8String
+      (3L, "é", 11L), (3L, "e", 12L), (3L, "aé", 13L), (3L, "a", 14L),
+      (3L, "z😀", 15L), (3L, "z", 16L), (3L, "éb", 17L)).toDF("k", "s", "id")
     val variants = Seq(col("s").asc, col("s").desc, col("s").asc_nulls_last, col("s").desc_nulls_first)
     for (ordCol <- variants; kBound <- Seq(1, 2, 3, 5)) {
       val w = Window.partitionBy("k").orderBy(ordCol, col("id").asc)
