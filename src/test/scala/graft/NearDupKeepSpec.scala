@@ -85,6 +85,20 @@ class NearDupKeepSpec extends SparkSpec {
     assert(viaUnionFind == viaLoop && viaUnionFind.nonEmpty)
   }
 
+  test("corpus with no near-dups keeps every doc (empty edge set, both routes)") {
+    // disjoint word blocks, no copies → zero rep pairs
+    val docs = spark.range(50).select(col("id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("u"), (col("id") * 10 + lit(j)).cast("string"))): _*).as("text"))
+    for (thresholdForce <- Seq(1L << 22, -1L)) {
+      val kept = Dedup.dropDuplicatesNear(docs, "id", "text", 0.8,
+          collectEdgeThreshold = thresholdForce)
+        .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      Caches.release()
+      assert(kept == (0L until 50L), s"route $thresholdForce dropped docs")
+    }
+  }
+
   test("no collect_list anywhere in the materializer or pair plans") {
     val docs = corpus()
     for (df <- Seq(
