@@ -47,12 +47,18 @@ object Bench {
     // per-run cost (canonicalization, persists, driver counts). Interleaving
     // keeps a transient machine-load spike from landing on every run of one
     // query (the r2 driver bench showed exactly that artifact).
+    // a transient failure must not pin the metric at -1 when a later run
+    // succeeds: a successful time always replaces the failure marker
+    def record(m: scala.collection.mutable.Map[String, Double], name: String, t: Double): Unit =
+      if (t >= 0) {
+        val prev = m.getOrElse(name, Double.MaxValue)
+        m(name) = if (prev < 0) t else math.min(prev, t)
+      } else m.getOrElseUpdate(name, -1.0)
     val cold = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to 3; (name, fn) <- order) {
       val t = time(fn)
       graft.operators.Caches.release()
-      if (t >= 0) cold(name) = math.min(cold.getOrElse(name, Double.MaxValue), t)
-      else cold.getOrElseUpdate(name, -1.0)
+      record(cold, name, t)
     }
     // WARM (steady-state): three back-to-back runs per query with caches
     // RETAINED within the query (Spark's CacheManager reuses persisted
@@ -61,11 +67,7 @@ object Bench {
     // stable axis on both regimes.
     val warm = scala.collection.mutable.Map.empty[String, Double]
     for ((name, fn) <- order) {
-      for (_ <- 1 to 3) {
-        val t = time(fn)
-        if (t >= 0) warm(name) = math.min(warm.getOrElse(name, Double.MaxValue), t)
-        else warm.getOrElseUpdate(name, -1.0)
-      }
+      for (_ <- 1 to 3) record(warm, name, time(fn))
       graft.operators.Caches.release()
     }
     def js(m: collection.Map[String, Double]): String =

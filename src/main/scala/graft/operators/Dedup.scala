@@ -279,8 +279,18 @@ object Dedup {
     val spark = docs.sparkSession
     val winnersTouched: DataFrame =
       if (nEdges <= collectEdgeThreshold) {
-        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-        def find(x: Long): Long = {
+        // id-type agnostic like every other Dedup entry point: ids compare
+        // through their external natural order, EXCEPT strings, which use
+        // UTF8String byte order so both CC routes pick the same minimum
+        // (java.lang.String order diverges on non-BMP code points)
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: String, y: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(x)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+          case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        }
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
           var r = x
           while (parent.getOrDefault(r, r) != r) r = parent.get(r)
           var c = x
@@ -288,20 +298,22 @@ object Dedup {
           r
         }
         e0.collect().foreach { row =>
-          val ra = find(row.getLong(0))
-          val rb = find(row.getLong(1))
+          val ra = find(row.get(0))
+          val rb = find(row.get(1))
           // union-by-min: roots only ever decrease, so the final root IS
           // the component's minimum doc id
-          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+          if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
         }
-        val roots = new java.util.HashSet[java.lang.Long]()
+        val roots = new java.util.HashSet[Any]()
         parent.keySet().forEach(n => { roots.add(find(n)); () })
         // nodes never unioned under anything are their own root; they are
         // not in `parent`, but they are winners via the untouched path or
         // as roots of other nodes — collect explicit roots only
         import scala.jdk.CollectionConverters._
-        import spark.implicits._
-        spark.createDataset(roots.asScala.map(Long.unbox).toSeq).toDF(idCol)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, e0.schema.head.dataType)))
+        spark.createDataFrame(
+          roots.asScala.toSeq.map(v => org.apache.spark.sql.Row(v)).asJava, schema)
       } else {
         val edges = e0.select(col("ga").as("src"), col("gb").as("dst"))
           .unionByName(e0.select(col("gb").as("src"), col("ga").as("dst")))
@@ -372,8 +384,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
                    blockKeys: Option[Boolean] = None,
                    blockThreshold: Long = 4000000L): DataFrame = {
+    // persist the slim fingerprint frame: the self-join reads it twice, and
+    // the auto-mode count below then shares that one computation instead of
+    // forcing an extra full pass over the raw corpus
     val fp = docs.select(col(idCol).as("id"), NativeHash.simhash64(col(textCol)).as("sim"))
-    val useBlocks = blockKeys.getOrElse(docs.count() > blockThreshold)
+      .persist()
+    Caches.register(fp)
+    val useBlocks = blockKeys.getOrElse(fp.count() > blockThreshold)
     val keyed =
       if (useBlocks) {
         val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
@@ -381,8 +398,12 @@ object Dedup {
           case (combo, ci) =>
             combo.foldLeft(lit(ci.toLong)) { (acc, bi) =>
               val (shift, width) = blocks(bi)
-              // polynomial base > 2^11 ⇒ injective over the block values
-              acc * lit(1000003L) + call_function("shiftright", col("sim"), lit(shift))
+              // exact bit-packing (block values < 2^11): key = combo index
+              // in the top bits over three 11-bit slots — ci·2³³ + v₁·2²² +
+              // v₂·2¹¹ + v₃ < 20·2³³, truly injective across all 20 tables
+              // (a polynomial base like 1000003 overflows Long at ci ≥ 10
+              // and can merge buckets across combos)
+              acc * lit(2048L) + call_function("shiftright", col("sim"), lit(shift))
                 .bitwiseAND(lit((1L << width) - 1))
             }
         }

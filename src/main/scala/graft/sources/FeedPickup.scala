@@ -43,17 +43,23 @@ object FeedPickup {
       .map(p => dir.resolve(p)).getOrElse(dir)
     if (!Files.isDirectory(subDir)) return Map.empty
 
-    val candidates = Files.list(subDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith(prefix))
-      .toSeq
+    // Files.list holds an open DirectoryStream — close it or a long-running
+    // consumer leaks one fd per pickup
+    val listing = Files.list(subDir)
+    val candidates =
+      try listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith(prefix))
+        .toSeq
+      finally listing.close()
+    val ordered = candidates
       .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
-    if (candidates.isEmpty) return Map.empty
+    if (ordered.isEmpty) return Map.empty
 
     val history = subDir.resolve(HistoryDir)
     if (!Files.exists(history)) Files.createDirectories(history)
 
-    val latest = candidates.last
-    candidates.init.foreach { p =>
+    val latest = ordered.last
+    ordered.init.foreach { p =>
       Files.move(p, history.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
     }
     Map(latest.getFileName.toString -> Files.readAllBytes(latest))

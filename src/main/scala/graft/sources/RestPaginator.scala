@@ -44,20 +44,28 @@ object RestPaginator {
 
   /** Append/merge query params (reference `withQuery`,
     * RestApiInputHandler.php:135-159 — later params override existing).
+    * Existing values DECODE before the rebuild re-encodes, exactly like
+    * the reference's parse_str + http_build_query round trip — otherwise a
+    * base URL carrying `filter=a%20b` would reach the server
+    * double-encoded as `a%2520b`.
     */
   def withQuery(url: String, params: Seq[(String, String)]): String = {
     val (base, query) = url.split("\\?", 2) match {
       case Array(b, q) => (b, q)
       case _           => (url, "")
     }
+    def dec(s: String): String =
+      try java.net.URLDecoder.decode(s, "UTF-8") catch { case _: IllegalArgumentException => s }
     val existing = query.split("&").filter(_.nonEmpty).map { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => k -> v
-        case Array(k)    => k -> ""
+        case Array(k, v) => dec(k) -> dec(v)
+        case Array(k)    => dec(k) -> ""
       }
     }.toSeq
     val merged = (existing.filterNot(e => params.exists(_._1 == e._1)) ++ params)
-      .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
+      .map { case (k, v) =>
+        s"${java.net.URLEncoder.encode(k, "UTF-8")}=${java.net.URLEncoder.encode(v, "UTF-8")}"
+      }
     base + (if (merged.nonEmpty) "?" + merged.mkString("&") else "")
   }
 
@@ -109,8 +117,11 @@ object RestPaginator {
   def spool(dir: Path, pages: Seq[String]): Path = {
     Files.createDirectories(dir)
     pages.zipWithIndex.foreach { case (body, i) =>
+      // one page = one LINE for the line-based distributed reader; \r must
+      // flatten too (Hadoop's line reader treats a bare CR as a delimiter,
+      // so CRLF-pretty-printed responses would shatter into fragments)
       Files.write(dir.resolve(f"page-${i + 1}%05d.json"),
-        body.replace("\n", " ").getBytes("UTF-8"))
+        body.replace("\r", " ").replace("\n", " ").getBytes("UTF-8"))
     }
     dir
   }

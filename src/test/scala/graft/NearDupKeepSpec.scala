@@ -99,6 +99,24 @@ class NearDupKeepSpec extends SparkSpec {
     }
   }
 
+  test("string ids work on both CC routes and keep the same (UTF8-min) survivors") {
+    // near-dup cluster with string ids: route choice must not change the
+    // supported id types or the chosen minimum
+    val rows = (0 until 6).map { v =>
+      (f"doc-${9 - v}%02d", (v * 2 until v * 2 + 40).map(i => s"w$i").mkString(" "))
+    }
+    import spark.implicits._
+    val docs = rows.toDF("id", "text") // ids doc-09..doc-04; min = doc-04
+    val viaUnionFind = Dedup.dropDuplicatesNear(docs, "id", "text", 0.8)
+      .select("id").collect().map(_.getString(0)).toSeq.sorted
+    Caches.release()
+    val viaLoop = Dedup.dropDuplicatesNear(docs, "id", "text", 0.8, collectEdgeThreshold = -1L)
+      .select("id").collect().map(_.getString(0)).toSeq.sorted
+    Caches.release()
+    assert(viaUnionFind == viaLoop)
+    assert(viaUnionFind.contains("doc-04"))
+  }
+
   test("no collect_list anywhere in the materializer or pair plans") {
     val docs = corpus()
     for (df <- Seq(

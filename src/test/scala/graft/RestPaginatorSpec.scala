@@ -88,6 +88,26 @@ class RestPaginatorSpec extends SparkSpec {
     assert(RestPaginator.withQuery("https://h/p?a=1&page=9", Seq("page" -> "2", "per_page" -> "5"))
       == "https://h/p?a=1&page=2&per_page=5")
     assert(RestPaginator.withQuery("https://h/p", Nil) == "https://h/p")
+    // pre-encoded existing values must NOT double-encode (parse_str +
+    // http_build_query round-trip parity): %20 stays %20, not %2520
+    assert(RestPaginator.withQuery("https://h/p?filter=a%20b", Seq("page" -> "1"))
+      == "https://h/p?filter=a+b&page=1" ||
+      RestPaginator.withQuery("https://h/p?filter=a%20b", Seq("page" -> "1"))
+      == "https://h/p?filter=a%20b&page=1")
+    assert(!RestPaginator.withQuery("https://h/p?filter=a%20b", Seq("page" -> "1")).contains("%25"))
+  }
+
+  test("spool flattens CR and LF so each page is exactly one line for the distributed reader") {
+    val dir = RestPaginator.spool(
+      java.nio.file.Files.createTempDirectory("rest_crlf"),
+      Seq("{\r\n  \"data\": [{\"k\": 1}],\r\n  \"meta\": {}\r\n}"))
+    val rows = RestJsonSource.read(spark, dir.toString,
+        new StructType().add("k", IntegerType))
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(1))
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(dir).iterator().next()), "UTF-8")
+    assert(!raw.contains("\r") && !raw.contains("\n"))
   }
 
   test("walk → spool → RestJsonSource.read: distributed ingest of the walked pages") {
