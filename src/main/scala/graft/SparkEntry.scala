@@ -43,10 +43,12 @@ object SparkEntry {
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_dedup_minhash_banded" -> (LlmQueries.qDedupMinhashBanded _),
     "q_dedup_near_keep"    -> (LlmQueries.qDedupNearKeep _),
+    "q_dedup_incremental"  -> (LlmQueries.qDedupIncremental _),
     "q_decontaminate"      -> (LlmQueries.qDecontaminate _),
     "q_dedup_embed"        -> (LlmQueries.qDedupEmbed _),
     "q_curation_pipeline"  -> (LlmQueries.qCurationPipeline _),
     "q_stratified_sample"  -> (LlmQueries.qStratifiedSample _),
+    "q_token_budget_mix"   -> (LlmQueries.qTokenBudgetMix _),
     "q_seq_pack"           -> (LlmQueries.qSeqPack _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
@@ -95,11 +97,13 @@ object SparkEntry {
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_dedup_minhash_banded" -> LlmQueries.qDedupMinhashSql,
     "q_dedup_near_keep"    -> LlmQueries.qDedupNearKeepSql,
+    "q_dedup_incremental"  -> LlmQueries.qDedupIncrementalSql,
     "q_decontaminate"      -> LlmQueries.qDecontaminateSql,
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
     "q_ann_lsh"            -> LlmQueries.qAnnLshSql,
     "q_curation_pipeline"  -> LlmQueries.qCurationPipelineSql,
     "q_stratified_sample"  -> LlmQueries.qStratifiedSampleSql,
+    "q_token_budget_mix"   -> LlmQueries.qTokenBudgetMixSql,
     "q_seq_pack"           -> LlmQueries.qSeqPackSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,

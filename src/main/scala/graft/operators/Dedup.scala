@@ -359,6 +359,104 @@ object Dedup {
     docs.join(winners, idCol)
   }
 
+  /** The persistent corpus near-dup INDEX: one row per DISTINCT word set —
+    * (set_key, words, sz, bks). At 100 TB this is computed once, stored
+    * alongside the corpus, and every incremental batch probes it
+    * ([[incrementalSurvivors]]) — a production corpus is never re-minhashed
+    * per ingest.
+    *
+    * Build shape mirrors [[setGraph]]: the full-corpus pass produces only
+    * slim (id, set_key) rows; word arrays and signatures are derived from
+    * one representative document per distinct set, so canonical duplicates
+    * never carry arrays through the shuffle.
+    */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 20, r: Int = 2, shingleN: Int = 1): DataFrame = {
+    val units = setUnits(shingleN)
+    val keyed = corpus.select(
+      col(idCol).as("__gmin"),
+      md5(array_join(sort_array(units(col(textCol))), " ")).as("set_key"))
+    val skeleton = keyed.groupBy("set_key").agg(min(col("__gmin")).as("__gmin"))
+    skeleton
+      .join(corpus.select(col(idCol).as("__gmin"), col(textCol).as("__text")), "__gmin")
+      .select(col("set_key"), sort_array(units(col("__text"))).as("words"))
+      .withColumn("sz", size(col("words")))
+      .withColumn("bks",
+        bandKeys(NativeHash.minhashSignature(array_join(col("words"), " "), bands * r), bands, r))
+  }
+
+  /** INCREMENTAL dedup — the shape a production 100 TB corpus actually runs:
+    * new batch rows survive iff no document already in the corpus is a
+    * near-duplicate (word/shingle-set jaccard ≥ threshold). Exact duplicates
+    * are subsumed — identical normalized text means an identical unit set,
+    * jaccard 1.0 ≥ any threshold — so one corpus index serves both gates.
+    *
+    * Scale: the batch is small next to the corpus by construction, so every
+    * batch-derived frame BROADCASTS — the probe costs one scan of the corpus
+    * index (or of the corpus itself when the index is built inline) and
+    * batch-sized work, with NO corpus shuffle and no corpus self-join.
+    * Within-batch dedup is deliberately out of scope (compose with
+    * [[dropDuplicatesNear]] on the batch first); survivors here are "safe to
+    * append", and their index rows are exactly [[buildNearDupIndex]] of the
+    * survivor set — the incremental loop closes.
+    *
+    * Recall: identical LSH parameters to [[nearDupPairs]] — P[candidate
+    * miss] = (1 − j^r)^bands ≈ 1.3e-9 at j = 0.8 with the defaults, then
+    * exact-jaccard verify.
+    */
+  def incrementalSurvivors(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, bands: Int = 20, r: Int = 2,
+                           shingleN: Int = 1): DataFrame = {
+    val index = buildNearDupIndex(corpus, idCol, textCol, bands, r, shingleN)
+    probeSurvivors(index, batch, idCol, textCol, threshold, bands, r, shingleN)
+  }
+
+  /** Probe a prebuilt [[buildNearDupIndex]] frame with a new batch; returns
+    * the surviving batch rows. See [[incrementalSurvivors]].
+    */
+  def probeSurvivors(index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, bands: Int = 20, r: Int = 2,
+                     shingleN: Int = 1): DataFrame = {
+    val units = setUnits(shingleN)
+    // one batch pass → slim (id, set_key); canonical batch duplicates probe once
+    val keyed = batch.select(
+      col(idCol).as("__bid"),
+      md5(array_join(sort_array(units(col(textCol))), " ")).as("__bkey"))
+      .persist()
+    Caches.register(keyed)
+    val bReps = keyed.groupBy("__bkey").agg(min(col("__bid")).as("__bid"))
+      .join(batch.select(col(idCol).as("__bid"), col(textCol).as("__btext")), "__bid")
+      .select(col("__bkey"), sort_array(units(col("__btext"))).as("__bwords"))
+      .withColumn("__bsz", size(col("__bwords")))
+      .withColumn("__bbks",
+        bandKeys(NativeHash.minhashSignature(array_join(col("__bwords"), " "), bands * r), bands, r))
+      .persist()
+    Caches.register(bReps)
+
+    // candidate probe: corpus index streams, batch band keys broadcast — the
+    // equi-join on the band key is map-side, zero corpus shuffle. A pair
+    // agreeing on k bands is verified k times rather than paying a
+    // (set_key, bkey) distinct shuffle first: for non-dup collisions
+    // (the bulk) k ≈ 1, and for true near-dups k ≤ bands — pure bounded
+    // CPU, keeping the whole probe shuffle-free on the corpus side.
+    val bKeys = bReps.select(col("__bkey"), explode(col("__bbks")).as("__bk"))
+    val cKeys = index.select(col("set_key"), col("sz"), col("words"), explode(col("bks")).as("__bk"))
+    val contaminated = cKeys
+      .join(broadcast(bKeys), "__bk")
+      // size-ratio prune before the verify: j ≥ t ⇒ min|set| ≥ t·max|set|
+      .join(broadcast(bReps.select(col("__bkey"), col("__bsz"), col("__bwords"))), "__bkey")
+      .filter(least(col("sz"), col("__bsz")).cast("double") >=
+        lit(threshold) * greatest(col("sz"), col("__bsz")).cast("double"))
+      .withColumn("__i", NativeHash.sortedIntersectSize(col("words"), col("__bwords")))
+      .filter(col("__i").cast("double") /
+        (col("sz") + col("__bsz") - col("__i")).cast("double") >= threshold)
+      .select("__bkey").distinct()
+
+    val survivorIds = keyed.join(broadcast(contaminated), Seq("__bkey"), "left_anti")
+      .select(col("__bid").as(idCol))
+    batch.join(survivorIds, idCol)
+  }
+
   /** SimHash near-dup candidates: 64-bit fingerprints bucketed so any
     * hamming-≤3 pair shares ≥1 bucket key (pigeonhole-complete; cutoffs
     * above 3 are best-effort recall), verified by exact hamming distance.

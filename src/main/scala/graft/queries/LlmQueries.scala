@@ -103,6 +103,34 @@ object LlmQueries {
        |WHERE d.doc_id = cl.cluster_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- incremental (batch-vs-corpus) dedup --------------------------------
+  /** Every 4th doc plays the incoming batch; the rest are the existing
+    * corpus. Survivors are batch docs with NO corpus near-duplicate at
+    * jaccard ≥ 0.8 — the probe touches the corpus index without shuffling
+    * it. The oracle is the direct all-pairs batch×corpus jaccard scan.
+    */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.incrementalSurvivors(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val qDedupIncrementalSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |hit AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM w b, w c
+       |  WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+       |    AND CAST(len(list_intersect(b.words, c.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(b.words, c.words))) AS DOUBLE) >= 0.8)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id % 4 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- exact n-gram jaccard over a bounded window ------------------------
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.5)
@@ -402,6 +430,36 @@ object LlmQueries {
     """SELECT doc_id, lang FROM documents
       |WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
       |  CASE WHEN lang = 'en' THEN 25 WHEN lang = 'de' THEN 70 ELSE 50 END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- token-budget corpus mixing -----------------------------------------
+  /** Assemble a training mix: 400 tokens from src0, 900 from src1, 700
+    * from every other source — hash-priority order, so the draw is
+    * deterministic and incremental. The oracle replays the same total order
+    * as ONE window per source; the operator computes it as a two-level
+    * distributed prefix sum (see [[graft.operators.Mix]]).
+    */
+  def qTokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mix.tokenBudget(table(s, dir, "documents"),
+        "doc_id", "text", "source",
+        budgets = Map("src0" -> 400L, "src1" -> 900L), defaultBudget = 700L)
+      .orderBy("doc_id")
+
+  val qTokenBudgetMixSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 AS prio
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio % 64, prio, doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c
+      |WHERE cum_tokens <= CASE WHEN source = 'src0' THEN 400
+      |                         WHEN source = 'src1' THEN 900 ELSE 700 END
       |ORDER BY doc_id""".stripMargin
 
   // ---- sequence packing (GPT-style pack-then-chunk) ----------------------

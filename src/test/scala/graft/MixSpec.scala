@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Mix
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-budget mixing: the two-level prefix sum must equal the naive
+  * one-window-per-stratum formulation, stay within budget, and be
+  * incremental in the budget (a bigger draw only adds documents).
+  */
+class MixSpec extends SparkSpec {
+
+  /** 300 docs across 3 strata; doc i has (i % 37) + 1 words. */
+  private def docs(): DataFrame =
+    spark.range(300).select(
+      col("id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("stratum"),
+      concat_ws(" ", (0 to 36).map(j =>
+        when(lit(j) <= col("id") % 37, concat(lit("w"), lit(j))).otherwise(lit(null))): _*).as("text"))
+
+  /** Naive reference: ONE running-sum pass per stratum, computed on the
+    * driver over the same (bucket, prio, id) total order.
+    */
+  private def reference(budget: Long): Set[Long] = {
+    val rows = docs().select(col("id"), col("stratum"),
+      graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long").as("n"),
+      graft.functions.Sampling.md5Bucket(col("id"), 1000000).as("prio"))
+      .collect()
+      .map(r => (r.getString(1), r.getInt(3) % 64, r.getInt(3), r.getLong(0), r.getLong(2)))
+    rows.groupBy(_._1).values.flatMap { g =>
+      var cum = 0L
+      g.sortBy(t => (t._2, t._3, t._4)).takeWhile { t => cum += t._5; cum <= budget }
+    }.map(_._4).toSet
+  }
+
+  test("two-level prefix sum equals the single-window reference") {
+    for (b <- Seq(50L, 500L, 100000L)) {
+      val got = Mix.tokenBudget(docs(), "id", "text", "stratum", Map.empty, b)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == reference(b), s"budget $b")
+    }
+  }
+
+  test("per-stratum token totals never exceed the budget map") {
+    val out = Mix.tokenBudget(docs(), "id", "text", "stratum",
+      Map("s0" -> 100L, "s1" -> 900L), defaultBudget = 400L)
+    val sums = out.groupBy("stratum").agg(sum("n_tokens").as("t"), max("cum_tokens").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val budgets = Map("s0" -> 100L, "s1" -> 900L, "s2" -> 400L)
+    budgets.foreach { case (s, b) =>
+      assert(sums(s)._1 <= b && sums(s)._2 == sums(s)._1,
+        s"$s: ${sums(s)} vs budget $b (cum_tokens must equal the stratum's running total)")
+    }
+  }
+
+  test("budget growth is incremental: the larger draw is a superset") {
+    val small = Mix.tokenBudget(docs(), "id", "text", "stratum", Map.empty, 200L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val large = Mix.tokenBudget(docs(), "id", "text", "stratum", Map.empty, 600L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large) && small.nonEmpty && large.size > small.size)
+  }
+
+  test("selection and positions are repartition-stable and bucket-count-robust") {
+    def run(parts: Int, buckets: Int): Seq[(Long, Long)] =
+      Mix.tokenBudget(docs().repartition(parts), "id", "text", "stratum",
+        Map.empty, 500L, prioBuckets = buckets)
+        .select("id", "cum_tokens").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(run(2, 64) == run(11, 64))
+    // a different bucket count changes the total order (bucket-major), so
+    // only assert budget-respecting selection, not identity
+    val alt = run(3, 8)
+    assert(alt.nonEmpty)
+  }
+}
