@@ -49,6 +49,7 @@ object SparkEntry {
     "q_curation_pipeline"  -> (LlmQueries.qCurationPipeline _),
     "q_stratified_sample"  -> (LlmQueries.qStratifiedSample _),
     "q_token_budget_mix"   -> (LlmQueries.qTokenBudgetMix _),
+    "q_tfidf_topk"         -> (LlmQueries.qTfidfTopk _),
     "q_seq_pack"           -> (LlmQueries.qSeqPack _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_curation_pipeline"  -> LlmQueries.qCurationPipelineSql,
     "q_stratified_sample"  -> LlmQueries.qStratifiedSampleSql,
     "q_token_budget_mix"   -> LlmQueries.qTokenBudgetMixSql,
+    "q_tfidf_topk"         -> LlmQueries.qTfidfTopkSql,
     "q_seq_pack"           -> LlmQueries.qSeqPackSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus TF-IDF: the characteristic terms of every document, scored
+  * against corpus-wide document frequency — keyword extraction / topic
+  * labeling over a curation corpus (the text-analysis family of SURVEY
+  * §2.3, alongside lang-id and quality).
+  *
+  * Scoring uses the RAW idf ratio `tf · N / df` instead of `tf · ln(N/df)`:
+  * identical per-document ranking (ln is monotone), but division is an
+  * exactly-rounded IEEE operation on every engine while `ln` is not —
+  * which keeps the operator hash-exact under the DuckDB oracle. (A log
+  * variant would rank the same rows; only the score column would drift in
+  * the last ulp.)
+  *
+  * Scale shape: tokens explode into slim (doc, term) rows; tf is one
+  * map-side-combined aggregation; df aggregates the tf frame again (rows
+  * are already distinct (doc, term) pairs, so no second distinct pass);
+  * the corpus doc count rides in as a broadcast 1-row frame; df joins
+  * back by term (broadcast below `autoBroadcastJoinThreshold` — the term
+  * vocabulary is tiny next to the corpus); the final per-doc top-k window
+  * is eligible for the TopKRewriteRule heap rewrite.
+  */
+object TfIdf {
+
+  /** Top-k terms per document by tf·N/df, ties broken by term; returns
+    * (idCol, term, tf, df, score, term_rank).
+    */
+  def topKTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("__n")).cast("double") / col("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("term_rank"))
+  }
+}

@@ -462,6 +462,32 @@ object LlmQueries {
       |                         WHEN source = 'src1' THEN 900 ELSE 700 END
       |ORDER BY doc_id""".stripMargin
 
+  // ---- corpus tf-idf ------------------------------------------------------
+  /** Top-3 characteristic terms per document by tf·N/df (raw-ratio idf —
+    * same ranking as ln, exactly-rounded on every engine; see
+    * [[graft.operators.TfIdf]]).
+    */
+  def qTfidfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topKTerms(table(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "term_rank")
+
+  val qTfidfTopkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rnk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS term_rank
+      |FROM sc WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   // ---- sequence packing (GPT-style pack-then-chunk) ----------------------
   /** Pack each (lang, shard) document stream into 2048-token windows;
     * every doc reports its sequence id and token offset. Sharding keeps

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming FIRST-SEEN deduplication — the unbounded twin of
+  * `Dedup.dropDuplicatesExact`: documents flow in continuously (the shape a
+  * crawl-ingest pipeline actually has) and only the first occurrence of each
+  * fingerprint is ever emitted. The reference processes its feeds as an
+  * unbounded Kafka consumer (/root/reference/src/Command/ConsumerCommand.php);
+  * this is the same consume-forever contract for the dedup gate.
+  *
+  * Scale: state is ONE boolean per distinct fingerprint, hash-partitioned by
+  * the grouping key across executors — no per-key row buffering, no growth
+  * under duplication (a 10⁸-copy boilerplate page is still one state entry).
+  * For corpus-lifetime runs back the state store with RocksDB
+  * (`spark.sql.streaming.stateStore.providerClass`) so state lives on disk;
+  * `stateTtl` bounds it further when "seen" only needs to persist for a
+  * dedup horizon (e.g. re-crawl window) rather than forever.
+  */
+object StreamDedup {
+
+  /** Emit each document whose dedup key was never seen before; later
+    * occurrences (any micro-batch, any partition) are dropped. Within one
+    * micro-batch the smallest `idCol` value wins, so the output is
+    * deterministic given the batch boundaries — and equals the batch
+    * `dropDuplicatesExact` result whenever ids are assigned in arrival
+    * order.
+    *
+    * @param canonical dedup on the sorted word SET (order/multiplicity
+    *                  insensitive — the canonical-duplicate class minhash
+    *                  collapses) instead of normalized-text equality
+    * @param stateTtl  optional processing-time horizon after which a key is
+    *                  forgotten (re-admitting later copies); refreshed on
+    *                  every re-sighting, so only keys idle for the full
+    *                  horizon expire. With a TTL the engine re-triggers
+    *                  batches even without input to fire pending timeouts —
+    *                  run the query with a ProcessingTime trigger interval
+    *                  (not the default as-fast-as-possible), and note
+    *                  `processAllAvailable` no longer terminates (poll the
+    *                  sink instead)
+    */
+  def firstSeen(docs: DataFrame, idCol: String, textCol: String,
+                canonical: Boolean = false, stateTtl: Option[String] = None): DataFrame = {
+    val fp =
+      if (canonical) md5(array_join(sort_array(TextFunctions.wordSet(col(textCol))), " "))
+      else TextFunctions.contentFingerprint(col(textCol))
+    val keyed = docs.withColumn("__fp", fp)
+    val schema = keyed.schema
+    val idIdx = schema.fieldIndex(idCol)
+    implicit val rowEnc: Encoder[Row] = Encoders.row(schema)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val seenEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    keyed
+      .groupByKey((r: Row) => r.getAs[String]("__fp"))
+      .flatMapGroupsWithState[Boolean, Row](OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val first = !state.exists
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration) // re-sighting refreshes the horizon
+            if (!first) Iterator.empty
+            else {
+              var best: Row = null
+              rows.foreach { r =>
+                if (best == null || cmp(r.get(idIdx), best.get(idIdx)) < 0) best = r
+              }
+              Iterator(best)
+            }
+          }
+      }
+      .toDF()
+      .drop("__fp")
+  }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+}
+
+/** Streaming NEAR-dup admission gate — the `foreachBatch` production
+  * pattern: every micro-batch is probed against the corpus near-dup index
+  * with the SAME operator a bulk ingest uses
+  * ([[graft.operators.Dedup.probeSurvivors]] — batch side broadcasts, the
+  * index never shuffles), and admitted survivors' index rows append so
+  * later batches dedup against earlier admissions too. One code path
+  * serves bulk ingest and the stream; only the batching differs.
+  *
+  * The growing index lives as an eager `localCheckpoint` (constant-depth
+  * lineage across an unbounded run). A production deployment would persist
+  * appends to corpus storage instead and re-read on restart — the probe
+  * plan is identical either way.
+  */
+final class NearDupGate(initialIndex: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1) {
+  import graft.operators.{Caches, Dedup}
+
+  @volatile private var index: DataFrame = initialIndex
+  /** The current corpus index (initial ∪ admitted survivors). */
+  def currentIndex: DataFrame = index
+
+  /** Probe one batch; returns its survivors and grows the index with them.
+    * Within-batch near-dups are NOT collapsed (same contract as
+    * [[graft.operators.Dedup.probeSurvivors]] — compose with
+    * `dropDuplicatesNear` upstream when batches can self-collide).
+    */
+  def admit(batch: DataFrame): DataFrame = synchronized {
+    val survivors = Dedup.probeSurvivors(index, batch, idCol, textCol,
+      threshold, bands, r, shingleN).persist()
+    Caches.register(survivors)
+    index = index
+      .unionByName(Dedup.buildNearDupIndex(survivors, idCol, textCol, bands, r, shingleN))
+      .localCheckpoint(true)
+    survivors
+  }
+
+  /** Adapter for `writeStream.foreachBatch`: admits each micro-batch, hands
+    * survivors to `sink`, then releases the batch's operator-internal
+    * caches (an unbounded run must not accumulate pinned frames).
+    */
+  def foreachBatch(sink: DataFrame => Unit): (DataFrame, Long) => Unit = (batch, _) => {
+    val survivors = admit(batch)
+    try sink(survivors) finally Caches.release()
+  }
+}
