@@ -392,9 +392,11 @@ object Dedup {
     * jaccard 1.0 ≥ any threshold — so one corpus index serves both gates.
     *
     * Scale: the batch is small next to the corpus by construction, so every
-    * batch-derived frame BROADCASTS — the probe costs one scan of the corpus
-    * index (or of the corpus itself when the index is built inline) and
-    * batch-sized work, with NO corpus shuffle and no corpus self-join.
+    * batch-derived frame BROADCASTS — the probe costs two streamed scans of
+    * the corpus index (slim band keys for candidates, word arrays for the
+    * verify join-back) and batch-sized work, with NO corpus shuffle and no
+    * corpus self-join; only matched slim candidate pairs shuffle for their
+    * distinct.
     * Within-batch dedup is deliberately out of scope (compose with
     * [[dropDuplicatesNear]] on the batch first); survivors here are "safe to
     * append", and their index rows are exactly [[buildNearDupIndex]] of the
@@ -406,17 +408,37 @@ object Dedup {
     */
   def incrementalSurvivors(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
                            threshold: Double, bands: Int = 20, r: Int = 2,
-                           shingleN: Int = 1): DataFrame = {
+                           shingleN: Int = 1, batchBroadcastThreshold: Long = 65536L): DataFrame = {
     val index = buildNearDupIndex(corpus, idCol, textCol, bands, r, shingleN)
-    probeSurvivors(index, batch, idCol, textCol, threshold, bands, r, shingleN)
+    probeSurvivors(index, batch, idCol, textCol, threshold, bands, r, shingleN,
+      batchBroadcastThreshold)
   }
 
   /** Probe a prebuilt [[buildNearDupIndex]] frame with a new batch; returns
     * the surviving batch rows. See [[incrementalSurvivors]].
+    *
+    * Two candidate routes evaluating the SAME predicate ("∃ agreeing band
+    * key" ∩ size-compatible), chosen by distinct-batch-set count like
+    * [[setGraph]]'s planner split — results never depend on the route:
+    *
+    *  - **batch reps ≤ `batchBroadcastThreshold`** (the normal incremental
+    *    regime): ONE streamed pass over the index, batch reps broadcast,
+    *    band overlap + size prune + jaccard verify all inside the join —
+    *    each (index row × batch rep) pair is tested exactly once, nothing
+    *    explodes, nothing shuffles but the final tiny contaminated-key
+    *    distinct. (The banded explode route degenerates on short-doc /
+    *    high-similarity corpora: every true near-dup pair collides on ~all
+    *    bands, multiplying the collision stream by bands × cluster size —
+    *    measured 23M collision rows for 3.2M pairs, 20 s of distinct +
+    *    re-join at sf0.1 vs sub-second for this route.)
+    *  - **larger batches**: banded equi-join on exploded keys (per-pair
+    *    work O(colliding bands), not O(batch reps)), size-pruned on the
+    *    slim streams, distinct pairs BEFORE word arrays join back for the
+    *    verify.
     */
   def probeSurvivors(index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
                      threshold: Double, bands: Int = 20, r: Int = 2,
-                     shingleN: Int = 1): DataFrame = {
+                     shingleN: Int = 1, batchBroadcastThreshold: Long = 65536L): DataFrame = {
     val units = setUnits(shingleN)
     // one batch pass → slim (id, set_key); canonical batch duplicates probe once
     val keyed = batch.select(
@@ -433,24 +455,30 @@ object Dedup {
       .persist()
     Caches.register(bReps)
 
-    // candidate probe: corpus index streams, batch band keys broadcast — the
-    // equi-join on the band key is map-side, zero corpus shuffle. A pair
-    // agreeing on k bands is verified k times rather than paying a
-    // (set_key, bkey) distinct shuffle first: for non-dup collisions
-    // (the bulk) k ≈ 1, and for true near-dups k ≤ bands — pure bounded
-    // CPU, keeping the whole probe shuffle-free on the corpus side.
-    val bKeys = bReps.select(col("__bkey"), explode(col("__bbks")).as("__bk"))
-    val cKeys = index.select(col("set_key"), col("sz"), col("words"), explode(col("bks")).as("__bk"))
-    val contaminated = cKeys
-      .join(broadcast(bKeys), "__bk")
-      // size-ratio prune before the verify: j ≥ t ⇒ min|set| ≥ t·max|set|
-      .join(broadcast(bReps.select(col("__bkey"), col("__bsz"), col("__bwords"))), "__bkey")
-      .filter(least(col("sz"), col("__bsz")).cast("double") >=
-        lit(threshold) * greatest(col("sz"), col("__bsz")).cast("double"))
+    // j ≥ t ⇒ min|set| ≥ t·max|set| — cheap int compare before anything else
+    def sizePrune(sz: Column, bsz: Column): Column =
+      least(sz, bsz).cast("double") >= lit(threshold) * greatest(sz, bsz).cast("double")
+    def verified(pairs: DataFrame): DataFrame = pairs
       .withColumn("__i", NativeHash.sortedIntersectSize(col("words"), col("__bwords")))
       .filter(col("__i").cast("double") /
         (col("sz") + col("__bsz") - col("__i")).cast("double") >= threshold)
       .select("__bkey").distinct()
+
+    val contaminated =
+      if (bReps.count() <= batchBroadcastThreshold) {
+        verified(index.join(broadcast(bReps),
+          sizePrune(col("sz"), col("__bsz")) && arrays_overlap(col("bks"), col("__bbks"))))
+      } else {
+        val bKeys = bReps.select(col("__bkey"), col("__bsz"), explode(col("__bbks")).as("__bk"))
+        val cKeys = index.select(col("set_key"), col("sz"), explode(col("bks")).as("__bk"))
+        val cand = cKeys.join(broadcast(bKeys), "__bk")
+          .filter(sizePrune(col("sz"), col("__bsz")))
+          .select("set_key", "__bkey").distinct()
+        verified(index.select(col("set_key"), col("sz"), col("words"))
+          .join(broadcast(cand), "set_key")
+          .join(broadcast(bReps.select(col("__bkey"), col("__bsz"), col("__bwords"))), "__bkey")
+          .filter(sizePrune(col("sz"), col("__bsz"))))
+      }
 
     val survivorIds = keyed.join(broadcast(contaminated), Seq("__bkey"), "left_anti")
       .select(col("__bid").as(idCol))

@@ -74,6 +74,18 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("broadcast and banded probe routes produce identical survivors") {
+    val idx = Dedup.buildNearDupIndex(corpus(), "id", "text")
+    val bcast = Dedup.probeSurvivors(idx, batch(), "id", "text", threshold = 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Caches.release()
+    val banded = Dedup.probeSurvivors(idx, batch(), "id", "text", threshold = 0.8,
+        batchBroadcastThreshold = 0L) // force the large-batch route
+      .select("id").collect().map(_.getLong(0)).toSet
+    Caches.release()
+    assert(bcast == banded && bcast.size == 2 * n)
+  }
+
   test("result is stable under repartitioning both sides") {
     val a = Dedup.incrementalSurvivors(corpus().repartition(7), batch().repartition(3),
       "id", "text", threshold = 0.8).select("id").collect().map(_.getLong(0)).toSet
