@@ -82,6 +82,30 @@ class PlanContractSpec extends SparkSpec {
       !s.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")))
   }
 
+  test("incremental probe (broadcast route): one streamed index scan, no sort-merge join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = graft.operators.Dedup
+      .buildNearDupIndex(docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text").persist()
+    idx.count()
+    try {
+      val out = graft.operators.Dedup
+        .probeSurvivors(idx, docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", 0.8)
+      out.collect()
+      // AQE prints Final AND Initial plans — count nodes in the final only
+      val s = executed(out).toString.split("== Initial Plan ==").head
+      // candidate+verify runs as the condition-inline broadcast join: each
+      // (index row × batch rep) pair tested once, index streamed not shuffled
+      assert(s.contains("BroadcastNestedLoopJoin"), s"condition-inline probe missing:\n$s")
+      assert(!s.contains("SortMergeJoin"), "probe shuffled a side it should broadcast")
+      // the cached index is scanned exactly once (band keys + words
+      // together); attr name matched exactly — __bbks is the BATCH side
+      val idxScans = s.linesIterator.count(l =>
+        l.contains("InMemoryTableScan") && "[\\[, ]bks#".r.findFirstIn(l).isDefined)
+      assert(idxScans == 1, s"expected 1 index scan, got $idxScans:\n$s")
+    } finally { idx.unpersist(); graft.operators.Caches.release() }
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)
