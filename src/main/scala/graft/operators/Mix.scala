@@ -39,7 +39,49 @@ object Mix {
     */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
                   budgets: Map[String, Long], defaultBudget: Long,
-                  prioBuckets: Int = 64): DataFrame = {
+                  prioBuckets: Int = 64): DataFrame =
+    withCumTokens(docs, idCol, textCol, stratumCol, prioBuckets)
+      .filter(col("cum_tokens") <= budgetCol(stratumCol, budgets, defaultBudget))
+      .select(col(idCol), col(stratumCol), col("n_tokens"), col("cum_tokens"))
+
+  /** EPOCH mixing — the up-sampling form: when a stratum's budget exceeds
+    * its total token count, every document repeats for each full epoch
+    * ("3.2 epochs of Wikipedia") and the fractional epoch is the same
+    * hash-priority prefix [[tokenBudget]] draws. Output is one row per
+    * (document, epoch); downstream packing shuffles epochs apart via its
+    * (stratum, shard) keys. Deterministic and repartition-stable like the
+    * budget draw; per-stratum totals are a tiny broadcast frame, so the
+    * only data-sized work is the same two-level prefix sum plus one
+    * bounded `sequence` explode (≤ ⌈budget/total⌉ rows per doc).
+    */
+  def epochMix(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+               budgets: Map[String, Long], defaultBudget: Long,
+               prioBuckets: Int = 64): DataFrame = {
+    val cum = withCumTokens(docs, idCol, textCol, stratumCol, prioBuckets)
+    val totals = cum.groupBy(stratumCol).agg(sum("n_tokens").as("__tot"))
+    val budget = budgetCol(stratumCol, budgets, defaultBudget)
+    cum.join(broadcast(totals), stratumCol)
+      .withColumn("__full", floor(budget / col("__tot")))
+      .withColumn("__rem", budget % col("__tot"))
+      // epochs 0..__full-1 for every doc, plus the priority-prefix partial
+      .withColumn("__n", col("__full") + when(col("cum_tokens") <= col("__rem"), 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("epoch"))
+  }
+
+  private def budgetCol(stratumCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long): Column =
+    budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, b).otherwise(acc)
+    }
+
+  /** (id, stratum, n_tokens, cum_tokens) with cum_tokens the running total
+    * over the (bucket, priority, id) total order within each stratum — the
+    * two-level prefix sum described above.
+    */
+  private def withCumTokens(docs: DataFrame, idCol: String, textCol: String,
+                            stratumCol: String, prioBuckets: Int): DataFrame = {
     val base = docs.select(
       col(idCol),
       col(stratumCol),
@@ -52,12 +94,8 @@ object Mix {
       .withColumn("__off", sum("__btok").over(wBuckets) - col("__btok"))
       .select(col(stratumCol), col("__bucket"), col("__off"))
     val wInBucket = Window.partitionBy(stratumCol, "__bucket").orderBy("__prio", idCol)
-    val budget: Column = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
-      when(col(stratumCol) === s, b).otherwise(acc)
-    }
     base.join(broadcast(offsets), Seq(stratumCol, "__bucket"))
       .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wInBucket))
-      .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(stratumCol), col("n_tokens"), col("cum_tokens"))
   }
 }

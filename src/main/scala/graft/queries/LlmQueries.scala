@@ -462,6 +462,42 @@ object LlmQueries {
       |                         WHEN source = 'src1' THEN 900 ELSE 700 END
       |ORDER BY doc_id""".stripMargin
 
+  // ---- epoch mixing (up-sampling) -----------------------------------------
+  /** Up-sampling mix: src0's 4000-token budget ≈ 2.8 epochs of its ~1435
+    * tokens (2 full repeats + a hash-priority partial), src1's 800 is a
+    * partial draw only, every other source gets 1500 (≈ one epoch ± a
+    * partial). One row per (doc, epoch).
+    */
+  def qEpochMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mix.epochMix(table(s, dir, "documents"),
+        "doc_id", "text", "source",
+        budgets = Map("src0" -> 4000L, "src1" -> 800L), defaultBudget = 1500L)
+      .orderBy("doc_id", "epoch")
+
+  val qEpochMixSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 AS prio
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio % 64, prio, doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source) AS tot,
+      |    CASE WHEN source = 'src0' THEN 4000
+      |         WHEN source = 'src1' THEN 800 ELSE 1500 END AS budget
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(FLOOR(budget * 1.0 / tot) AS BIGINT) +
+      |      CASE WHEN cum_tokens <= budget % tot THEN 1 ELSE 0 END AS n_ep
+      |  FROM c)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(unnest(generate_series(0, n_ep - 1)) AS BIGINT) AS epoch
+      |FROM e WHERE n_ep > 0
+      |ORDER BY doc_id, epoch""".stripMargin
+
   // ---- corpus tf-idf ------------------------------------------------------
   /** Top-3 characteristic terms per document by tf·N/df (raw-ratio idf —
     * same ranking as ln, exactly-rounded on every engine; see

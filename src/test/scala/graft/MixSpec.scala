@@ -61,6 +61,39 @@ class MixSpec extends SparkSpec {
     assert(small.subsetOf(large) && small.nonEmpty && large.size > small.size)
   }
 
+  test("epoch mix: full repeats + priority partial, consistent with tokenBudget") {
+    // per-stratum totals: each stratum has 100 docs of (i%37)+1 words
+    val totals = docs().groupBy("stratum")
+      .agg(sum(graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals("s0") * 2 + 100 // 2 full epochs of s0 + a partial
+    val out = Mix.epochMix(docs(), "id", "text", "stratum", Map.empty, budget).persist()
+    val perDoc = out.groupBy("stratum", "id").count()
+    // every doc of every stratum appears at least floor(budget/tot) times
+    totals.foreach { case (s, tot) =>
+      val full = budget / tot
+      val counts = perDoc.filter(col("stratum") === s).select("count")
+        .collect().map(_.getLong(0))
+      assert(counts.forall(c => c == full || c == full + 1), s"$s: ${counts.toSet}")
+      // the partial epoch is exactly the tokenBudget draw of the remainder
+      val partial = out.filter(col("stratum") === s && col("epoch") === full)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expect = Mix.tokenBudget(docs(), "id", "text", "stratum", Map.empty, budget % tot)
+        .filter(col("stratum") === s).select("id").collect().map(_.getLong(0)).toSet
+      assert(partial == expect, s"$s partial epoch mismatch")
+    }
+    out.unpersist()
+  }
+
+  test("epoch mix: budget below total degenerates to the plain budget draw") {
+    val eo = Mix.epochMix(docs(), "id", "text", "stratum", Map.empty, 300L)
+    assert(eo.agg(max("epoch")).first().getLong(0) == 0L)
+    val got = eo.select("id").collect().map(_.getLong(0)).toSet
+    val want = Mix.tokenBudget(docs(), "id", "text", "stratum", Map.empty, 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("selection and positions are repartition-stable and bucket-count-robust") {
     def run(parts: Int, buckets: Int): Seq[(Long, Long)] =
       Mix.tokenBudget(docs().repartition(parts), "id", "text", "stratum",
