@@ -589,6 +589,59 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** Sub-document (span-level) dedup, C4-style: segment each document's
+    * normalized token stream into consecutive `spanWords`-token spans, keep
+    * only the globally FIRST occurrence (lowest (id, span index)) of every
+    * distinct span, and reassemble documents from their surviving spans —
+    * boilerplate paragraphs repeated across a crawl survive exactly once,
+    * everywhere else they are cut out of the text.
+    *
+    * Output: one row per input document — (id, n_spans, n_kept, text_kept),
+    * where text_kept is the surviving spans re-joined in original order
+    * (possibly empty when every span of a document occurred earlier
+    * elsewhere).
+    *
+    * Plan, sized for 100 TB: spans explode map-side (no shuffle); the
+    * winner election shuffles only slim (md5, id, idx) triples into a
+    * min(struct) aggregate with map-side combine — a boilerplate span
+    * duplicated 10⁸ times costs one partial min per map task, never an
+    * id array (same contract as [[dropDuplicatesExact]]). Span text then
+    * moves exactly twice: once through the hash-keyed winners join (the
+    * winners side is aggregate-sized; AQE splits a skewed probe
+    * partition), once through the per-document reassembly groupBy. The
+    * reassembly payload per row is bounded by the document's own length —
+    * no corpus-proportional state anywhere.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spanWords: Int = 10): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val w = TextFunctions.tokens(col(textCol))
+    // ceil(|w| / spanWords) spans; the trailing short span counts — an empty
+    // text is one empty span (split("") = [""]), so every doc emits a row.
+    val nSpans = ceil(size(w).cast("double") / lit(spanWords.toDouble)).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - lit(1)), i =>
+      array_join(slice(w, i * lit(spanWords) + lit(1), lit(spanWords)), " "))
+    val ex = docs
+      .select(col(idCol), posexplode(spans).as(Seq("span_idx", "span")))
+      .withColumn("__h", md5(col("span")))
+    val winners = ex
+      .groupBy("__h")
+      .agg(min(struct(col(idCol), col("span_idx"))).as("__win"))
+    ex.join(winners, "__h")
+      .withColumn("kept",
+        col(s"__win.$idCol") === col(idCol) && col("__win.span_idx") === col("span_idx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("span_idx"), col("kept"), col("span")))),
+              s => s.getField("kept")),
+            s => s.getField("span")),
+          " ").as("text_kept"))
+  }
+
   /** Exact all-pairs n-gram/word jaccard over a bounded id range (the
     * correctness baseline the LSH paths approximate).
     */

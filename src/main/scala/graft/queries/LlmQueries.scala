@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Curation, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -614,4 +614,60 @@ object LlmQueries {
     Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
   }
+
+  // ---- sub-document span dedup (C4-style) --------------------------------
+  /** Repeated 10-token spans keep only their globally first occurrence;
+    * documents reassemble from surviving spans. Oracle = the same
+    * first-occurrence rule via a window over every span occurrence.
+    */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(table(s, dir, "documents"), "doc_id", "text", spanWords = 10)
+      .orderBy("doc_id")
+
+  val qSpanDedupSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |spans AS (
+      |  SELECT doc_id, i AS span_idx,
+      |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS span
+      |  FROM words, LATERAL unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS g(i)),
+      |flagged AS (
+      |  SELECT doc_id, span_idx, span,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS kept
+      |  FROM spans)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(array_to_string(list(span ORDER BY span_idx) FILTER (WHERE kept), ' '), '') AS text_kept
+      |FROM flagged
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- source-level quality gate -----------------------------------------
+  /** Keep documents whose source's mean quality clears the corpus mean —
+    * the domain-blocklist decision shape. Gate side is broadcast; document
+    * rows never shuffle.
+    */
+  def qSourceGate(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceQualityGate(table(s, dir, "documents"), "doc_id", "source",
+        TF.qualityScore(col("text")))
+      .orderBy("doc_id")
+
+  val qSourceGateSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    greatest(least(
+      |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+      |      + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+      |              / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+      |      - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+      |    1.0), 0.0) AS quality
+      |  FROM documents),
+      |s AS (SELECT source, avg(quality) AS src_avg, count(*) AS src_docs FROM q GROUP BY source),
+      |g AS (SELECT sum(src_avg * src_docs) / sum(src_docs) AS corpus_avg FROM s)
+      |SELECT q.doc_id, q.source, q.quality, s.src_avg
+      |FROM q JOIN s USING (source), g
+      |WHERE s.src_avg >= g.corpus_avg
+      |ORDER BY q.doc_id""".stripMargin
 }
