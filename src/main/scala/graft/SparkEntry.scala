@@ -65,7 +65,8 @@ object SparkEntry {
     "q_span_dedup"         -> (LlmQueries.qSpanDedup _),
     "q_source_gate"        -> (LlmQueries.qSourceGate _),
     "q_ann_lsh"            -> (LlmQueries.qAnnLsh _),
-    "q_ann_ivf"            -> (LlmQueries.qAnnIvf _)
+    "q_ann_ivf"            -> (LlmQueries.qAnnIvf _),
+    "q_ann_ivf_full"       -> (LlmQueries.qAnnIvfFull _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -122,7 +123,10 @@ object SparkEntry {
     "q_repetition"         -> LlmQueries.qRepetitionSql,
     "q_dedup_simhash"      -> LlmQueries.qDedupSimhashSql,
     "q_span_dedup"         -> LlmQueries.qSpanDedupSql,
-    "q_source_gate"        -> LlmQueries.qSourceGateSql
+    "q_source_gate"        -> LlmQueries.qSourceGateSql,
+    // exhaustive IVF == brute force for ANY centroids: same oracle as
+    // q_ann_cosine, so the IVF machinery itself is oracle-gated
+    "q_ann_ivf_full"       -> LlmQueries.qAnnCosineSql
     // q_ann_ivf: trained-centroid based (k-means not SQL-expressible) —
     // rows-only check; spec proves nprobe=nlist == brute force instead
   )

@@ -615,6 +615,20 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF forced EXHAUSTIVE (nprobe == nlist): every cell scans, so the
+    * result equals brute force for any trained centroids — which puts the
+    * whole IVF machinery (quantizer training, distributed cell assignment,
+    * probe routing, ranking) under the brute-force oracle, the same way
+    * q_dedup_minhash_banded forces its scale branch under the all-pairs
+    * oracle. Only the k-means cell QUALITY (recall at nprobe < nlist)
+    * stays spec-tested rather than oracle-tested.
+    */
+  def qAnnIvfFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 16)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- sub-document span dedup (C4-style) --------------------------------
   /** Repeated 10-token spans keep only their globally first occurrence;
     * documents reassemble from surviving spans. Oracle = the same

@@ -95,6 +95,22 @@ class SpanDedupSpec extends SparkSpec with BeforeAndAfterEach {
     assert(run(docs, 5) === reference(docs, 5))
   }
 
+  test("boilerplate skew: one span duplicated across 50k docs stays bounded") {
+    // every doc = the same boilerplate span + a unique tail span; the
+    // winner election must partial-combine the 50k-way duplicate map-side
+    // (one min per task), and only doc 0 keeps the boilerplate.
+    val n = 50000
+    val docs = spark.range(n).selectExpr(
+      "id AS doc_id",
+      "concat('legal disclaimer boilerplate line ', ' unique tail token ', cast(id AS string)) AS text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanWords = 5)
+      .agg(sum("n_spans").as("spans"), sum("n_kept").as("kept"))
+      .collect().head
+    // 2 spans per doc (9 tokens, w=5); the shared first span survives once
+    assert(out.getLong(0) === 2L * n)
+    assert(out.getLong(1) === n + 1L)
+  }
+
   test("output row count always equals input docs (empty docs included)") {
     val docs = Seq(1L -> "", 2L -> "a b", 3L -> "")
     val got = run(docs, 3)
