@@ -627,9 +627,12 @@ object Dedup {
     val winners = ex
       .groupBy("__h")
       .agg(min(struct(col(idCol), col("span_idx"))).as("__win"))
+    // getField, not col("__win.name"): a dotted user id column must stay a
+    // flat field lookup, never re-parse as a nested path
     ex.join(winners, "__h")
       .withColumn("kept",
-        col(s"__win.$idCol") === col(idCol) && col("__win.span_idx") === col("span_idx"))
+        col("__win").getField(idCol) === col(idCol) &&
+          col("__win").getField("span_idx") === col("span_idx"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),
