@@ -615,14 +615,13 @@ object Dedup {
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           spanWords: Int = 10): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
-    val w = TextFunctions.tokens(col(textCol))
-    // ceil(|w| / spanWords) spans; the trailing short span counts — an empty
-    // text is one empty span (split("") = [""]), so every doc emits a row.
-    val nSpans = ceil(size(w).cast("double") / lit(spanWords.toDouble)).cast("int")
-    val spans = transform(sequence(lit(0), nSpans - lit(1)), i =>
-      array_join(slice(w, i * lit(spanWords) + lit(1), lit(spanWords)), " "))
+    // one native pass per doc (graft_token_spans) — tokenization + span
+    // join run once instead of the interpreted transform/slice/array_join
+    // HOF chain; an empty text is one empty span, so every doc emits a row
+    // and the trailing short span counts.
     val ex = docs
-      .select(col(idCol), posexplode(spans).as(Seq("span_idx", "span")))
+      .select(col(idCol), posexplode(NativeHash.tokenSpans(col(textCol), spanWords))
+        .as(Seq("span_idx", "span")))
       .withColumn("__h", md5(col("span")))
     val winners = ex
       .groupBy("__h")

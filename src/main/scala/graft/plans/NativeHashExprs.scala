@@ -367,6 +367,48 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): ShingleSet = copy(child = newChild)
   }
 
+  /** Consecutive `w`-token spans of the normalized token stream in one
+    * pass — the span-dedup segmenter ([[graft.operators.Dedup
+    * .removeRepeatedSpans]]). Replaces the interpreted
+    * transform(sequence)+array_join(slice) HOF chain (the same win as
+    * [[ShingleSet]] for decontamination). Semantics replicate the
+    * DECLARATIVE form exactly — split(lower(trim(text)), "\\s+") — and
+    * therefore the DuckDB oracle: trim strips 0x20 ONLY (Spark/DuckDB
+    * trim), and split keeps a leading empty token for text starting with
+    * non-space whitespace (Java regex split, limit −1), so empty text is
+    * one empty span. Trailing short span counts.
+    */
+  case class TokenSpans(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val str = input.asInstanceOf[UTF8String].toString.toLowerCase
+      var b = 0
+      var e = str.length
+      while (b < e && str.charAt(b) == ' ') b += 1
+      while (e > b && str.charAt(e - 1) == ' ') e -= 1
+      val toks = str.substring(b, e).split("\\s+", -1)
+      val nSpans = (toks.length + w - 1) / w // toks.length >= 1 ("" splits to [""])
+      val out = new Array[AnyRef](nSpans)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < nSpans) {
+        sb.setLength(0)
+        var j = i * w
+        val end = math.min(toks.length, j + w)
+        while (j < end) {
+          if (j > i * w) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): TokenSpans = copy(child = newChild)
+  }
+
   /** Per-document top-n-gram frequency ratio in one pass — the shuffle-free
     * form of the Gopher repetition gate. The explode+groupBy formulation
     * shuffles every n-gram twice; this computes `(max count / total, total)`
@@ -412,6 +454,8 @@ object NativeHash {
 
   def shingleSet(c: Column, n: Int): Column = call_function("graft_shingle_set", c, lit(n))
 
+  def tokenSpans(c: Column, w: Int): Column = call_function("graft_token_spans", c, lit(w))
+
   def sortedIntersectSize(a: Column, b: Column): Column = call_function("graft_sorted_isect", a, b)
 
   def lshBucket(v: Column, nPlanes: Int): Column = call_function("graft_lsh_bucket", v, lit(nPlanes))
@@ -450,6 +494,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[NativeHash.ShingleSet].getName, "graft_shingle_set"),
       (args: Seq[Expression]) => NativeHash.ShingleSet(args.head, args(1).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_spans"),
+      new ExpressionInfo(classOf[NativeHash.TokenSpans].getName, "graft_token_spans"),
+      (args: Seq[Expression]) => NativeHash.TokenSpans(args.head, args(1).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),

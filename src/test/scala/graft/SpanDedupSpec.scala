@@ -131,6 +131,27 @@ class SpanDedupSpec extends SparkSpec with BeforeAndAfterEach {
     assert(aggLines.forall(_.contains("doc_id")), aggLines.mkString("\n"))
   }
 
+  test("graft_token_spans equals the declarative transform/slice construction") {
+    import graft.plans.NativeHash
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab \t\n  x"
+    val edge = Seq("", " ", "  ", "a", "  a  b ", "a\tb  c", "\ta b", "x y z w v u t", "a  b\nc")
+    val fuzz = Seq.fill(200)(Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (w <- Seq(1, 3, 10)) {
+      val toks = TF.tokens(col("text"))
+      val n = ceil(size(toks).cast("double") / lit(w.toDouble)).cast("int")
+      val declarative = transform(sequence(lit(0), n - lit(1)), i =>
+        array_join(slice(toks, i * lit(w) + lit(1), lit(w)), " "))
+      val rows = (edge ++ fuzz).toDF("text")
+        .select(col("text"), NativeHash.tokenSpans(col("text"), w).as("native"), declarative.as("decl"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"w=$w text=${r.getString(0).replace("\t", "\\t").replace("\n", "\\n")}")
+      }
+    }
+  }
+
   test("source gate keeps exactly the sources at/above the corpus mean") {
     val docs = Seq(
       // srcA: long wordy texts (higher quality), srcB: terse punctuation
