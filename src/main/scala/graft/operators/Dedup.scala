@@ -51,6 +51,12 @@ object Dedup {
     * recall for a pair at jaccard j is 1 − (1 − j^r)^bands.
     */
   private[graft] def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    NativeHash.bandKeys(sig, bands, r)
+
+  /** The declarative HOF form of [[bandKeys]] — kept as the equivalence
+    * reference the spec checks the native expression against.
+    */
+  private[graft] def bandKeysDeclarative(sig: Column, bands: Int, r: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), i =>
       aggregate(slice(sig, i * lit(r) + lit(1), lit(r)),
         (i + lit(1)).cast("long"),

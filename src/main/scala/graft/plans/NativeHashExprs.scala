@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -367,6 +367,37 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): ShingleSet = copy(child = newChild)
   }
 
+  /** Banded LSH bucket keys over a minhash signature in one pass —
+    * semantics identical to the declarative form in
+    * [[graft.operators.Dedup.bandKeys]]: band i's key folds signature
+    * values [i·r, i·r+r) into acc = acc·1000003 + v seeded by (i+1). The
+    * HOF chain (transform+aggregate+slice) evaluates interpreted per band
+    * per doc; this is one flat loop over the signature array. Runs in
+    * every minhash-family plan (candidates, setGraph, the incremental
+    * index), i.e. directly under the dedup map stage.
+    */
+  case class BandKeysExpr(child: Expression, bands: Int, r: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bands >= 1 && r >= 1, s"bands/r must be >= 1, got $bands/$r")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[ArrayData]
+      val n = sig.numElements()
+      val out = new Array[Long](bands)
+      var i = 0
+      while (i < bands) {
+        var acc = (i + 1).toLong
+        var j = i * r
+        val end = math.min(n, j + r)
+        while (j < end) { acc = acc * 1000003L + sig.getLong(j); j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): BandKeysExpr = copy(child = newChild)
+  }
+
   /** Consecutive `w`-token spans of the normalized token stream in one
     * pass — the span-dedup segmenter ([[graft.operators.Dedup
     * .removeRepeatedSpans]]). Replaces the interpreted
@@ -456,6 +487,9 @@ object NativeHash {
 
   def tokenSpans(c: Column, w: Int): Column = call_function("graft_token_spans", c, lit(w))
 
+  def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    call_function("graft_band_keys", sig, lit(bands), lit(r))
+
   def sortedIntersectSize(a: Column, b: Column): Column = call_function("graft_sorted_isect", a, b)
 
   def lshBucket(v: Column, nPlanes: Int): Column = call_function("graft_lsh_bucket", v, lit(nPlanes))
@@ -499,6 +533,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_token_spans"),
       new ExpressionInfo(classOf[NativeHash.TokenSpans].getName, "graft_token_spans"),
       (args: Seq[Expression]) => NativeHash.TokenSpans(args.head, args(1).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_band_keys"),
+      new ExpressionInfo(classOf[NativeHash.BandKeysExpr].getName, "graft_band_keys"),
+      (args: Seq[Expression]) => NativeHash.BandKeysExpr(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),

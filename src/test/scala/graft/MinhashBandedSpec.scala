@@ -72,4 +72,20 @@ class MinhashBandedSpec extends SparkSpec {
     assert(viaBroadcast == viaBanded)
     assert(viaBroadcast.nonEmpty)
   }
+
+  test("native graft_band_keys equals the declarative HOF fold") {
+    // random signatures including negative hash values and a short array
+    // (the fold over a truncated final band must keep its seed semantics)
+    val rnd = new scala.util.Random(13)
+    val sigs = Seq.fill(300)(Seq.fill(40)(rnd.nextLong())) ++
+      Seq(Seq.empty[Long], Seq.fill(7)(rnd.nextLong()))
+    import spark.implicits._
+    for ((bands, r) <- Seq((20, 2), (20, 1), (5, 4))) {
+      val rows = sigs.toDF("sig")
+        .select(Dedup.bandKeys(col("sig"), bands, r).as("native"),
+          Dedup.bandKeysDeclarative(col("sig"), bands, r).as("decl"))
+        .collect()
+      rows.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1), s"bands=$bands r=$r"))
+    }
+  }
 }
