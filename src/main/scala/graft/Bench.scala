@@ -19,12 +19,22 @@ object Bench {
     // (file-carried row coordinates — no fabricated global index), so the
     // Excel ingest number measures ExcelSource.readXlsxGrid + toTable, not
     // grid fabrication. Fixture generation happens here, outside timing.
+    // q_dedup_probe reads the PREBUILT on-disk corpus index (fixture, untimed)
+    // and times only the per-batch probe — the steady-state ingest cost;
+    // q_dedup_incremental in the registry keeps timing build+probe.
     val extras: Seq[(String, Q)] = Seq(
       "q_excel_file" -> ((s: SparkSession, dir: String) =>
         graft.sources.ExcelSource.toTable(
-          graft.sources.ExcelSource.readXlsxGrid(s, BenchFixtures.xlsxDir(s, dir)), None)))
+          graft.sources.ExcelSource.readXlsxGrid(s, BenchFixtures.xlsxDir(s, dir)), None)),
+      "q_dedup_probe" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Dedup.probeSurvivors(
+          s.read.parquet(BenchFixtures.nearDupIndexDir(s, dir)),
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0),
+          "doc_id", "text", threshold = 0.8)))
     val order: Seq[(String, Q)] = SparkEntry.queries.toSeq ++ extras
     BenchFixtures.xlsxDir(spark, sfDir)
+    BenchFixtures.nearDupIndexDir(spark, sfDir)
 
     // JIT/codegen warmup: run every query once on the SMALLEST scale factor
     // (negligible data, same generated code paths) so timing at the target

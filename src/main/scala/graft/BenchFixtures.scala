@@ -20,6 +20,25 @@ import java.nio.file.{Files, Paths}
   */
 object BenchFixtures {
 
+  /** The persistent near-dup corpus index (Dedup.buildNearDupIndex over the
+    * documents NOT in the probe batch) written to parquet once — the
+    * production contract: at 100 TB the index is computed at corpus-build
+    * time and stored alongside the data, so the steady-state per-ingest cost
+    * is ONLY the probe. `q_dedup_incremental` keeps timing build+probe (the
+    * amortized path, and the oracle-gated one); `q_dedup_probe` times what a
+    * production ingest actually pays.
+    */
+  def nearDupIndexDir(spark: SparkSession, sfDir: String): String = {
+    val dir = new File(s"target/bench_fixtures/neardup_index_${new File(sfDir).getName}")
+    if (!new File(dir, "_SUCCESS").exists()) {
+      graft.operators.Dedup.buildNearDupIndex(
+          spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(dir.getPath)
+    }
+    dir.getPath
+  }
+
   def xlsxDir(spark: SparkSession, sfDir: String, parts: Int = 16): String = {
     val dir = new File(s"target/bench_fixtures/xlsx_${new File(sfDir).getName}")
     val done = new File(dir, "_DONE")

@@ -63,6 +63,20 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaIndex == inline)
   }
 
+  test("index roundtrips through parquet: the on-disk index probes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_idx").toFile
+    val path = new java.io.File(dir, "index.parquet").getPath
+    Dedup.buildNearDupIndex(corpus(), "id", "text").write.mode("overwrite").parquet(path)
+    val onDisk = Dedup.probeSurvivors(spark.read.parquet(path), batch(), "id", "text",
+        threshold = 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Caches.release()
+    val inline = Dedup.incrementalSurvivors(corpus(), batch(), "id", "text", threshold = 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Caches.release()
+    assert(onDisk == inline && onDisk.size == 2 * n)
+  }
+
   test("empty corpus keeps the whole batch; batch ⊆ corpus keeps nothing") {
     val empty = corpus().filter(lit(false))
     val all = Dedup.incrementalSurvivors(empty, batch(), "id", "text", threshold = 0.8).count()
