@@ -47,4 +47,55 @@ object Curation {
     scored.join(broadcast(passing), srcCol)
       .select(col(idCol), col(srcCol), col("quality"), col("src_avg"))
   }
+
+  /** Per-source corpus REPORT — the summary table every curation run
+    * publishes: doc count, whitespace-token total, EXACT median doc length,
+    * and distinct-content count (1 − distinct/total = the source's exact-dup
+    * rate). Mirrors the reference's per-feed aggregation reporting shape
+    * (`src/Service/Aggregator.php:62-89` summarizes each supplier feed after
+    * normalization).
+    *
+    * Plan, sized for 100 TB: ONE corpus scan produces a slim (src, chars,
+    * fingerprint, tokens) stream; counts/sums/distinct aggregate it with
+    * map-side combine (the distinct pays one extra slim (src, fp) shuffle).
+    * The median deliberately avoids Spark's `median()`/`percentile()`
+    * aggregate, which buffers EVERY group value in executor memory (an OOM
+    * when one source holds 10¹⁰ docs). Doc lengths are a bounded discrete
+    * domain, so the corpus reduces losslessly to a per-(src, chars)
+    * frequency histogram — ~|sources × distinct lengths| rows, map-side
+    * combined — and the median reads off the cumulative histogram: the
+    * rows covering positions ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋, averaged (identical
+    * interpolation to SQL `median`). Window state per row is two running
+    * longs — nothing corpus-sized is ever held in memory.
+    */
+  def corpusStats(docs: DataFrame, srcCol: String, textCol: String,
+                  charsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slim = docs.select(col(srcCol), col(charsCol).as("__chars"),
+      md5(col(textCol)).as("__fp"),
+      graft.functions.TextFunctions.tokenCountWs(col(textCol)).cast("long").as("__tok"))
+    val base = slim.groupBy(col(srcCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__tok")).as("total_tokens"),
+      countDistinct(col("__fp")).as("distinct_docs"))
+    val hist = slim.groupBy(col(srcCol), col("__chars")).agg(count(lit(1)).as("__cnt"))
+    val byChars = Window.partitionBy(srcCol).orderBy("__chars")
+    val whole = Window.partitionBy(srcCol)
+    val med = hist
+      .withColumn("__hi", sum(col("__cnt")).over(byChars))
+      .withColumn("__n", sum(col("__cnt")).over(whole))
+      .withColumn("__lo", col("__hi") - col("__cnt") + 1)
+      .withColumn("__p1", ((col("__n") + 1) / 2).cast("long"))
+      .withColumn("__p2", ((col("__n") + 2) / 2).cast("long"))
+      .filter(col("__p1").between(col("__lo"), col("__hi")) ||
+        col("__p2").between(col("__lo"), col("__hi")))
+      .groupBy(col(srcCol))
+      .agg(((sum(when(col("__p1").between(col("__lo"), col("__hi")),
+          col("__chars").cast("double")).otherwise(lit(0.0))) +
+        sum(when(col("__p2").between(col("__lo"), col("__hi")),
+          col("__chars").cast("double")).otherwise(lit(0.0)))) / 2.0).as("median_chars"))
+    base.join(med, srcCol)
+      .select(col(srcCol), col("n_docs"), col("total_tokens"),
+        col("median_chars"), col("distinct_docs"))
+  }
 }

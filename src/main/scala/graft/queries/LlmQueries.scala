@@ -667,6 +667,25 @@ object LlmQueries {
         TF.qualityScore(col("text")))
       .orderBy("doc_id")
 
+  // ---- per-source corpus statistics report --------------------------------
+  /** The end-of-run report: per source, doc count, token total, exact median
+    * doc length (histogram-based — memory-safe at any group size), distinct
+    * content count.
+    */
+  def qCorpusStats(s: SparkSession, dir: String): DataFrame =
+    Curation.corpusStats(table(s, dir, "documents"), "source", "text", "n_chars")
+      .orderBy("source")
+
+  val qCorpusStatsSql: String =
+    """SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(median(n_chars) AS DOUBLE) AS median_chars,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_docs
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val qSourceGateSql: String =
     """WITH q AS (
       |  SELECT doc_id, source,

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Curation.corpusStats: the histogram median must equal Spark's own
+  * value-buffering `median()` aggregate (the thing it exists to avoid at
+  * scale) on adversarial group shapes — odd/even counts, heavy value
+  * duplication, single-row groups — and the whole report must be
+  * partition-invariant and never plan a value-buffering aggregate.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  /** Deterministic corpus: 7 sources with coprime sizes (odd AND even),
+    * lengths drawn from a SMALL discrete domain so the median positions
+    * routinely land inside one heavily-duplicated histogram row, plus
+    * exact-duplicate texts so distinct_docs < n_docs.
+    */
+  private def corpus(): DataFrame =
+    spark.range(2000).select(
+      concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
+      // text duplicated within source every 5 docs → known distinct count
+      concat(lit("doc "), pmod(col("id"), lit(7)), lit(" v"),
+        pmod(col("id") / 7, lit(5)), lit(" body body")).as("text"),
+      pmod(col("id") * 31 + 17, lit(11)).as("n_chars"))
+
+  test("histogram median equals Spark's buffering median() per group") {
+    val got = Curation.corpusStats(corpus(), "source", "text", "n_chars")
+      .select("source", "median_chars").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = corpus().groupBy("source").agg(median(col("n_chars")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == ref, s"histogram median diverged: $got vs $ref")
+  }
+
+  test("counts, token totals and distinct docs are exact") {
+    val row = Curation.corpusStats(corpus(), "source", "text", "n_chars")
+      .filter(col("source") === "s0")
+      .collect().head
+    // source s0: ids 0,7,14,… < 2000 → ceil(2000/7) = 286 docs
+    assert(row.getAs[Long]("n_docs") == 286L)
+    // every text is 5 whitespace tokens ("doc <s> v<k> body body")
+    assert(row.getAs[Long]("total_tokens") == 286L * 5)
+    // within a source, text varies only by the v-suffix (5 values)
+    assert(row.getAs[Long]("distinct_docs") == 5L)
+  }
+
+  test("single-row and two-row groups interpolate like SQL median") {
+    import spark.implicits._
+    val tiny = Seq(("a", "x", 10L), ("b", "y", 4L), ("b", "z", 7L))
+      .toDF("source", "text", "n_chars")
+    val got = Curation.corpusStats(tiny, "source", "text", "n_chars")
+      .select("source", "median_chars").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 10.0, "b" -> 5.5))
+  }
+
+  test("report is invariant under repartitioning") {
+    val a = Curation.corpusStats(corpus().repartition(13), "source", "text", "n_chars")
+      .orderBy("source").collect().toSeq
+    val b = Curation.corpusStats(corpus().repartition(2), "source", "text", "n_chars")
+      .orderBy("source").collect().toSeq
+    assert(a == b)
+  }
+
+  test("plan contract: no value-buffering median/percentile aggregate") {
+    val plan = Curation.corpusStats(corpus(), "source", "text", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("median(") && !plan.contains("percentile"),
+      "corpusStats must not plan a per-group value-buffering aggregate")
+  }
+}
