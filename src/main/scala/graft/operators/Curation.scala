@@ -71,9 +71,13 @@ object Curation {
   def corpusStats(docs: DataFrame, srcCol: String, textCol: String,
                   charsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: both aggregations below consume it — without this the
+    // documents (and the md5/tokenize work) would be scanned twice
     val slim = docs.select(col(srcCol), col(charsCol).as("__chars"),
       md5(col(textCol)).as("__fp"),
       graft.functions.TextFunctions.tokenCountWs(col(textCol)).cast("long").as("__tok"))
+      .persist()
+    Caches.register(slim)
     val base = slim.groupBy(col(srcCol)).agg(
       count(lit(1)).as("n_docs"),
       sum(col("__tok")).as("total_tokens"),
