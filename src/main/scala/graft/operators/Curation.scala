@@ -48,6 +48,33 @@ object Curation {
       .select(col(idCol), col(srcCol), col("quality"), col("src_avg"))
   }
 
+  /** Per-group document CAP — keep at most `cap` documents per group
+    * (domain / source / crawl snapshot), chosen by a deterministic md5
+    * priority over the id so the kept subset is reproducible across runs,
+    * engines and partitionings — the standard web-corpus guard against a
+    * single domain dominating the training mix (boilerplate-heavy domains
+    * contribute millions of pages; the cap bounds any one group's
+    * contribution while sampling it uniformly).
+    *
+    * Scale: written declaratively as `row_number() ≤ cap` so Catalyst sees
+    * the standard window shape — and graft's TopKRewriteRule rewrites it to
+    * the bounded `graft_topk` aggregate: partial state per group is a
+    * cap-sized heap, map tasks ship ≤ cap rows per group instead of the
+    * whole group, and no single-domain mega-partition is ever sorted. With
+    * the rule disabled the window form still computes correctly (external
+    * sort, spill-safe) — the rewrite is a pure optimization, proven
+    * result-identical in TopKRewriteRuleSpec.
+    */
+  def capPerGroup(docs: DataFrame, idCol: String, grpCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(grpCol).orderBy(col("__prio"), col(idCol))
+    docs
+      .withColumn("__prio", md5(col(idCol).cast("string")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__prio", "__rn")
+  }
+
   /** Per-source corpus REPORT — the summary table every curation run
     * publishes: doc count, whitespace-token total, EXACT median doc length,
     * and distinct-content count (1 − distinct/total = the source's exact-dup

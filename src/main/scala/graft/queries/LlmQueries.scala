@@ -667,6 +667,25 @@ object LlmQueries {
         TF.qualityScore(col("text")))
       .orderBy("doc_id")
 
+  // ---- per-domain document cap --------------------------------------------
+  /** At most 10 docs per source, md5-priority uniform sample — the
+    * domain-domination guard. The row_number form rewrites to the bounded
+    * graft_topk aggregate via TopKRewriteRule.
+    */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.capPerGroup(table(s, dir, "documents"), "doc_id", "source", cap = 10)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val qDomainCapSql: String =
+    """SELECT doc_id, source, lang, n_chars FROM (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10
+      |ORDER BY doc_id""".stripMargin
+
   // ---- per-source corpus statistics report --------------------------------
   /** The end-of-run report: per source, doc count, token total, exact median
     * doc length (histogram-based — memory-safe at any group size), distinct
