@@ -10,16 +10,6 @@ import org.apache.spark.sql.functions._
   */
 class AqeSkewSpec extends SparkSpec {
 
-  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
-    val prev = pairs.map { case (k, _) => k -> util.Try(spark.conf.get(k)).toOption }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("AQE splits the skewed partition of a sort-merge join") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
