@@ -183,13 +183,16 @@ object Dedup {
       .join(maybeBroadcast(groups.select(col("set_key").as("id_b"), col("words").as("words_b"))), "id_b")
       .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
-      // |A∪B| = |A|+|B|−|A∩B| — no union array; intersection size via the
-      // native merge scan (words_* are sorted+distinct by canonicalization)
+      // early-exit threshold test first: candidates are recall-biased, so
+      // most pairs fail and the scan bails in a fraction of the merge; the
+      // exact intersection (for the output jaccard value) then runs only
+      // on the surviving ~true-pair stream. |A∪B| = |A|+|B|−|A∩B| — no
+      // union array (words_* are sorted+distinct by canonicalization).
+      .filter(NativeHash.jaccardGe(col("words_a"), col("words_b"), threshold))
       .withColumn("__i", NativeHash.sortedIntersectSize(col("words_a"), col("words_b")))
       .withColumn("jaccard",
         col("__i").cast("double") /
           (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     SetGraph(keyed, groups, repPairs)
   }
@@ -464,10 +467,11 @@ object Dedup {
     // j ≥ t ⇒ min|set| ≥ t·max|set| — cheap int compare before anything else
     def sizePrune(sz: Column, bsz: Column): Column =
       least(sz, bsz).cast("double") >= lit(threshold) * greatest(sz, bsz).cast("double")
+    // only the verdict matters here (survivor keys, not jaccard values) —
+    // the early-exit test decides most candidates in a fraction of the
+    // merge scan (bit-identical to the full-intersect filter)
     def verified(pairs: DataFrame): DataFrame = pairs
-      .withColumn("__i", NativeHash.sortedIntersectSize(col("words"), col("__bwords")))
-      .filter(col("__i").cast("double") /
-        (col("sz") + col("__bsz") - col("__i")).cast("double") >= threshold)
+      .filter(NativeHash.jaccardGe(col("words"), col("__bwords"), threshold))
       .select("__bkey").distinct()
 
     val contaminated =

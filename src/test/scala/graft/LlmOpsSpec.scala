@@ -154,6 +154,31 @@ class LlmOpsSpec extends SparkSpec {
     both.foreach(r => assert(r.getInt(0) == r.getInt(1), s"${r.getInt(0)} != ${r.getInt(1)}"))
   }
 
+  test("early-exit jaccard-ge is bit-identical to the full-intersect predicate") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
+      .select(sort_array(TF.wordSet(col("text"))).as("w"))
+    val pairs = docs.as("a").crossJoin(docs.as("b")).limit(5000)
+    // thresholds straddle the exact-boundary and degenerate cases: 0
+    // (early-true on the first loop entry), 1 (only identical sets), and
+    // the operators' real cuts
+    for (t <- Seq(0.0, 0.3, 0.5, 0.8, 1.0)) {
+      val both = pairs.select(
+        graft.plans.NativeHash.jaccardGe(col("a.w"), col("b.w"), t).as("fast"),
+        (graft.plans.NativeHash.sortedIntersectSize(col("a.w"), col("b.w")).cast("double") /
+          (size(col("a.w")) + size(col("b.w")) -
+            graft.plans.NativeHash.sortedIntersectSize(col("a.w"), col("b.w"))).cast("double")
+          >= lit(t)).as("exact")).collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), s"t=$t: $r"))
+    }
+    // empty vs empty / empty vs non-empty edges
+    val edge = Seq((Seq.empty[String], Seq.empty[String]), (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq("a"))).toDF("x", "y")
+    val got = edge.select(graft.plans.NativeHash.jaccardGe(col("x"), col("y"), 0.5)).collect()
+      .map(_.getBoolean(0)).toSeq
+    assert(got == Seq(false, false, true)) // 0/0=NaN → false, 0/1 → false, 1/1 → true
+  }
+
   test("embedding near-dup: brute force finds planted pair; LSH at 0 planes equals brute force") {
     val mk = (base: Seq[Float]) => base.toArray
     val vecs = Seq(
