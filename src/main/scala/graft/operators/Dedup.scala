@@ -183,13 +183,13 @@ object Dedup {
       .join(maybeBroadcast(groups.select(col("set_key").as("id_b"), col("words").as("words_b"))), "id_b")
       .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
-      // early-exit threshold test first: candidates are recall-biased, so
-      // most pairs fail and the scan bails in a fraction of the merge; the
-      // exact intersection (for the output jaccard value) then runs only
-      // on the surviving ~true-pair stream. |A∪B| = |A|+|B|−|A∩B| — no
-      // union array (words_* are sorted+distinct by canonicalization).
-      .filter(NativeHash.jaccardGe(col("words_a"), col("words_b"), threshold))
-      .withColumn("__i", NativeHash.sortedIntersectSize(col("words_a"), col("words_b")))
+      // single-scan threshold + count: −1 (failing pairs bail mid-merge —
+      // candidates are recall-biased, so most do) or the exact |A∩B|;
+      // passing pairs pay exactly one full merge, same as the plain
+      // intersect. |A∪B| = |A|+|B|−|A∩B| — no union array (words_* are
+      // sorted+distinct by canonicalization).
+      .withColumn("__i", NativeHash.sortedIntersectGe(col("words_a"), col("words_b"), threshold))
+      .filter(col("__i") >= 0)
       .withColumn("jaccard",
         col("__i").cast("double") /
           (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))

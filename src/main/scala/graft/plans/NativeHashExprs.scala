@@ -333,28 +333,48 @@ object NativeHash {
     override def prettyName: String = "graft_sorted_isect"
   }
 
-  /** Early-exit jaccard threshold test over two SORTED DISTINCT string
+  /** Shared machinery for the early-exit jaccard threshold expressions:
+    * jaccard is monotonically increasing in the intersection count n
+    * (j(n) = n/(na+nb−n)), so "j ≥ t" is equivalent to "n ≥ n_req" for an
+    * integer n_req computed ONCE per pair — found by algebra
+    * (n ≥ t·(na+nb)/(1+t)) then fixed up with the EXACT double predicate
+    * (`n/(na+nb−n) ≥ t` on ints cast to double, the same arithmetic as
+    * the post-hoc Column filter), so every per-element loop check is a
+    * pure int compare and the verdict is bit-identical to computing the
+    * full intersection first. Fuzz-proven equivalent in LlmOpsSpec.
+    */
+  private[plans] trait JaccardThreshold {
+    def thresholdExpr: Expression
+    protected lazy val t: Double = thresholdExpr.eval().asInstanceOf[Double]
+
+    /** Smallest n with n/(s−n) ≥ t, or min(na,nb)+1 when no achievable n
+      * qualifies (s = na+nb; callers treat n_req > min(na,nb) as "cannot
+      * pass"). Starts two below the algebraic bound to absorb float slop,
+      * ascends with the exact predicate.
+      */
+    protected final def nReq(na: Int, nb: Int): Int = {
+      val s = na + nb
+      val cap = math.min(na, nb)
+      var req = math.max(0, math.ceil(t * s / (1.0 + t)).toInt - 2)
+      while (req <= cap && !(req.toDouble / (s - req).toDouble >= t)) req += 1
+      req
+    }
+  }
+
+  /** Early-exit jaccard threshold TEST over two SORTED DISTINCT string
     * arrays: true ⟺ |A∩B| / |A∪B| ≥ t, decided mid-merge-scan the moment
-    * the verdict is forced. Jaccard is monotonically increasing in the
-    * intersection count n (j(n) = n/(na+nb−n)), so
-    *
-    *  - once the running n already satisfies j(n) ≥ t, the final jaccard
-    *    can only be larger → return true;
-    *  - once even matching every remaining element (nmax = n +
-    *    min(remaining_a, remaining_b)) gives j(nmax) < t → return false.
-    *
-    * Both cuts compare with the SAME double arithmetic as the exact
-    * post-hoc filter (`n/(na+nb−n) ≥ t` on ints cast to double), so the
-    * result is bit-identical to computing the full intersection first —
-    * this is a pure evaluation-order optimization, fuzz-proven equivalent
-    * in LlmOpsSpec. On LSH candidate streams where most pairs fail the
-    * threshold (the normal case — candidates are recall-biased), the scan
-    * typically exits in a fraction of the merge: the incremental-dedup
-    * probe at sf0.1 (~3.1M candidate pairs, ~1k true hits) halves
-    * end-to-end (5.2 s → 2.6 s), the verify stage itself ~7×.
+    * the verdict is forced — early-true once the running count reaches
+    * n_req, early-false once even matching every remaining element can't.
+    * On LSH candidate streams where most pairs fail the threshold (the
+    * normal case — candidates are recall-biased) the scan exits in a
+    * fraction of the merge: the incremental-dedup probe at sf0.1 (~3.1M
+    * candidate pairs, ~1k true hits) halves end-to-end. Use where only
+    * the verdict matters; [[SortedIntersectGe]] where the exact count is
+    * also needed.
     */
   case class JaccardGe(left: Expression, right: Expression, thresholdExpr: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback with JaccardThreshold {
     override def first: Expression = left
     override def second: Expression = right
     override def third: Expression = thresholdExpr
@@ -369,26 +389,72 @@ object NativeHash {
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_jaccard_ge requires two array<string> arguments and a foldable double threshold")
     }
-    private lazy val t: Double = thresholdExpr.eval().asInstanceOf[Double]
     override protected def nullSafeEval(l: Any, r: Any, @annotation.unused tv: Any): Any = {
       val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val na = a.numElements(); val nb = b.numElements()
+      val req = nReq(na, nb)
+      if (req > math.min(na, nb)) return false
       var i = 0; var j = 0; var n = 0
       while (i < na && j < nb) {
-        if (n.toDouble / (na + nb - n).toDouble >= t) return true
-        val nmax = n + math.min(na - i, nb - j)
-        if (nmax.toDouble / (na + nb - nmax).toDouble < t) return false
+        if (n >= req) return true
+        if (n + math.min(na - i, nb - j) < req) return false
         val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
         if (c == 0) { n += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
         else j += 1
       }
-      n.toDouble / (na + nb - n).toDouble >= t
+      n >= req
     }
     override protected def withNewChildrenInternal(f: Expression, s: Expression, th: Expression): JaccardGe =
       copy(left = f, right = s, thresholdExpr = th)
     override def prettyName: String = "graft_jaccard_ge"
+  }
+
+  /** Early-exit jaccard threshold test that ALSO returns the exact
+    * intersection count: −1 if |A∩B|/|A∪B| < t (decided as early as the
+    * bound allows — failing pairs never finish the merge), else the exact
+    * |A∩B| from the single completed scan. For verify stages that output
+    * the jaccard VALUE for survivors: passing pairs pay exactly one full
+    * merge (the same work as [[SortedIntersectSize]] alone), failing
+    * pairs strictly less — never a second scan.
+    */
+  case class SortedIntersectGe(left: Expression, right: Expression, thresholdExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback with JaccardThreshold {
+    override def first: Expression = left
+    override def second: Expression = right
+    override def third: Expression = thresholdExpr
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val arraysOk = Seq(left, right).forall(_.dataType match {
+        case ArrayType(StringType, _) => true
+        case _                        => false
+      })
+      if (arraysOk && thresholdExpr.dataType == DoubleType && thresholdExpr.foldable)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_sorted_isect_ge requires two array<string> arguments and a foldable double threshold")
+    }
+    override protected def nullSafeEval(l: Any, r: Any, @annotation.unused tv: Any): Any = {
+      val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      val req = nReq(na, nb)
+      if (req > math.min(na, nb)) return -1
+      var i = 0; var j = 0; var n = 0
+      while (i < na && j < nb) {
+        if (n + math.min(na - i, nb - j) < req) return -1
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      if (n >= req) n else -1
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, th: Expression): SortedIntersectGe =
+      copy(left = f, right = s, thresholdExpr = th)
+    override def prettyName: String = "graft_sorted_isect_ge"
   }
 
   /** Distinct word n-gram shingles in one native pass. The declarative
@@ -553,6 +619,9 @@ object NativeHash {
   def jaccardGe(a: Column, b: Column, threshold: Double): Column =
     call_function("graft_jaccard_ge", a, b, lit(threshold))
 
+  def sortedIntersectGe(a: Column, b: Column, threshold: Double): Column =
+    call_function("graft_sorted_isect_ge", a, b, lit(threshold))
+
   def lshBucket(v: Column, nPlanes: Int): Column = call_function("graft_lsh_bucket", v, lit(nPlanes))
 }
 
@@ -635,6 +704,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaccard_ge"),
       new ExpressionInfo(classOf[NativeHash.JaccardGe].getName, "graft_jaccard_ge"),
       (args: Seq[Expression]) => NativeHash.JaccardGe(args(0), args(1), args(2))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_isect_ge"),
+      new ExpressionInfo(classOf[NativeHash.SortedIntersectGe].getName, "graft_sorted_isect_ge"),
+      (args: Seq[Expression]) => NativeHash.SortedIntersectGe(args(0), args(1), args(2))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

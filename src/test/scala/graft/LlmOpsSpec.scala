@@ -164,12 +164,19 @@ class LlmOpsSpec extends SparkSpec {
     for (t <- Seq(0.0, 0.3, 0.5, 0.8, 1.0)) {
       val both = pairs.select(
         graft.plans.NativeHash.jaccardGe(col("a.w"), col("b.w"), t).as("fast"),
+        graft.plans.NativeHash.sortedIntersectGe(col("a.w"), col("b.w"), t).as("fastN"),
+        graft.plans.NativeHash.sortedIntersectSize(col("a.w"), col("b.w")).as("n"),
         (graft.plans.NativeHash.sortedIntersectSize(col("a.w"), col("b.w")).cast("double") /
           (size(col("a.w")) + size(col("b.w")) -
             graft.plans.NativeHash.sortedIntersectSize(col("a.w"), col("b.w"))).cast("double")
           >= lit(t)).as("exact")).collect()
       assert(both.nonEmpty)
-      both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), s"t=$t: $r"))
+      both.foreach { r =>
+        assert(r.getBoolean(0) == r.getBoolean(3), s"jaccardGe t=$t: $r")
+        // count variant: −1 exactly when below threshold, exact n otherwise
+        assert(r.getInt(1) == (if (r.getBoolean(3)) r.getInt(2) else -1),
+          s"sortedIntersectGe t=$t: $r")
+      }
     }
     // empty vs empty / empty vs non-empty edges
     val edge = Seq((Seq.empty[String], Seq.empty[String]), (Seq.empty[String], Seq("a")),
