@@ -106,6 +106,21 @@ class PlanContractSpec extends SparkSpec {
     } finally { idx.unpersist(); graft.operators.Caches.release() }
   }
 
+  test("near-dup verify runs the early-exit intersect, not a two-scan chain") {
+    // minhash family: the single-scan -1-or-exact-count expression carries
+    // both the threshold verdict and the output jaccard's intersect size
+    val pairs = planString(graft.queries.LlmQueries.qDedupMinhash(spark, sfDir))
+    assert(pairs.contains("graft_sorted_isect_ge"),
+      s"single-scan threshold intersect missing from minhash verify:\n$pairs")
+    assert(!pairs.contains("graft_sorted_isect("),
+      "full-intersect rescan leaked back into the verify path")
+    // incremental probe: verdict-only → the boolean early-exit form
+    val probe = planString(graft.queries.LlmQueries.qDedupIncremental(spark, sfDir))
+    assert(probe.contains("graft_jaccard_ge"),
+      s"early-exit verdict missing from probe verify:\n$probe")
+    graft.operators.Caches.release()
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)
