@@ -28,8 +28,14 @@ object BenchFixtures {
     * amortized path, and the oracle-gated one); `q_dedup_probe` times what a
     * production ingest actually pays.
     */
+  // bump whenever buildNearDupIndex defaults (bands/r/shingleN) or the index
+  // schema change — the version lands in the fixture dir name so a stale
+  // on-disk index from an earlier code state is never silently reused
+  private val NearDupIndexVersion = "v1_b20r2s1"
+
   def nearDupIndexDir(spark: SparkSession, sfDir: String): String = {
-    val dir = new File(s"target/bench_fixtures/neardup_index_${new File(sfDir).getName}")
+    val dir = new File(
+      s"target/bench_fixtures/neardup_index_${NearDupIndexVersion}_${new File(sfDir).getName}")
     if (!new File(dir, "_SUCCESS").exists()) {
       graft.operators.Dedup.buildNearDupIndex(
           spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") % 4 =!= 0),

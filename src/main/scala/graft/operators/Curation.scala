@@ -67,6 +67,8 @@ object Curation {
     */
   def capPerGroup(docs: DataFrame, idCol: String, grpCol: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!docs.columns.contains("__prio") && !docs.columns.contains("__rn"),
+      "capPerGroup reserves temp columns __prio/__rn; rename caller columns first")
     val w = Window.partitionBy(grpCol).orderBy(col("__prio"), col(idCol))
     docs
       .withColumn("__prio", md5(col(idCol).cast("string")))

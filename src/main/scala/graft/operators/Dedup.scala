@@ -621,6 +621,15 @@ object Dedup {
     * partition), once through the per-document reassembly groupBy. The
     * reassembly payload per row is bounded by the document's own length —
     * no corpus-proportional state anywhere.
+    *
+    * Collision assumption: spans are identified by md5(span) for BOTH the
+    * winner election and the join-back — the repo-wide fingerprint
+    * convention, but here a collision would merge two distinct spans and
+    * delete text (not just over-merge a dedup group). At 2⁶⁴-bit effective
+    * span-id space the expected first collision needs ~2⁶⁴ distinct spans
+    * (birthday bound on the 128-bit digest is far beyond corpus scale);
+    * callers needing content-safety against adversarial collisions should
+    * join back on the span value itself.
     */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           spanWords: Int = 10): DataFrame = {

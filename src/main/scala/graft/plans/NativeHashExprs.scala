@@ -24,7 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object NativeHash {
 
   private def tokenize(s: UTF8String): Array[String] = {
-    val t = s.toString.toLowerCase.trim
+    // UTF8String.toLowerCase = Spark lower(): locale-immune ASCII fast path,
+    // so the native tokenizer matches the declarative lower() on tr/az JVMs
+    val t = s.toLowerCase.toString.trim
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 
@@ -504,6 +506,14 @@ object NativeHash {
       extends UnaryExpression with CodegenFallback {
     require(bands >= 1 && r >= 1, s"bands/r must be >= 1, got $bands/$r")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "graft_band_keys requires an array<bigint> signature argument")
+      }
     override protected def nullSafeEval(input: Any): Any = {
       val sig = input.asInstanceOf[ArrayData]
       val n = sig.numElements()
@@ -536,8 +546,16 @@ object NativeHash {
   case class TokenSpans(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
     require(w >= 1, s"span width must be >= 1, got $w")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_token_spans requires a string argument")
     override protected def nullSafeEval(input: Any): Any = {
-      val str = input.asInstanceOf[UTF8String].toString.toLowerCase
+      // UTF8String.toLowerCase = Spark lower() semantics (locale-immune
+      // ASCII path) — keeps the documented equivalence with the
+      // declarative split(lower(trim(text))) form on any JVM locale
+      val str = input.asInstanceOf[UTF8String].toLowerCase.toString
       var b = 0
       var e = str.length
       while (b < e && str.charAt(b) == ' ') b += 1
