@@ -49,9 +49,22 @@ object Ann {
     * asserts this, for any centroids).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+              k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame =
+    ivfTopKWithCentroids(queries, corpus,
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, iters), idCol, vecCol, k, nprobe)
 
+  /** Deterministic coarse-quantizer training (see [[ivfTopK]]): returns the
+    * (cid int, centroid array&lt;float&gt;) table. Exposed separately so the
+    * trained centroids can be PERSISTED as a parquet fixture — with the
+    * centroids pinned, everything downstream of training (cell assignment,
+    * probe routing, nprobe-cell search, ranking) is plain relational algebra
+    * over float arrays, which a SQL oracle reproduces value-exactly. The
+    * centroids are cast to float before use so both engines hash the same
+    * bits.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int = 16, iters: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample: Array[Array[Float]] =
@@ -77,10 +90,19 @@ object Ann {
         if (cnts(ci) == 0) cents(ci) else sums(ci).map(_ / cnts(ci))
       }.toArray
     }
-    val centroids = spark.createDataset(
+    spark.createDataset(
         cents.zipWithIndex.map { case (v, i) => (i, v.map(_.toFloat)) }.toSeq)
       .toDF("cid", "centroid")
+  }
 
+  /** IVF search against a FIXED centroid table (trained by
+    * [[trainIvfCentroids]] or loaded from a persisted fixture). Every stage
+    * is declarative: nearest-cell assignment (argmax cosine, ties → lowest
+    * cid), per-query nprobe probe routing, in-cell scoring, top-k ranking.
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val cells = assignToNearest(c, centroids)                       // corpus → cell
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q.crossJoin(broadcast(centroids))

@@ -609,10 +609,69 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Absolute path of the persisted IVF centroid fixture. Training is
+    * deterministic (seeded k-means on the lowest-id sample), so the fixture
+    * content is a pure function of (corpus, nlist, iters) — but k-means
+    * itself is not SQL-expressible, so the CENTROIDS are pinned on disk and
+    * the oracle reproduces everything downstream of training (nearest-cell
+    * assignment, nprobe probe routing, in-cell search, ranking) in pure SQL
+    * over the same float bits. Overwritten on every qAnnIvf run; the dumped
+    * oracle SQL always refers to the run that produced it.
+    */
+  val ivfCentroidFixture: String =
+    new java.io.File("target/verify_fixtures/ivf_centroids_n16i1.parquet").getAbsolutePath
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+    Ann.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+      .coalesce(1).write.mode("overwrite").parquet(ivfCentroidFixture)
+    // search consumes the PINNED floats read back from the fixture — the
+    // Spark result and the SQL oracle provably see identical centroid bits
+    val pinned = s.read.parquet(ivfCentroidFixture)
+    Ann.ivfTopKWithCentroids(emb.filter(col("vec_id") < 5), emb, pinned,
+        "vec_id", "embedding", k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
+  }
+
+  /** Pure-SQL IVF oracle over the pinned centroid fixture: cell assignment =
+    * argmax cosine (ties → lowest cid), probes = top-4 cells per query,
+    * search = brute force within probed cells. Mirrors
+    * [[Ann.ivfTopKWithCentroids]] stage for stage; cosine is the same
+    * left-fold double formula as every other embedding oracle.
+    */
+  val qAnnIvfSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (acc,v) -> acc+v)
+         | / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))
+         |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))))""".stripMargin
+    s"""WITH cent AS (SELECT cid, centroid FROM read_parquet('$ivfCentroidFixture/*.parquet')),
+       |asgn AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT e.vec_id AS vid, t.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "t.centroid")} DESC, t.cid) AS r
+       |    FROM embeddings e CROSS JOIN cent t) x
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, t.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "t.centroid")} DESC, t.cid) AS pr
+       |    FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 5) x
+       |  WHERE pr <= 4),
+       |s AS (
+       |  SELECT p.query_id, a.vid AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+       |  FROM probes p
+       |  JOIN asgn a ON a.cid = p.cid
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings c ON c.vec_id = a.vid
+       |  WHERE p.query_id <> a.vid)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM s) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** IVF forced EXHAUSTIVE (nprobe == nlist): every cell scans, so the

@@ -25,4 +25,20 @@ class IvfSpec extends SparkSpec {
       sorted.map(_.getAs[Double]("cosine")).toSeq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
     })
   }
+
+  test("centroids pinned through a parquet fixture search bit-identically to fresh training") {
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fix").toString + "/cents.parquet"
+    Ann.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 1)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val viaFixture = Ann.ivfTopKWithCentroids(queries, emb, spark.read.parquet(dir),
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    val fresh = Ann.ivfTopK(queries, emb, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    // float32 centroids round-trip parquet exactly — the fixture route (what
+    // q_ann_ivf and its SQL oracle consume) IS the in-memory route
+    assert(viaFixture == fresh)
+  }
 }
