@@ -16,6 +16,8 @@ object DumpQuery {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(outPath)
+    SparkEntry.oracleSql.get(name).foreach(sql =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outPath.oracle.sql"), sql))
     spark.stop()
   }
 }

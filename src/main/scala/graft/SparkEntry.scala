@@ -67,6 +67,8 @@ object SparkEntry {
     "q_corpus_stats"       -> (LlmQueries.qCorpusStats _),
     "q_domain_cap"         -> (LlmQueries.qDomainCap _),
     "q_ann_lsh"            -> (LlmQueries.qAnnLsh _),
+    "q_ann_lsh_multi"      -> (LlmQueries.qAnnLshMulti _),
+    "q_dedup_embed_lsh"    -> (LlmQueries.qDedupEmbedLsh _),
     "q_ann_ivf"            -> (LlmQueries.qAnnIvf _),
     "q_ann_ivf_full"       -> (LlmQueries.qAnnIvfFull _)
   )
@@ -108,6 +110,10 @@ object SparkEntry {
     "q_decontaminate"      -> LlmQueries.qDecontaminateSql,
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
     "q_ann_lsh"            -> LlmQueries.qAnnLshSql,
+    "q_ann_lsh_multi"      -> LlmQueries.qAnnLshMultiSql,
+    // multi-table LSH route forced under the brute all-pairs oracle — the
+    // (32 tables × 2 planes) config saturates recall on this corpus
+    "q_dedup_embed_lsh"    -> LlmQueries.qDedupEmbedSql,
     "q_curation_pipeline"  -> LlmQueries.qCurationPipelineSql,
     "q_stratified_sample"  -> LlmQueries.qStratifiedSampleSql,
     "q_token_budget_mix"   -> LlmQueries.qTokenBudgetMixSql,

@@ -44,6 +44,37 @@ object VectorFunctions {
     if (nPlanes <= 0) lit(0L)
     else graft.plans.NativeHash.lshBucket(v, nPlanes)
 
+  /** Multi-table hyperplane LSH keys — OR-of-ANDs, the embedding twin of
+    * banded minhash: key t = `(t << k) | sign-bits of planes [t·k, t·k+k)`,
+    * one long per table, exploded into a plain equi-join. A pair is a
+    * candidate iff SOME table's k planes all agree — recall at angle θ is
+    * 1 − (1 − (1 − θ/π)^k)^L, driven to 1 by adding tables (L) while k
+    * keeps each table's buckets small. Same md5 plane family as
+    * [[lshBucket]] (table t owns global planes t·k..), so every key value
+    * is DuckDB-reproducible and nTables=1 equals the single-table bucket.
+    */
+  def lshKeys(v: Column, nTables: Int, planesPerTable: Int): Column =
+    graft.plans.NativeHash.lshKeys(v, nTables, planesPerTable)
+
+  /** Pure-functions formulation of [[lshKeys]], for cross-checking. */
+  def lshKeysDeclarative(v: Column, nTables: Int, planesPerTable: Int): Column =
+    if (planesPerTable <= 0)
+      transform(sequence(lit(0), lit(nTables - 1)), t => t.cast("long"))
+    else
+      transform(sequence(lit(0), lit(nTables - 1)), t => {
+        val bits = aggregate(sequence(lit(0), lit(planesPerTable - 1)), lit(0L), (acc, p) => {
+          val g = t * lit(planesPerTable) + p // global plane index
+          val proj = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+              x.cast("double") *
+                (Sampling.md5Bucket(concat(g.cast("string"), lit(":"), j.cast("string")), 1000)
+                  .cast("double") / lit(1000.0) - lit(0.5))),
+            lit(0.0), (a, x) => a + x)
+          when(proj > 0, acc.bitwiseOR(call_function("shiftleft", lit(1L), p))).otherwise(acc)
+        })
+        t.cast("long") * lit(1L << planesPerTable) + bits // == t << k
+      })
+
   /** Pure-functions formulation of the same buckets, for cross-checking —
     * the interpreted md5 chain per (plane, dim) is ~15× slower.
     */

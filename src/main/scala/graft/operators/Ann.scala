@@ -143,19 +143,35 @@ object Ann {
       .select("vid", "v", "cid")
   }
 
-  /** LSH-bucketed ANN: bucket by sign-bit hyperplane hash, rank only within
-    * the query's bucket. The 100 TB path — per-task candidate sets are
-    * bucket-bounded instead of corpus-sized. Recall < 1 by construction;
-    * pair with multi-probe or more planes per the recall target.
+  /** LSH-bucketed ANN, MULTI-TABLE (OR-of-ANDs): a corpus vector is a
+    * candidate for a query iff some table's `planesPerTable` hyperplane
+    * signs all agree — recall per neighbor at angle θ is
+    * 1 − (1 − (1 − θ/π)^k)^L, tuned by adding tables at constant bucket
+    * size. The 100 TB path: per-task candidate sets are bucket-bounded
+    * instead of corpus-sized, queries broadcast, the corpus streams.
+    * nTables=1 reproduces the classic single-table bucket search.
+    *
+    * Candidates resolve as DISTINCT slim (query, neighbor) pairs before
+    * vectors join back for scoring — a pair colliding in several tables is
+    * scored once, and corpus vectors never ride the exploded key stream.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+              vecCol: String, k: Int, nTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VectorFunctions.lshBucket(col(vecCol), nPlanes).as("bucket"))
+      VectorFunctions.lshKeys(col(vecCol), nTables, planesPerTable).as("ks"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VectorFunctions.lshBucket(col(vecCol), nPlanes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      VectorFunctions.lshKeys(col(vecCol), nTables, planesPerTable).as("ks"))
+      .persist() // exploded key stream + score join-back both read it
+    Caches.register(c)
+    val qe = q.select(col("query_id"), explode(col("ks")).as("bk"))
+    val ce = c.select(col("neighbor_id"), explode(col("ks")).as("bk"))
+    val cand = ce.join(broadcast(qe), Seq("bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .join(c.select(col("neighbor_id"), col("cv")), "neighbor_id")
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored

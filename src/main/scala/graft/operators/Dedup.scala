@@ -581,22 +581,44 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Scale path for embedding near-dup: random-hyperplane sign buckets make
-    * the candidate join an equi-join — per-task pair counts are bucket-
-    * bounded instead of corpus². High-cosine pairs agree on every
-    * hyperplane sign with probability (1 − θ/π)^nPlanes, so recall < 1 by
-    * construction (spec measures it; nPlanes = 0 degenerates to one bucket
-    * = exact brute force).
+  /** Scale path for embedding near-dup: MULTI-TABLE hyperplane LSH —
+    * OR-of-ANDs, the exact embedding analogue of the banded minhash route.
+    * Each of `nTables` tables hashes a vector to the sign bits of its own
+    * `planesPerTable` md5-derived hyperplanes; a pair is a candidate iff
+    * some table's bits all agree. Recall at angle θ is
+    * 1 − (1 − (1 − θ/π)^k)^L — tables (L) drive recall to 1, planes per
+    * table (k) keep each table's buckets small, precision is restored by
+    * the exact-cosine verify. planesPerTable = 0 degenerates every table to
+    * one bucket = exact brute force.
+    *
+    * Scale shape mirrors [[minhashCandidates]]: explode L keys per vector →
+    * equi-join on the key (table identity is packed into the key, so one
+    * long column carries the whole OR-of-ANDs predicate) → distinct slim
+    * candidate pairs → vectors join back only for the verify. Per-task
+    * pair counts are bucket-bounded instead of corpus²; the verify join
+    * only ever sees candidates.
     */
   def embedNearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, nPlanes: Int = 8): DataFrame = {
+                           threshold: Double, nTables: Int = 16,
+                           planesPerTable: Int = 8): DataFrame = {
+    // persisted: the exploded key stream reads it twice (self-join) and the
+    // verify joins the vectors back — the projection + L·k projections per
+    // vector compute once
     val keyed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      graft.functions.VectorFunctions.lshBucket(col(vecCol), nPlanes).as("bucket"))
-    keyed.as("a")
-      .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", NativeHash.cosine(col("a.v"), col("b.v")))
+      graft.functions.VectorFunctions.lshKeys(col(vecCol), nTables, planesPerTable).as("ks"))
+      .persist()
+    Caches.register(keyed)
+    val ek = keyed.select(col("id"), explode(col("ks")).as("bk"))
+    val cand = ek.as("a")
+      .join(ek.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(keyed.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", NativeHash.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select("id_a", "id_b", "cosine")
   }
 
   /** Sub-document (span-level) dedup, C4-style: segment each document's

@@ -271,6 +271,60 @@ object NativeHash {
     override def prettyName: String = "graft_lsh_bucket"
   }
 
+  /** Multi-table hyperplane LSH keys — the OR-of-ANDs analogue of
+    * [[BandKeysExpr]] for embeddings. Key t packs the table index over the
+    * sign bits of hyperplanes [t·k, t·k+k): `(t << k) | bits`, so one long
+    * column carries (table, k-plane signature) identity and a plain
+    * equi-join on the exploded keys reproduces exactly "∃ table whose k
+    * planes all agree" — OR of ANDs, the hyperplane twin of banded minhash.
+    * The plane family is the SAME md5-derived global sequence as
+    * [[LshBucket]] (table t owns global planes t·k..t·k+k−1), so
+    * nTables=1 reproduces the single-table bucket bits verbatim and DuckDB
+    * re-derives every key value bit-exactly. k=0 degenerates to key=t for
+    * every vector — all pairs collide, i.e. exact brute force.
+    */
+  case class LshKeys(child: Expression, nTables: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nTables >= 1 && k >= 0 && k < 56,
+      s"nTables must be >= 1 and 0 <= planes/table < 56, got $nTables/$k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lsh_keys requires array<float>, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any = {
+      val out = new Array[Long](nTables)
+      if (k == 0) {
+        var t = 0
+        while (t < nTables) { out(t) = t.toLong; t += 1 }
+        return new GenericArrayData(out)
+      }
+      val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = v.numElements()
+      val planes = LshBucket.planesFor(nTables * k, n)
+      var t = 0
+      while (t < nTables) {
+        var bits = 0L
+        var p = 0
+        while (p < k) {
+          val row = planes(t * k + p)
+          var acc = 0.0
+          var j = 0
+          while (j < n) { acc += v.getFloat(j).toDouble * row(j); j += 1 }
+          if (acc > 0) bits |= (1L << p)
+          p += 1
+        }
+        out(t) = (t.toLong << k) | bits
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): LshKeys = copy(child = newChild)
+    override def prettyName: String = "graft_lsh_keys"
+  }
+
   object LshBucket {
     // per-thread grow-on-demand plane matrix (plane values are pure
     // functions of (p, j) — identical across threads, so racing is benign
@@ -641,6 +695,9 @@ object NativeHash {
     call_function("graft_sorted_isect_ge", a, b, lit(threshold))
 
   def lshBucket(v: Column, nPlanes: Int): Column = call_function("graft_lsh_bucket", v, lit(nPlanes))
+
+  def lshKeys(v: Column, nTables: Int, k: Int): Column =
+    call_function("graft_lsh_keys", v, lit(nTables), lit(k))
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -697,6 +754,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[NativeHash.LshBucket].getName, "graft_lsh_bucket"),
       (args: Seq[Expression]) => NativeHash.LshBucket(args.head, args(1).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_keys"),
+      new ExpressionInfo(classOf[NativeHash.LshKeys].getName, "graft_lsh_keys"),
+      (args: Seq[Expression]) => NativeHash.LshKeys(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_clean_upc"),

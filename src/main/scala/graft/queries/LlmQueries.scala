@@ -305,6 +305,23 @@ object LlmQueries {
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The multi-table LSH route FORCED under the brute-force all-pairs
+    * oracle — the embedding mirror of how q_dedup_minhash_banded gates the
+    * banded route against ground truth. 32 tables × 2 planes is the
+    * recall-saturating configuration for THIS corpus's adversarially weak
+    * pairs (true pairs sit at cosine 0.30–0.51, barely above the random
+    * background — real near-dup corpora at 0.9+ reach the same recall with
+    * ~8×8): every true pair collides in ≥3 tables at both sf0.01 and
+    * sf0.1 (measured; the margin is asserted in VectorLshSpec), so the
+    * LSH union equals the exact pair set and the hash gate is meaningful.
+    * Everything is deterministic — md5 plane family, fixed data — so this
+    * is a fact about the configuration, not a coin flip.
+    */
+  def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embedNearDupPairsLsh(table(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nTables = 32, planesPerTable = 2)
+      .orderBy("id_a", "id_b")
+
   // ---- deterministic hash split/sample -----------------------------------
   def qHashSplit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -578,7 +595,10 @@ object LlmQueries {
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10, nPlanes = 4)
+    // nTables=1 is exactly the classic single-table bucket search (same
+    // plane family) — the oracle below replays those bucket ids
+    Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10,
+        nTables = 1, planesPerTable = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -620,6 +640,49 @@ object LlmQueries {
     */
   val ivfCentroidFixture: String =
     new java.io.File("target/verify_fixtures/ivf_centroids_n16i1.parquet").getAbsolutePath
+
+  /** Multi-table hyperplane LSH ANN (OR-of-ANDs, 8 tables × 4 planes).
+    * The oracle re-derives every table key in SQL — key t = (t << 4) |
+    * sign bits of md5-derived global planes t·4..t·4+3 — so the whole
+    * multi-table candidate union + rank is value-exact under the hash
+    * gate, exactly like q_ann_lsh gates the single-table route.
+    */
+  def qAnnLshMulti(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10,
+        nTables = 8, planesPerTable = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnLshMultiSql: String = {
+    // global plane index g = t*4 + p; component = md5-derived [-0.5, 0.5)
+    val projSql =
+      """list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))), z ->
+        |  CAST(z[1] AS DOUBLE) * ((md5_number_lower(CAST(t*4 + p AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)) % 1000) / 1000.0 - 0.5)),
+        |  (acc, x) -> acc + x)""".stripMargin
+    val keySql =
+      s"""(CAST(t AS BIGINT) << 4) | list_reduce(list_transform(range(0, 4), p ->
+         |  CASE WHEN $projSql > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
+         |  (acc, b) -> acc | b)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, unnest(list_transform(range(0, 8), t -> $keySql)) AS bk
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b c JOIN b q ON c.bk = q.bk
+       |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    $dotSql / (${normSql("q")} * ${normSql("c")}) AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM s) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")

@@ -198,12 +198,14 @@ class LlmOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(brute == Set((1L, 2L)))
 
-    val lsh0 = Dedup.embedNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9, nPlanes = 0)
+    val lsh0 = Dedup.embedNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9,
+        nTables = 1, planesPerTable = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh0 == brute)
 
     // with planes: output is a SUBSET of brute force (same filter, fewer candidates)
-    val lsh4 = Dedup.embedNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9, nPlanes = 4)
+    val lsh4 = Dedup.embedNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9,
+        nTables = 1, planesPerTable = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh4.subsetOf(brute))
   }
