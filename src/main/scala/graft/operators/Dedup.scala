@@ -270,6 +270,22 @@ object Dedup {
     *    localCheckpoints the label frame: lineage stays constant-depth and
     *    superseded blocks are released by the ContextCleaner.
     */
+  /** Effective driver-collect edge budget for the union-find route:
+    * `collectEdgeThreshold` is calibrated for 8-byte ids (two longs per
+    * edge ≈ 64 MB control plane at the 4M default). Wider ids — string
+    * URLs / UUIDs — shrink the budget proportionally so the bound tracks
+    * BYTES, not edge count; string ids additionally pay JVM String +
+    * hash-entry overhead per stored node, far above their UTF-8 width.
+    */
+  private[graft] def driverEdgeBudget(collectEdgeThreshold: Long, avgIdBytes: Double): Long =
+    (collectEdgeThreshold * 8.0 / math.max(8.0, avgIdBytes)).toLong
+
+  /** Which connected-components route the last [[dropDuplicatesNear]] call
+    * took ("driver" | "distributed") — test observability for the planner
+    * split; never read it concurrently with running jobs.
+    */
+  @volatile private[graft] var lastCcRoute: String = ""
+
   def dropDuplicatesNear(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
                          broadcastThreshold: Long = 1024L, maxRounds: Int = 50,
@@ -284,10 +300,19 @@ object Dedup {
       .persist() // consumed by count + (collect | both union directions)
     Caches.register(e0)
     val nEdges = e0.count()
+    // the edge bound is byte-aware: fixed-width ids keep the calibrated
+    // threshold; string ids sample their real width from the (persisted)
+    // edge frame — one slim agg, no extra corpus work
+    val avgIdBytes: Double = e0.schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType if nEdges > 0 =>
+        e0.agg(avg(octet_length(col("ga")))).head.getDouble(0) + 48.0
+      case _ => 8.0
+    }
 
     val spark = docs.sparkSession
     val winnersTouched: DataFrame =
-      if (nEdges <= collectEdgeThreshold) {
+      if (nEdges <= driverEdgeBudget(collectEdgeThreshold, avgIdBytes)) {
+        lastCcRoute = "driver"
         // id-type agnostic like every other Dedup entry point: ids compare
         // through their external natural order, EXCEPT strings, which use
         // UTF8String byte order so both CC routes pick the same minimum
@@ -324,6 +349,7 @@ object Dedup {
         spark.createDataFrame(
           roots.asScala.toSeq.map(v => org.apache.spark.sql.Row(v)).asJava, schema)
       } else {
+        lastCcRoute = "distributed"
         val edges = e0.select(col("ga").as("src"), col("gb").as("dst"))
           .unionByName(e0.select(col("gb").as("src"), col("ga").as("dst")))
           .persist() // re-read every propagation round

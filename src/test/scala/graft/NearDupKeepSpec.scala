@@ -117,6 +117,36 @@ class NearDupKeepSpec extends SparkSpec {
     assert(viaUnionFind.contains("doc-04"))
   }
 
+  test("edge budget is byte-aware: wide string ids engage the distributed route") {
+    // budget math: 8-byte ids keep the calibrated threshold; string ids
+    // shrink it by (utf8 width + JVM overhead) / 8
+    assert(Dedup.driverEdgeBudget(1L << 22, 8.0) == (1L << 22))
+    assert(Dedup.driverEdgeBudget(1L << 22, 148.0) < (1L << 22) / 16)
+
+    // same cluster shape twice, same tiny edge count, same threshold — the
+    // only difference is id WIDTH. Long ids fit the 8-edge budget (driver
+    // route); ~200-byte string ids blow it (distributed route engages),
+    // and both keep identical survivors.
+    def texts(v: Int) = (v * 2 until v * 2 + 40).map(i => s"w$i").mkString(" ")
+    import spark.implicits._
+    val longIds = (0 until 4).map(v => (v.toLong, texts(v))).toDF("id", "text")
+    val wide = "u" * 190
+    val wideIds = (0 until 4).map(v => (s"$wide-$v", texts(v))).toDF("id", "text")
+
+    val keptLong = Dedup.dropDuplicatesNear(longIds, "id", "text", 0.8, collectEdgeThreshold = 8L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val longRoute = Dedup.lastCcRoute
+    Caches.release()
+    val keptWide = Dedup.dropDuplicatesNear(wideIds, "id", "text", 0.8, collectEdgeThreshold = 8L)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val wideRoute = Dedup.lastCcRoute
+    Caches.release()
+    assert(longRoute == "driver", s"8-byte ids within the edge budget should collect, took $longRoute")
+    assert(wideRoute == "distributed", s"wide ids must engage the distributed route, took $wideRoute")
+    assert(keptLong == Seq(0L))
+    assert(keptWide == Seq(s"$wide-0"))
+  }
+
   test("no collect_list anywhere in the materializer or pair plans") {
     val docs = corpus()
     for (df <- Seq(
