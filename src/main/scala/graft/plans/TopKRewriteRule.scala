@@ -86,9 +86,9 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     // any string key switches ALL keys to the binary encoding (one array,
     // one element type); otherwise the cheaper long encoding carries them
     val useBinary =
-      if (orderSpec.forall(so => integralEncodable(so.child.dataType))) false
+      if (orderSpec.forall(so => longEncodable(so.child.dataType))) false
       else if (orderSpec.forall(so =>
-        integralEncodable(so.child.dataType) || so.child.dataType == StringType)) true
+        longEncodable(so.child.dataType) || so.child.dataType == StringType)) true
       else return None
 
     // split the filter: exactly one conjunct bounds rn, the rest must not see rn
@@ -170,6 +170,13 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Long-encodable = integral-like plus float/double via the IEEE-bits
+    * order isomorphism ([[DoubleOrdinalLong]]) — what score-ranked top-k
+    * shapes (tf-idf, quality gates, ANN ranks) order by.
+    */
+  private def longEncodable(dt: DataType): Boolean =
+    integralEncodable(dt) || dt == DoubleType || dt == FloatType
+
   /** The null-placement flag element preceding every nullable key: larger =
     * kept first, so the null rows get the larger flag exactly when the
     * window sorts them first. A SEPARATE element (not a sentinel value in
@@ -196,6 +203,8 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     val asLong: Expression = so.child.dataType match {
       case LongType    => so.child
       case BooleanType => Cast(so.child, LongType)
+      case DoubleType  => DoubleOrdinalLong(so.child)
+      case FloatType   => DoubleOrdinalLong(Cast(so.child, DoubleType))
       case _           => OrdinalLong(so.child)
     }
     val nonNull = so.direction match {
@@ -215,6 +224,8 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case StringType => OrderedBytes(so.child, invert)
       case LongType   => OrderedBytes(so.child, invert)
       case BooleanType => OrderedBytes(Cast(so.child, LongType), invert)
+      case DoubleType => OrderedBytes(DoubleOrdinalLong(so.child), invert)
+      case FloatType  => OrderedBytes(DoubleOrdinalLong(Cast(so.child, DoubleType)), invert)
       case _          => OrderedBytes(OrdinalLong(so.child), invert)
     }
     val value =
@@ -241,6 +252,34 @@ private[plans] case class OrdinalLong(child: Expression) extends UnaryExpression
     defineCodeGen(ctx, ev, c => s"(long)($c)")
   override protected def withNewChildInternal(newChild: Expression): OrdinalLong =
     copy(child = newChild)
+}
+
+/** Order-isomorphic long encoding of a double under Spark's nan-safe
+  * ordering: IEEE-754 bits with the sign region remapped — non-negative
+  * bit patterns keep their value, negative patterns flip entirely — so
+  * signed-long comparison of encodings equals Spark's double comparison.
+  * −0.0 normalizes to 0.0 first (Spark's nan-safe compare treats them as
+  * EQUAL — the encoding must tie them, not order them), and
+  * doubleToLongBits canonicalizes every NaN to one pattern that encodes
+  * above +Infinity — exactly the "all NaN equal, NaN largest" contract.
+  */
+private[plans] case class DoubleOrdinalLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    DoubleOrdinalLong.encode(input.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.plans.DoubleOrdinalLong.encode((double)($c))")
+  override protected def withNewChildInternal(newChild: Expression): DoubleOrdinalLong =
+    copy(child = newChild)
+}
+
+object DoubleOrdinalLong {
+  def encode(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
+    if (b >= 0L) b else ~b ^ Long.MinValue
+  }
 }
 
 /** Order-preserving binary sort-key blob for [[TopKAgg]]'s array<binary>

@@ -121,6 +121,27 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.Caches.release()
   }
 
+  test("tfidf: final per-doc window rewrites to the graft_topk heap; df joins without corpus re-shuffle") {
+    val df = graft.queries.LlmQueries.qTfidfTopk(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the rank()<=k window is rewrite-eligible: map tasks ship at most k
+    // (doc, term) rows per doc instead of sorting whole documents
+    assert(opt.contains("graft_topk"), s"TopKRewriteRule did not fire on the tf-idf window:\n$opt")
+    assert(!opt.contains("row_number"), "window formulation survived the rewrite")
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==").head
+    // df-join strategy pinned: the tf↔df join stays KEYED on term (hash
+    // join at bench SFs; sort-merge is the acceptable fallback when the
+    // vocabulary outgrows the broadcast threshold). The corpus-count
+    // crossJoin is exempt — broadcasting ONE row as a nested loop is the
+    // intended plan for it.
+    assert(s.linesIterator.exists(l => l.contains("BroadcastHashJoin [term")),
+      s"term df join-back should hash-join at bench SFs:\n$s")
+    val badNlj = s.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("term")).toSeq
+    assert(badNlj.isEmpty, s"term join degenerated to a nested loop:\n${badNlj.mkString("\n")}")
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)

@@ -59,10 +59,38 @@ class TopKRewriteRuleSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.size == 5)
   }
 
-  test("non-encodable order keys (double) do NOT rewrite") {
-    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
-    val q = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
-    assert(!hasTopK(q))
+  test("double order keys rewrite via the IEEE order isomorphism and match the window plan") {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    def q = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(hasTopK(q))
+    val got = collectSorted(q)
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    val want = try collectSorted(q) finally spark.conf.unset("spark.graft.topk.rewrite")
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("adversarial doubles (NaN, infinities, signed zero, nulls) order exactly like the window") {
+    import spark.implicits._
+    val specials = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, -Double.MaxValue, 1.5, -1.5)
+    val data = specials.zipWithIndex.flatMap { case (v, i) =>
+      Seq((0L, java.lang.Double.valueOf(v), i.toLong * 2),
+          (1L, if (i % 3 == 0) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(v), i.toLong * 2 + 1))
+    }.toDF("k", "score", "id")
+    val variants = Seq(col("score").asc, col("score").desc,
+      col("score").asc_nulls_last, col("score").desc_nulls_first)
+    for (ordCol <- variants; kBound <- Seq(1, 3, 5)) {
+      val w = Window.partitionBy("k").orderBy(ordCol, col("id").asc)
+      def q = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= kBound)
+      assert(hasTopK(q))
+      // compare rendered rows: Seq equality would fail on NaN == NaN
+      val got = q.collect().map(_.toSeq.toString).sorted
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val want = try q.collect().map(_.toSeq.toString).sorted
+                 finally spark.conf.unset("spark.graft.topk.rewrite")
+      assert(got.toSeq == want.toSeq, s"double specials diverged for $ordCol k=$kBound")
+    }
   }
 
   test("string order keys rewrite via the binary encoding and match the window plan") {
