@@ -27,6 +27,14 @@ object Curation {
     * shuffle — each row does a map-side hash lookup of its source's
     * verdict. Total corpus-sized work: one scan, zero shuffles of the
     * documents.
+    *
+    * Means are FIXED-POINT: quality quantizes to nano-units (×10⁹, a
+    * bigint) before summing, so the per-source and corpus means come from
+    * exactly-associative integer sums — bit-identical on any engine, any
+    * partitioning, any row order. A raw double `avg()` drifts in the last
+    * ulp with summation order, which flips gate verdicts for sources
+    * sitting exactly at the corpus mean and breaks run-to-run
+    * reproducibility at different parallelism.
     */
   def sourceQualityGate(docs: DataFrame, idCol: String, srcCol: String,
                         quality: Column): DataFrame = {
@@ -35,15 +43,18 @@ object Curation {
       .persist()
     Caches.register(scored)
     val srcStats = scored.groupBy(col(srcCol))
-      .agg(avg(col("quality")).as("src_avg"), count(lit(1)).as("src_docs"))
-    // corpus mean = docs-weighted mean of the per-source means: exact, and
-    // computed from the ~|sources|-row stats frame instead of rescanning.
+      .agg(sum(round(col("quality") * 1e9).cast("long")).as("__qsum"),
+        count(lit(1)).as("src_docs"))
+    // corpus mean = total nano-quality / total docs — derived from the
+    // ~|sources|-row stats frame, never rescanning the documents
     val corpus = srcStats.agg(
-      (sum(col("src_avg") * col("src_docs")) / sum(col("src_docs"))).as("corpus_avg"))
+      sum(col("__qsum")).as("__tq"), sum(col("src_docs")).as("__td"))
     val passing = srcStats
       .crossJoin(broadcast(corpus))
-      .filter(col("src_avg") >= col("corpus_avg"))
-      .select(col(srcCol), col("src_avg"))
+      .filter(col("__qsum").cast("double") / col("src_docs").cast("double") >=
+        col("__tq").cast("double") / col("__td").cast("double"))
+      .select(col(srcCol),
+        (col("__qsum").cast("double") / (col("src_docs").cast("double") * 1e9)).as("src_avg"))
     scored.join(broadcast(passing), srcCol)
       .select(col(idCol), col(srcCol), col("quality"), col("src_avg"))
   }

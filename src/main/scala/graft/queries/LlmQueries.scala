@@ -394,6 +394,116 @@ object LlmQueries {
       |FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** The FULL modern pretraining gate sequence, composed end-to-end under
+    * one oracle (the r4 curation operators chained the way a production
+    * corpus build runs them):
+    *
+    *   1. span-level dedup — repeated 10-token spans keep only their
+    *      globally first occurrence; documents re-assemble from surviving
+    *      spans (the rewritten text feeds every later stage)
+    *   2. source quality gate — sources whose mean rewritten-text quality
+    *      clears the corpus mean survive wholesale
+    *   3. per-domain cap — ≤ 15 docs per source, md5-priority uniform
+    *      (the row_number form auto-rewrites to the bounded graft_topk heap)
+    *   4. decontamination — 3-gram containment ≤ 0.5 against the benchmark
+    *      suite (every 50th doc), probed over the REWRITTEN text
+    *
+    * Scale shape: one full-corpus tokenization for the span stage; the gate
+    * runs on a persisted slim scored frame; the cap ships ≤ cap rows per
+    * source per map task; the benchmark shingle set broadcasts. Document
+    * text moves only where a stage rewrites or probes it.
+    */
+  def qCurationPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val corp = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text").as("text_kept"))
+    // 1. span dedup (rewrites text), source joined back for the gate
+    val spanned = Dedup.removeRepeatedSpans(corp, "doc_id", "text", spanWords = 10)
+      .join(corp.select(col("doc_id"), col("source")), "doc_id")
+      .select("doc_id", "source", "text_kept")
+    // 2. source-level quality gate on the REWRITTEN text
+    val gated = Curation.sourceQualityGate(spanned, "doc_id", "source",
+      TF.qualityScore(col("text_kept")))
+    // 3. domain cap, md5-priority
+    val capped = Curation.capPerGroup(gated, "doc_id", "source", cap = 15)
+    // 4. decontaminate the survivors' rewritten text against the benchmark
+    val working = capped.join(spanned.select("doc_id", "text_kept"), "doc_id")
+    graft.operators.Decontaminate.dropContaminated(working, bench,
+        "doc_id", "text_kept", n = 3, maxOverlap = 0.5)
+      .select("doc_id", "source", "quality", "src_avg")
+      .orderBy("doc_id")
+  }
+
+  val qCurationPipelineV2Sql: String = {
+    def qualitySql(t: String): String =
+      s"""greatest(least(
+         |      least(CAST(length($t) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |      + least(CAST(len(regexp_extract_all(lower($t), '\\b(the|a|of|and|to|in|is|it)\\b')) AS DOUBLE)
+         |              / greatest(CAST(len(string_split_regex(lower(trim($t)), '\\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+         |      - least(CAST(len(regexp_extract_all($t, '[.,!?;:]')) AS DOUBLE)
+         |              / greatest(CAST(length($t) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+         |    1.0), 0.0)""".stripMargin
+    s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+       |words AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corp),
+       |spans AS (
+       |  SELECT doc_id, i AS span_idx,
+       |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS span
+       |  FROM words, LATERAL unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS g(i)),
+       |flagged AS (
+       |  SELECT doc_id, span_idx, span,
+       |    row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS kept
+       |  FROM spans),
+       |sp AS (
+       |  SELECT f.doc_id, c.source,
+       |    coalesce(array_to_string(list(span ORDER BY span_idx) FILTER (WHERE kept), ' '), '') AS text_kept
+       |  FROM flagged f JOIN corp c USING (doc_id)
+       |  GROUP BY f.doc_id, c.source),
+       |q AS (SELECT doc_id, source, text_kept, ${qualitySql("text_kept")} AS quality FROM sp),
+       |st AS (SELECT source, CAST(SUM(CAST(round(quality * 1000000000.0) AS BIGINT)) AS BIGINT) AS qsum,
+       |              count(*) AS src_docs FROM q GROUP BY source),
+       |ga AS (SELECT CAST(SUM(qsum) AS BIGINT) AS tq, CAST(SUM(src_docs) AS BIGINT) AS td FROM st),
+       |gated AS (
+       |  SELECT q.doc_id, q.source, q.quality,
+       |    CAST(st.qsum AS DOUBLE) / (CAST(st.src_docs AS DOUBLE) * 1000000000.0) AS src_avg,
+       |    q.text_kept
+       |  FROM q JOIN st USING (source), ga
+       |  WHERE CAST(st.qsum AS DOUBLE) / CAST(st.src_docs AS DOUBLE) >= CAST(ga.tq AS DOUBLE) / CAST(ga.td AS DOUBLE)),
+       |capped AS (
+       |  SELECT doc_id, source, quality, src_avg, text_kept FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |    FROM gated) t
+       |  WHERE rn <= 15),
+       |ct AS (SELECT doc_id, string_split_regex(lower(trim(text_kept)), '\\s+') AS t FROM capped),
+       |csh0 AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+       |    ELSE [array_to_string(t, ' ')] END AS gs
+       |  FROM ct),
+       |bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |       FROM documents WHERE doc_id % 50 = 0),
+       |bsh0 AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+       |    ELSE [array_to_string(t, ' ')] END AS gs
+       |  FROM bt),
+       |bsh AS (SELECT DISTINCT g FROM (SELECT unnest(list_distinct(gs)) AS g FROM bsh0)),
+       |csh AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM csh0),
+       |hits AS (
+       |  SELECT c.doc_id, count(*) AS n_shingles, count(b.g) AS matched
+       |  FROM csh c LEFT JOIN bsh b ON c.g = b.g
+       |  GROUP BY c.doc_id),
+       |contaminated AS (
+       |  SELECT doc_id FROM hits
+       |  WHERE CAST(matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) > 0.5)
+       |SELECT c.doc_id, c.source, c.quality, c.src_avg
+       |FROM capped c
+       |WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   // ---- benchmark decontamination ------------------------------------------
   /** Every 50th doc plays the eval benchmark; the query returns the
     * surviving corpus docs with their 3-gram containment stats (docs whose
@@ -838,10 +948,12 @@ object LlmQueries {
       |              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
       |    1.0), 0.0) AS quality
       |  FROM documents),
-      |s AS (SELECT source, avg(quality) AS src_avg, count(*) AS src_docs FROM q GROUP BY source),
-      |g AS (SELECT sum(src_avg * src_docs) / sum(src_docs) AS corpus_avg FROM s)
-      |SELECT q.doc_id, q.source, q.quality, s.src_avg
+      |s AS (SELECT source, CAST(SUM(CAST(round(quality * 1000000000.0) AS BIGINT)) AS BIGINT) AS qsum,
+      |             count(*) AS src_docs FROM q GROUP BY source),
+      |g AS (SELECT CAST(SUM(qsum) AS BIGINT) AS tq, CAST(SUM(src_docs) AS BIGINT) AS td FROM s)
+      |SELECT q.doc_id, q.source, q.quality,
+      |  CAST(s.qsum AS DOUBLE) / (CAST(s.src_docs AS DOUBLE) * 1000000000.0) AS src_avg
       |FROM q JOIN s USING (source), g
-      |WHERE s.src_avg >= g.corpus_avg
+      |WHERE CAST(s.qsum AS DOUBLE) / CAST(s.src_docs AS DOUBLE) >= CAST(g.tq AS DOUBLE) / CAST(g.td AS DOUBLE)
       |ORDER BY q.doc_id""".stripMargin
 }

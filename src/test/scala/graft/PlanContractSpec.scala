@@ -142,6 +142,19 @@ class PlanContractSpec extends SparkSpec {
     assert(badNlj.isEmpty, s"term join degenerated to a nested loop:\n${badNlj.mkString("\n")}")
   }
 
+  test("curation v2: cap heap-rewrites inside the composition; benchmark shingles broadcast") {
+    val df = graft.queries.LlmQueries.qCurationPipelineV2(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_topk"),
+      s"domain-cap window must heap-rewrite inside the composed pipeline:\n$opt")
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==").head
+    // decontamination probes a broadcast benchmark shingle set — the
+    // corpus-sized survivor stream must never shuffle for that join
+    assert(s.contains("BroadcastHashJoin"), s"benchmark shingle join should broadcast:\n$s")
+    graft.operators.Caches.release()
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)
