@@ -93,15 +93,27 @@ object StreamDedup {
   * serves bulk ingest and the stream; only the batching differs.
   *
   * The growing index lives as an eager `localCheckpoint` (constant-depth
-  * lineage across an unbounded run). A production deployment would persist
-  * appends to corpus storage instead and re-read on restart — the probe
-  * plan is identical either way.
+  * lineage across an unbounded run). With `persistDir` set, every
+  * admission's index rows ALSO append to parquet (the
+  * [[graft.operators.Dedup.buildNearDupIndex]] schema — the same artifact
+  * a bulk corpus build stores), and a new gate constructed over the same
+  * directory recovers them: restart == continuous, spec-asserted. Without
+  * it the admitted-survivor index is session-only and a restart forgets
+  * admissions.
   */
 final class NearDupGate(initialIndex: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1) {
+                        threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
+                        persistDir: Option[String] = None) {
   import graft.operators.{Caches, Dedup}
 
-  @volatile private var index: DataFrame = initialIndex
+  @volatile private var index: DataFrame = persistDir match {
+    case Some(dir) if NearDupGate.hasData(dir) =>
+      // recovery: prior admissions re-enter the probe index before the
+      // first batch — identical schema, so the probe plan is unchanged
+      initialIndex.unionByName(initialIndex.sparkSession.read.parquet(dir))
+        .localCheckpoint(true)
+    case _ => initialIndex
+  }
   /** The current corpus index (initial ∪ admitted survivors). */
   def currentIndex: DataFrame = index
 
@@ -114,9 +126,10 @@ final class NearDupGate(initialIndex: DataFrame, idCol: String, textCol: String,
     val survivors = Dedup.probeSurvivors(index, batch, idCol, textCol,
       threshold, bands, r, shingleN).persist()
     Caches.register(survivors)
-    index = index
-      .unionByName(Dedup.buildNearDupIndex(survivors, idCol, textCol, bands, r, shingleN))
-      .localCheckpoint(true)
+    val newRows = Dedup.buildNearDupIndex(survivors, idCol, textCol, bands, r, shingleN)
+      .localCheckpoint(true) // computed once: the append write AND the union both read it
+    persistDir.foreach(dir => newRows.write.mode("append").parquet(dir))
+    index = index.unionByName(newRows).localCheckpoint(true)
     survivors
   }
 
@@ -127,5 +140,17 @@ final class NearDupGate(initialIndex: DataFrame, idCol: String, textCol: String,
   def foreachBatch(sink: DataFrame => Unit): (DataFrame, Long) => Unit = (batch, _) => {
     val survivors = admit(batch)
     try sink(survivors) finally Caches.release()
+  }
+}
+
+object NearDupGate {
+  /** True when `dir` already holds persisted admission rows (a parquet
+    * append from a previous run — detected by data files, not just the
+    * directory, which the first append also creates).
+    */
+  private def hasData(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    d.isDirectory && d.listFiles() != null &&
+      d.listFiles().exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
   }
 }

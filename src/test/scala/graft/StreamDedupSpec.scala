@@ -123,4 +123,44 @@ class StreamDedupSpec extends SparkSpec {
     // index holds one row per distinct admitted word set (+1 initial)
     assert(gate.currentIndex.count() == 3L)
   }
+
+  test("near-dup gate recovery: a restarted gate over the persisted index equals a continuous run") {
+    import spark.implicits._
+    def d(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val w = (0 until 10).map(i => s"rw$i")
+    val x = (0 until 10).map(i => s"rx$i")
+    val y = (0 until 10).map(i => s"ry$i")
+    val corpus = Seq(d(1L, w)).toDF("doc_id", "text")
+    val batch1 = Seq(d(11L, x)).toDF("doc_id", "text")               // fresh -> admitted
+    val batch2 = Seq(
+      d(20L, x.take(9) :+ "q"),    // near-dup of batch-1 ADMISSION -> must be rejected after restart
+      d(21L, y)).toDF("doc_id", "text")                               // fresh -> admitted
+
+    def initial = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+    // continuous run: both batches through one gate (no persistence needed)
+    val continuous = new NearDupGate(initial, "doc_id", "text", threshold = 0.8)
+    val c1 = ids(continuous.admit(batch1))
+    val c2 = ids(continuous.admit(batch2))
+
+    // restarted run: gate 1 persists its admissions, dies; gate 2 recovers
+    val dir = java.nio.file.Files.createTempDirectory("gate_persist").toString + "/index"
+    val gateA = new NearDupGate(initial, "doc_id", "text", threshold = 0.8,
+      persistDir = Some(dir))
+    val r1 = ids(gateA.admit(batch1))
+    val gateB = new NearDupGate(initial, "doc_id", "text", threshold = 0.8,
+      persistDir = Some(dir)) // fresh JVM-equivalent: only initial + disk
+    val r2 = ids(gateB.admit(batch2))
+
+    assert(r1 == c1 && r1 == Seq(11L))
+    assert(r2 == c2 && r2 == Seq(21L),
+      "restarted gate must remember batch-1 admissions (20 is a near-dup of admitted 11)")
+    // the recovered index also re-persists ITS admissions for the next restart
+    val gateC = new NearDupGate(initial, "doc_id", "text", threshold = 0.8,
+      persistDir = Some(dir))
+    assert(gateC.currentIndex.count() == 3L) // corpus + 2 persisted admissions
+    graft.operators.Caches.release()
+  }
 }
