@@ -33,7 +33,12 @@ object TfIdf {
   def topKTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val terms = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    // persisted: df re-aggregates THIS frame — without it Catalyst re-plans
+    // the whole tokenize+explode+agg chain for the df branch and the corpus
+    // is scanned (and tokenized) twice; the persisted frame is the slim
+    // distinct (doc, term, tf) triple, far smaller than the corpus
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf")).persist()
+    Caches.register(tf)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf
