@@ -9,9 +9,10 @@ object DumpQuery {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir, outPath) = args
     val spark = GraftSession.tune(SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false"))
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries(name)(spark, sfDir)

@@ -19,6 +19,13 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // start shuffles wide and let AQE coalesce DOWN: a fixed low partition
+    // count starves large stages (the r5 sf1 audit measured banded minhash
+    // 47 s → 34 s at sf1 and 4.3 s → 3.1 s at sf0.1 from this alone), while
+    // small stages coalesce back to a handful of partitions for free. On a
+    // real cluster this is the standard AQE posture: initial high,
+    // runtime-right-sized per stage.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
     // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
     // default; read as long nanos — we convert to epoch millis explicitly,
     // which is also the determinism-safe interchange with the oracle.

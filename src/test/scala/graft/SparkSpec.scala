@@ -24,5 +24,22 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = GraftSession.local(4)
+  // tests exercise semantics on KB-scale data: the production-posture
+  // initialPartitionNum=256 from GraftSession.tune only adds per-shuffle
+  // scheduling overhead here (measured +60% suite wall-clock), so specs
+  // pin it back to the thread count. Scale behavior is measured by the
+  // bench, not the unit suite.
+  lazy val session: SparkSession = {
+    val s = GraftSession.tune(SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4"))
+      // AFTER tune: builder options are last-write-wins, and tune() sets the
+      // production-posture 256
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 }
