@@ -90,6 +90,37 @@ object TextFunctions {
   def urlCount(c: Column): Column = size(regexp_extract_all(c, lit(UrlPattern), lit(0)))
   def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
 
+  /** PII patterns beyond email: dotted-quad IPs, SSN-shaped ids, phone-ish
+    * digit runs. Syntax restricted to constructs with identical semantics in
+    * Java regex and RE2 (ASCII \b / \s, character classes, greedy
+    * leftmost-first quantifiers) so the oracle can replay redaction exactly.
+    */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\s./-]{6,}[0-9]"
+
+  /** Staged PII redaction: email → IPv4 → SSN → phone. Stage ORDER is part
+    * of the spec — each stage removes substrings a later, looser pattern
+    * would otherwise partially match (an SSN is also a phone-shaped digit
+    * run; an IP inside a sentence would feed the phone pattern's dot/digit
+    * class), and each count is measured on the text the stage actually saw.
+    * Returns struct(redacted, n_email, n_ip, n_ssn, n_phone) — one pure
+    * per-row expression tree, shuffle-free and codegen-friendly.
+    */
+  def piiRedact(c: Column): Column = {
+    def count(s: Column, p: String): Column = size(regexp_extract_all(s, lit(p), lit(0)))
+    val nEmail = count(c, EmailPattern)
+    val s1 = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val nIp = count(s1, Ipv4Pattern)
+    val s2 = regexp_replace(s1, Ipv4Pattern, "<IP>")
+    val nSsn = count(s2, SsnPattern)
+    val s3 = regexp_replace(s2, SsnPattern, "<SSN>")
+    val nPhone = count(s3, PhonePattern)
+    val s4 = regexp_replace(s3, PhonePattern, "<PHONE>")
+    struct(s4.as("redacted"), nEmail.as("n_email"), nIp.as("n_ip"),
+      nSsn.as("n_ssn"), nPhone.as("n_phone"))
+  }
+
   /** MD5 fingerprint of the normalized text (exact-dedup key). */
   def contentFingerprint(c: Column): Column = md5(normText(c))
 

@@ -51,4 +51,32 @@ object TfIdf {
       .filter(col("term_rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("term_rank"))
   }
+
+  /** Corpus RARITY score: per document, the fraction of its DISTINCT terms
+    * whose corpus document frequency is ≤ `dfMax` — the "how much of this
+    * document is vocabulary nothing else uses" signal (OOV/garbage detector:
+    * high ratio flags mojibake, hashes, boilerplate IDs; near-zero flags
+    * templated text). All-integer arithmetic until one final exactly-rounded
+    * division, so the score is hash-exact cross-engine — unlike a
+    * log-probability LM score, which drifts in the last ulp.
+    *
+    * Scale shape: one slim distinct (doc, term) explode (persisted — df
+    * re-aggregates it, the corpus tokenizes once), df joins back by term,
+    * one map-side-combined count per document. Document bodies never
+    * shuffle.
+    */
+  def rarityScore(docs: DataFrame, idCol: String, textCol: String, dfMax: Long,
+                  shingleN: Int = 1): DataFrame = {
+    val units =
+      if (shingleN == 1) TextFunctions.wordSet(col(textCol))
+      else array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))
+    val terms = docs.select(col(idCol), explode(units).as("term")).persist()
+    Caches.register(terms)
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    terms.join(df, "term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("df") <= dfMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_terms"))
+  }
 }

@@ -257,6 +257,87 @@ object LlmQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---- PII redaction (email / IP / SSN / phone) ---------------------------
+  /** Staged PII redaction with per-type counts. The synthetic corpus
+    * carries no PII, so the query first ENRICHES every document with
+    * deterministic doc_id-derived PII (an email, a phone number, an IPv4,
+    * an SSN-shaped id) — both engines build the identical string, then both
+    * replay the same four-stage redaction, so the oracle checks the real
+    * pattern semantics, not a wall of zeros.
+    */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1 (555) 010-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+      pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit(" ssn 123-45-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit("."))
+    table(s, dir, "documents")
+      .select(col("doc_id"), TF.piiRedact(enriched).as("p"))
+      .select(col("doc_id"),
+        col("p.n_email").cast("long").as("n_email"),
+        col("p.n_ip").cast("long").as("n_ip"),
+        col("p.n_ssn").cast("long").as("n_ssn"),
+        col("p.n_phone").cast("long").as("n_phone"),
+        col("p.redacted").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiRedactSql: String =
+    s"""WITH enr AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1 (555) 010-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+       |    ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t0
+       |  FROM documents),
+       |s1 AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t0, '${TF.EmailPattern}')) AS BIGINT) AS n_email,
+       |    regexp_replace(t0, '${TF.EmailPattern}', '<EMAIL>', 'g') AS t1 FROM enr),
+       |s2 AS (SELECT doc_id, n_email,
+       |    CAST(len(regexp_extract_all(t1, '${TF.Ipv4Pattern}')) AS BIGINT) AS n_ip,
+       |    regexp_replace(t1, '${TF.Ipv4Pattern}', '<IP>', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT doc_id, n_email, n_ip,
+       |    CAST(len(regexp_extract_all(t2, '${TF.SsnPattern}')) AS BIGINT) AS n_ssn,
+       |    regexp_replace(t2, '${TF.SsnPattern}', '<SSN>', 'g') AS t3 FROM s2),
+       |s4 AS (SELECT doc_id, n_email, n_ip, n_ssn,
+       |    CAST(len(regexp_extract_all(t3, '${TF.PhonePattern}')) AS BIGINT) AS n_phone,
+       |    regexp_replace(t3, '${TF.PhonePattern}', '<PHONE>', 'g') AS t4 FROM s3)
+       |SELECT doc_id, n_email, n_ip, n_ssn, n_phone, t4 AS redacted
+       |FROM s4
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- corpus novelty / rarity score --------------------------------------
+  /** Per-document NOVELTY: the fraction of its distinct 5-gram shingles
+    * that occur in no other document (df ≤ 1) — exact duplicates score 0,
+    * fully original text scores 1, template-with-slots text lands between.
+    * All-integer counts until one final exactly-rounded division.
+    */
+  def qRarityScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.rarityScore(table(s, dir, "documents"),
+        "doc_id", "text", dfMax = 1, shingleN = 5)
+      .orderBy("doc_id")
+
+  val qRarityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(0, len(t) - 4), i -> array_to_string(t[i+1:i+5], ' '))
+      |    ELSE [array_to_string(t, ' ')] END AS gs
+      |  FROM t),
+      |terms AS (SELECT doc_id, unnest(list_distinct(gs)) AS term FROM sh),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(CASE WHEN df.df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(SUM(CASE WHEN df.df <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+      |FROM terms t JOIN df USING (term)
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---- repetition ratio (boilerplate/garbage signal) ----------------------
   /** Fraction of all word 2-grams taken by the single most frequent one —
     * the Gopher-style repetition quality gate.
