@@ -70,6 +70,40 @@ object Mix {
         explode(sequence(lit(0L), col("__n") - 1)).as("epoch"))
   }
 
+  /** Token-budget SHARD assignment — the corpus-output layout step: order
+    * the corpus by the deterministic (bucket, priority, id) total order and
+    * cut it into shards of `shardTokens` tokens by START offset (a document
+    * straddling a boundary belongs to the shard its first token lands in,
+    * so shard token sums are ≤ shardTokens + one document). This is the
+    * WebDataset/Megatron-style "shard files of ~N tokens" writer input.
+    *
+    * Same two-level distributed prefix sum as [[tokenBudget]] — one global
+    * stream, never one global window: bucket totals aggregate map-side,
+    * offsets broadcast, within-bucket windows are `prioBuckets`-way
+    * parallel. Document bodies never shuffle (join them back by id at
+    * write time — [[writeShards]]).
+    */
+  def shardAssign(docs: DataFrame, idCol: String, textCol: String, shardTokens: Long,
+                  prioBuckets: Int = 64): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    require(!docs.columns.contains("__all"), "reserved column name __all")
+    val cum = withCumTokens(docs.withColumn("__all", lit("all")), idCol, textCol,
+      "__all", prioBuckets)
+    cum
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) div $shardTokens"))
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard_id"))
+  }
+
+  /** Materialize [[shardAssign]]: one parquet partition directory per
+    * shard. `repartition(shard_id)` co-locates each shard's rows into one
+    * task, so every shard writes as one file whose size tracks the token
+    * budget — the layout a data-loader fleet reads.
+    */
+  def writeShards(docs: DataFrame, assigned: DataFrame, idCol: String, outDir: String): Unit =
+    docs.join(assigned.select(col(idCol), col("shard_id")), idCol)
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+
   private def budgetCol(stratumCol: String, budgets: Map[String, Long],
                         defaultBudget: Long): Column =
     budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>

@@ -41,4 +41,32 @@ object Pack {
       .withColumn("seq_offset", (col("__cum") - col("n_tokens")) % maxTokens)
       .drop("__cum")
   }
+
+  /** Overlapping token-window CHUNKING (RAG / long-context prep): each
+    * document splits into `chunkSize`-token windows whose starts step by
+    * `stride` (stride < chunkSize ⇒ the standard sliding overlap; stride =
+    * chunkSize ⇒ an exact partition of the token stream). Chunk starts are
+    * generated while start < n_tokens, so every token lands in ≥1 chunk and
+    * the final chunk may run short — the shape retrieval chunkers emit.
+    *
+    * Purely per-row (explode bounded by ⌈len/stride⌉ per document): no
+    * shuffle, no state — chunking 100 TB is embarrassingly parallel and
+    * this plan keeps it that way.
+    *
+    * @return (idCol, chunk_idx, chunk_start, n_chunk_tokens, chunk_text)
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__t"), size(toks).as("__n"))
+      .select(col(idCol), col("__t"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        col("col").cast("int").as("chunk_start"),
+        least(col("__n") - col("col"), lit(chunkSize)).cast("int").as("n_chunk_tokens"),
+        array_join(slice(col("__t"), col("col") + 1, lit(chunkSize)), " ").as("chunk_text"))
+  }
 }

@@ -758,6 +758,57 @@ object LlmQueries {
       |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- overlapping token-window chunking (RAG prep) ----------------------
+  /** 64-token chunks stepping by 48 (16-token overlap); the last chunk of a
+    * document runs short. Purely per-row — the oracle replays the identical
+    * start grid and slices.
+    */
+  def qDocChunk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pack.chunkTokens(table(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  val qDocChunkSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(g.i // 48 AS INT) AS chunk_idx,
+      |    CAST(g.i AS INT) AS chunk_start,
+      |    CAST(least(len(t) - g.i, 64) AS INT) AS n_chunk_tokens,
+      |    array_to_string(list_slice(t, g.i + 1, g.i + 64), ' ') AS chunk_text
+      |  FROM w, LATERAL unnest(generate_series(0, CAST(greatest(len(t) - 1, 0) AS BIGINT), 48)) AS g(i))
+      |SELECT doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- token-budget shard assignment (corpus output layout) ---------------
+  /** 1500-token output shards over the deterministic (bucket, priority, id)
+    * global order — a document belongs to the shard its first token lands
+    * in. The oracle replays the same order with one window; the operator
+    * computes it as the two-level distributed prefix sum.
+    */
+  def qShardAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mix.shardAssign(table(s, dir, "documents"),
+        "doc_id", "text", shardTokens = 1500L)
+      .orderBy("doc_id")
+
+  val qShardAssignSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 AS prio
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY prio % 64, prio, doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // 1500 AS BIGINT) AS shard_id
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   // ---- rows-only queries (no SQL-expressible oracle) ---------------------
   /** maxHamming = 3 keeps the 16-bit-quarter bucketing pigeonhole-COMPLETE
     * (any ≤3-bit-distant pair shares a quarter), so the bucketed result

@@ -94,6 +94,52 @@ class MixSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("shard assignment: contiguous shards by start offset, straddle rule, stability") {
+    val assigned = Mix.shardAssign(docs(), "id", "text", shardTokens = 200L)
+    val rows = assigned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc appears exactly once
+    assert(rows.length == 300 && rows.map(_._1).distinct.length == 300)
+    // shard = start offset div budget, and shards are contiguous 0..max
+    assert(rows.forall { case (_, n, cum, sh) => sh == (cum - n) / 200L })
+    val shards = rows.map(_._4).distinct.sorted
+    assert(shards.toSeq == (0L to shards.max).toSeq)
+    // per-shard token sum ≤ budget + the straddling document
+    val over = rows.groupBy(_._4).values.filter { g =>
+      g.map(_._2).sum > 200L + g.map(_._2).max
+    }
+    assert(over.isEmpty)
+    // repartition-stable (the same contract as the budget draw)
+    val re = Mix.shardAssign(docs().repartition(7), "id", "text", shardTokens = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rows.forall { case (id, _, _, sh) => re(id) == sh })
+  }
+
+  test("writeShards lays out one partition directory per shard with all its docs") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_shards_${System.nanoTime()}")
+    try {
+      val d = docs()
+      val assigned = Mix.shardAssign(d, "id", "text", shardTokens = 500L)
+      Mix.writeShards(d, assigned, "id", out.getPath)
+      val back = spark.read.parquet(out.getPath)
+      // partition discovery infers shard_id as int — normalize for compare
+      val got = back.select(col("id"), col("shard_id").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = assigned.select("id", "shard_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      // one directory per shard on disk
+      val dirs = out.listFiles().filter(_.getName.startsWith("shard_id=")).map(_.getName).toSet
+      assert(dirs == want.values.toSet.map((s: Long) => s"shard_id=$s"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(out)
+    }
+  }
+
   test("selection and positions are repartition-stable and bucket-count-robust") {
     def run(parts: Int, buckets: Int): Seq[(Long, Long)] =
       Mix.tokenBudget(docs().repartition(parts), "id", "text", "stratum",
