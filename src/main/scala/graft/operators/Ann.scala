@@ -134,7 +134,7 @@ object Ann {
   /** Nearest-centroid assignment: broadcast the (small) centroid table,
     * argmin by cosine distance.
     */
-  private def assignToNearest(c: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignToNearest(c: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vid").orderBy(col("d").desc, col("cid"))
     c.crossJoin(broadcast(centroids))
       .withColumn("d", VectorFunctions.cosine(col("v"), col("centroid")))

@@ -299,6 +299,28 @@ object Dedup {
       .select("ga", "gb")
       .persist() // consumed by count + (collect | both union directions)
     Caches.register(e0)
+    val winnersTouched = ccMinWinners(e0, idCol, maxRounds, collectEdgeThreshold)
+
+    // cluster label = min doc id of the component ⇒ the winner IS the doc
+    // whose id equals the label; isolated groups (no near-dup edge) keep
+    // their own min unconditionally
+    val touchedNodes = e0.select(col("ga").as(idCol))
+      .unionByName(e0.select(col("gb").as(idCol))).distinct()
+    val winners = winnersTouched
+      .unionByName(g.groups.select(col("gmin").as(idCol))
+        .join(touchedNodes, Seq(idCol), "left_anti"))
+    docs.join(winners, idCol)
+  }
+
+  /** Connected components over an undirected 2-column edge frame (must be
+    * persisted by the caller), returning ONE row per component — its
+    * minimum node id, in a single `idCol` column. Shared by the near-dup
+    * and semantic materializers. Routes through a bounded driver union-find
+    * below the byte-aware edge budget and min-label propagation with
+    * pointer halving above; the two routes are spec-proved identical.
+    */
+  private[graft] def ccMinWinners(e0: DataFrame, idCol: String, maxRounds: Int,
+                                  collectEdgeThreshold: Long): DataFrame = {
     val nEdges = e0.count()
     // the edge bound is byte-aware: fixed-width ids keep the calibrated
     // threshold; string ids sample their real width from the (persisted)
@@ -309,9 +331,8 @@ object Dedup {
       case _ => 8.0
     }
 
-    val spark = docs.sparkSession
-    val winnersTouched: DataFrame =
-      if (nEdges <= driverEdgeBudget(collectEdgeThreshold, avgIdBytes)) {
+    val spark = e0.sparkSession
+    if (nEdges <= driverEdgeBudget(collectEdgeThreshold, avgIdBytes)) {
         lastCcRoute = "driver"
         // id-type agnostic like every other Dedup entry point: ids compare
         // through their external natural order, EXCEPT strings, which use
@@ -382,16 +403,6 @@ object Dedup {
           s"dropDuplicatesNear: min-label propagation did not converge in $maxRounds rounds")
         labels.select(col("lbl").as(idCol)).distinct()
       }
-
-    // cluster label = min doc id of the component ⇒ the winner IS the doc
-    // whose id equals the label; isolated groups (no near-dup edge) keep
-    // their own min unconditionally
-    val touchedNodes = e0.select(col("ga").as(idCol))
-      .unionByName(e0.select(col("gb").as(idCol))).distinct()
-    val winners = winnersTouched
-      .unionByName(g.groups.select(col("gmin").as(idCol))
-        .join(touchedNodes, Seq(idCol), "left_anti"))
-    docs.join(winners, idCol)
   }
 
   /** The persistent corpus near-dup INDEX: one row per DISTINCT word set —
@@ -645,6 +656,47 @@ object Dedup {
       .withColumn("cosine", NativeHash.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** SEMANTIC dedup (SemDeDup-style): cluster embeddings to their nearest
+    * centroid, find cosine-≥threshold pairs WITHIN each cluster, and keep
+    * one row per connected component (cluster-min id wins) — near-dup
+    * semantics with meaning-space edges instead of token-space edges, for
+    * paraphrases and re-renderings exact/minhash dedup can't see.
+    *
+    * The centroid partition is the scale contract: pairwise work is
+    * per-cell O(|cell|²) instead of corpus², tuned by `nlist` at training
+    * time exactly like IVF probe cost; pairs crossing cell boundaries are
+    * out of scope BY DEFINITION (the published SemDeDup trade — raise
+    * nlist for cheaper cells, lower it for higher recall). Centroids ride
+    * a broadcast; component election reuses [[ccMinWinners]] (byte-aware
+    * driver union-find small, pointer-halving label propagation at scale).
+    *
+    * Centroids come in pinned (train with [[Ann.trainIvfCentroids]] and
+    * persist) so assignment is replayable — the oracle replays nearest-cell
+    * assignment, in-cell pair scan, and transitive closure over the same
+    * float bits.
+    */
+  def dropDuplicatesSemantic(vecs: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, threshold: Double,
+                             maxRounds: Int = 50,
+                             collectEdgeThreshold: Long = 1L << 22): DataFrame = {
+    val cells = Ann.assignToNearest(
+      vecs.select(col(idCol).as("vid"), col(vecCol).as("v")), centroids)
+    val a = cells.select(col("cid"), col("vid").as("ga"), col("v").as("va"))
+    val b = cells.select(col("cid"), col("vid").as("gb"), col("v").as("vb"))
+    val e0 = a.join(b, Seq("cid"))
+      .filter(col("ga") < col("gb"))
+      .filter(NativeHash.cosine(col("va"), col("vb")) >= threshold)
+      .select("ga", "gb")
+      .persist() // consumed by count + CC + the untouched-survivor anti-join
+    Caches.register(e0)
+    val winnersTouched = ccMinWinners(e0, idCol, maxRounds, collectEdgeThreshold)
+    val touched = e0.select(col("ga").as(idCol))
+      .unionByName(e0.select(col("gb").as(idCol))).distinct()
+    val winners = winnersTouched
+      .unionByName(vecs.select(col(idCol)).join(touched, Seq(idCol), "left_anti"))
+    vecs.join(winners, idCol)
   }
 
   /** Sub-document (span-level) dedup, C4-style: segment each document's

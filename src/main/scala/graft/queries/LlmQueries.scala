@@ -979,6 +979,63 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Centroid fixture for the SEMANTIC dedup materializer — same
+    * deterministic training as the IVF fixture, its own path so the two
+    * queries never race over one directory.
+    */
+  val semdedupCentroidFixture: String =
+    new java.io.File("target/verify_fixtures/semdedup_centroids_n16i1.parquet").getAbsolutePath
+
+  /** SemDeDup-style semantic dedup: one survivor per connected component
+    * of the within-cell cosine-≥0.3 graph over pinned k-means cells. The
+    * oracle replays cell assignment (argmax cosine over the fixture, ties →
+    * lowest cid), the in-cell pair scan, and the transitive closure — the
+    * whole meaning-space materializer sits under the hash gate, cell
+    * restriction included.
+    */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+      .coalesce(1).write.mode("overwrite").parquet(semdedupCentroidFixture)
+    val pinned = s.read.parquet(semdedupCentroidFixture)
+    Dedup.dropDuplicatesSemantic(emb, "vec_id", "embedding", pinned, threshold = 0.3)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
+  val qSemdedupSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (acc,v) -> acc+v)
+         | / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))
+         |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))))""".stripMargin
+    s"""WITH RECURSIVE cent AS (SELECT cid, centroid FROM read_parquet('$semdedupCentroidFixture/*.parquet')),
+       |asgn AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT e.vec_id AS vid, t.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "t.centroid")} DESC, t.cid) AS r
+       |    FROM embeddings e CROSS JOIN cent t) x
+       |  WHERE r = 1),
+       |p AS (
+       |  SELECT x.vid AS id_a, y.vid AS id_b
+       |  FROM asgn x
+       |  JOIN asgn y ON x.cid = y.cid AND x.vid < y.vid
+       |  JOIN embeddings ea ON ea.vec_id = x.vid
+       |  JOIN embeddings eb ON eb.vec_id = y.vid
+       |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.3),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT em.vec_id, em.label
+       |FROM embeddings em JOIN cl USING (vec_id)
+       |WHERE em.vec_id = cl.cluster_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** IVF forced EXHAUSTIVE (nprobe == nlist): every cell scans, so the
     * result equals brute force for any trained centroids — which puts the
     * whole IVF machinery (quantizer training, distributed cell assignment,
