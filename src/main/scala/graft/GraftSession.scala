@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import scala.util.chaining._
+
 /** Session + table helpers shared by the library, Verify, Bench and tests.
   *
   * Scale notes: shuffle partitions default small for local[32]; on a real
@@ -19,13 +21,18 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    // start shuffles wide and let AQE coalesce DOWN: a fixed low partition
-    // count starves large stages (the r5 sf1 audit measured banded minhash
-    // 47 s → 34 s at sf1 and 4.3 s → 3.1 s at sf0.1 from this alone), while
-    // small stages coalesce back to a handful of partitions for free. On a
-    // real cluster this is the standard AQE posture: initial high,
-    // runtime-right-sized per stage.
-    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+    // AQE shuffle WIDTH is a deployment knob, not a library constant. A
+    // fixed initialPartitionNum is wrong at both ends: at toy SF the extra
+    // reducers are pure scheduling overhead (a hardcoded 256 measured +25%
+    // to +80% across the sf0.1 registry — 2.8 s → 5.1 s on the composed
+    // curation pipeline), and on a real cluster a small constant CAPS
+    // parallelism below a properly sized spark.sql.shuffle.partitions.
+    // Deployments size shuffle.partitions to the data (AQE coalesces down
+    // for free); scale runs that want wider-than-default initial shuffles
+    // opt in via SPARK_GRAFT_INIT_PARTS — the r5 sf1 audit's measured wins
+    // (banded minhash 47 s → 34 s at sf1) reproduce with 256 here.
+    .pipe(b2 => sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(b2)(n =>
+      b2.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)))
     // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
     // default; read as long nanos — we convert to epoch millis explicitly,
     // which is also the determinism-safe interchange with the oracle.

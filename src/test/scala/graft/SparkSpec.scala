@@ -24,11 +24,11 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  // tests exercise semantics on KB-scale data: the production-posture
-  // initialPartitionNum=256 from GraftSession.tune only adds per-shuffle
-  // scheduling overhead here (measured +60% suite wall-clock), so specs
-  // pin it back to the thread count. Scale behavior is measured by the
-  // bench, not the unit suite.
+  // tests exercise semantics on KB-scale data: wide initial shuffles (the
+  // SPARK_GRAFT_INIT_PARTS scale knob, measured +60% suite wall-clock at
+  // 256) only add per-shuffle scheduling overhead here, so specs pin the
+  // knob to the thread count regardless of the environment. Scale behavior
+  // is measured by the bench, not the unit suite.
   lazy val session: SparkSession = {
     val s = GraftSession.tune(SparkSession.builder()
         .master("local[4]")
