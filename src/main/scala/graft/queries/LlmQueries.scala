@@ -871,17 +871,35 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Absolute path of the persisted IVF centroid fixture. Training is
-    * deterministic (seeded k-means on the lowest-id sample), so the fixture
-    * content is a pure function of (corpus, nlist, iters) — but k-means
-    * itself is not SQL-expressible, so the CENTROIDS are pinned on disk and
-    * the oracle reproduces everything downstream of training (nearest-cell
-    * assignment, nprobe probe routing, in-cell search, ranking) in pure SQL
-    * over the same float bits. Overwritten on every qAnnIvf run; the dumped
-    * oracle SQL always refers to the run that produced it.
+  /** Dataset tag for fixture paths: last path segment + a short hash of the
+    * absolute path. Fixtures are keyed by the dataset they were trained on
+    * so a CONCURRENT JVM (a unit suite training on its own temp corpus)
+    * can never clobber the centroids a Verify run pinned between the dump
+    * and the DuckDB oracle replay — the failure mode a shared path has.
     */
-  val ivfCentroidFixture: String =
-    new java.io.File("target/verify_fixtures/ivf_centroids_n16i1.parquet").getAbsolutePath
+  private def dataTag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val name = abs.substring(abs.lastIndexOf('/') + 1).replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${name}_$h"
+  }
+
+  /** Absolute path of the persisted IVF centroid fixture for `dir`. Training
+    * is deterministic (seeded k-means on the lowest-id sample), so the
+    * fixture content is a pure function of (corpus, nlist, iters) — but
+    * k-means itself is not SQL-expressible, so the CENTROIDS are pinned on
+    * disk and the oracle reproduces everything downstream of training
+    * (nearest-cell assignment, nprobe probe routing, in-cell search,
+    * ranking) in pure SQL over the same float bits.
+    */
+  def ivfCentroidFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/ivf_centroids_n16i1_${dataTag(dir)}.parquet").getAbsolutePath
+
+  // The dataset qAnnIvf last pinned centroids for. Verify/DumpQuery dump the
+  // oracle SQL AFTER running the query in the same JVM, so the dumped SQL
+  // always reads the fixture that run wrote.
+  private val lastIvfDir = new java.util.concurrent.atomic.AtomicReference[String](".")
 
   /** Multi-table hyperplane LSH ANN (OR-of-ANDs, 8 tables × 4 planes).
     * The oracle re-derives every table key in SQL — key t = (t << 4) |
@@ -928,11 +946,13 @@ object LlmQueries {
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
+    val fixture = ivfCentroidFixture(dir)
+    lastIvfDir.set(dir)
     Ann.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
-      .coalesce(1).write.mode("overwrite").parquet(ivfCentroidFixture)
+      .coalesce(1).write.mode("overwrite").parquet(fixture)
     // search consumes the PINNED floats read back from the fixture — the
     // Spark result and the SQL oracle provably see identical centroid bits
-    val pinned = s.read.parquet(ivfCentroidFixture)
+    val pinned = s.read.parquet(fixture)
     Ann.ivfTopKWithCentroids(emb.filter(col("vec_id") < 5), emb, pinned,
         "vec_id", "embedding", k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
@@ -944,12 +964,12 @@ object LlmQueries {
     * [[Ann.ivfTopKWithCentroids]] stage for stage; cosine is the same
     * left-fold double formula as every other embedding oracle.
     */
-  val qAnnIvfSql: String = {
+  def qAnnIvfSql: String = {
     def cosSql(a: String, b: String): String =
       s"""(list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (acc,v) -> acc+v)
          | / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))
          |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))))""".stripMargin
-    s"""WITH cent AS (SELECT cid, centroid FROM read_parquet('$ivfCentroidFixture/*.parquet')),
+    s"""WITH cent AS (SELECT cid, centroid FROM read_parquet('${ivfCentroidFixture(lastIvfDir.get)}/*.parquet')),
        |asgn AS (
        |  SELECT vid, cid FROM (
        |    SELECT e.vec_id AS vid, t.cid,
@@ -980,11 +1000,13 @@ object LlmQueries {
   }
 
   /** Centroid fixture for the SEMANTIC dedup materializer — same
-    * deterministic training as the IVF fixture, its own path so the two
-    * queries never race over one directory.
+    * deterministic training as the IVF fixture, its own path (and its own
+    * dataset key) so no two queries or JVMs race over one directory.
     */
-  val semdedupCentroidFixture: String =
-    new java.io.File("target/verify_fixtures/semdedup_centroids_n16i1.parquet").getAbsolutePath
+  def semdedupCentroidFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/semdedup_centroids_n16i1_${dataTag(dir)}.parquet").getAbsolutePath
+
+  private val lastSemdedupDir = new java.util.concurrent.atomic.AtomicReference[String](".")
 
   /** SemDeDup-style semantic dedup: one survivor per connected component
     * of the within-cell cosine-≥0.3 graph over pinned k-means cells. The
@@ -995,20 +1017,22 @@ object LlmQueries {
     */
   def qSemdedup(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
+    val fixture = semdedupCentroidFixture(dir)
+    lastSemdedupDir.set(dir)
     Ann.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
-      .coalesce(1).write.mode("overwrite").parquet(semdedupCentroidFixture)
-    val pinned = s.read.parquet(semdedupCentroidFixture)
+      .coalesce(1).write.mode("overwrite").parquet(fixture)
+    val pinned = s.read.parquet(fixture)
     Dedup.dropDuplicatesSemantic(emb, "vec_id", "embedding", pinned, threshold = 0.3)
       .select("vec_id", "label")
       .orderBy("vec_id")
   }
 
-  val qSemdedupSql: String = {
+  def qSemdedupSql: String = {
     def cosSql(a: String, b: String): String =
       s"""(list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (acc,v) -> acc+v)
          | / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))
          |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))))""".stripMargin
-    s"""WITH RECURSIVE cent AS (SELECT cid, centroid FROM read_parquet('$semdedupCentroidFixture/*.parquet')),
+    s"""WITH RECURSIVE cent AS (SELECT cid, centroid FROM read_parquet('${semdedupCentroidFixture(lastSemdedupDir.get)}/*.parquet')),
        |asgn AS (
        |  SELECT vid, cid FROM (
        |    SELECT e.vec_id AS vid, t.cid,
