@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, buckets) from the md5 of the key. */
-  def md5Bucket(key: Column, buckets: Int): Column = {
+  /** md5-derived uint64 of the key as decimal(20,0) — exactly DuckDB's
+    * `md5_number_lower(key)` (little-endian uint64 of digest bytes 8..15 ==
+    * byte-reversed hex chars 17..32), the cross-engine hash primitive every
+    * deterministic sample/sketch in the library builds on.
+    */
+  def md5Lower(key: Column): Column = {
     val h = md5(key.cast("string"))
-    // little-endian uint64 of digest bytes 8..15 == byte-reversed hex 17..32
     val hexLe = concat((7 to 0 by -1).map(i => substring(h, 17 + 2 * i, 2)): _*)
-    pmod(conv(hexLe, 16, 10).cast("decimal(20,0)"), lit(buckets)).cast("int")
+    conv(hexLe, 16, 10).cast("decimal(20,0)")
   }
+
+  /** Uniform bucket in [0, buckets) from the md5 of the key. */
+  def md5Bucket(key: Column, buckets: Int): Column =
+    pmod(md5Lower(key), lit(buckets)).cast("int")
 
   /** train/val/test assignment by bucket percentage (e.g. 80/10/10). */
   def split(key: Column, trainPct: Int, valPct: Int): Column = {

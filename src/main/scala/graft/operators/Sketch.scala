@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.Sampling
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory sketches for corpus-scale statistics: HyperLogLog distinct
+  * counting and Count-Min frequency estimation.
+  *
+  * Both sketches hash with the library's cross-engine md5 family
+  * ([[graft.functions.Sampling.md5Lower]] == DuckDB `md5_number_lower`), so
+  * the ENTIRE sketch state — every register, every counter — is a
+  * deterministic function of the data, bit-identical on any engine,
+  * partitioning, or cluster size, and therefore sits under the DuckDB hash
+  * gate like any exact query. Approximation error lives only in the final
+  * ESTIMATE, whose accuracy is spec-measured; the sketch itself is exact.
+  *
+  * Why sketches at 100 TB: exact `COUNT(DISTINCT url)` over 10¹² rows is a
+  * full shuffle of every distinct value; the HLL register table is m
+  * integers (4 KB at p=12) produced by one map-side-combined aggregation —
+  * values never shuffle, only (bucket, rho) partials do. Both sketches merge
+  * associatively (register max / counter sum), so per-shard or per-day
+  * sketches fold into the corpus sketch without re-reading data — the shape
+  * incremental corpus accounting actually runs.
+  */
+object Sketch {
+
+  /** rho is computed over a 48-bit window (hash mod 2^48): rho ∈ [1, 49],
+    * 49 = "window all zeros". 48 bits keeps every scaled term 2^(49-rho)
+    * and their 4096-bucket sum inside exact BIGINT range on both engines.
+    */
+  private val WindowBits = 48
+  val MaxRho: Int = WindowBits + 1
+
+  /** HyperLogLog register table for `key`: one (bucket, rho) row per
+    * NON-EMPTY bucket, m = 2^p buckets.
+    *
+    * bucket = md5_number_lower(key) mod m; the rho window is an independent
+    * md5 draw ("r:" + key) so bucket and rho bits never correlate — and both
+    * are replayable in pure SQL (`bin()` string length gives the leading-
+    * zero count on either engine, no clz builtin needed).
+    *
+    * Plan shape: project → partial max → final max over ≤ m groups. One
+    * narrow shuffle of at most m rows per task; output size is m rows
+    * regardless of corpus size.
+    */
+  def hllRegisters(df: DataFrame, key: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val k = col(key).cast("string")
+    val w = pmod(Sampling.md5Lower(concat(lit("r:"), k)), lit(1L << WindowBits)).cast("long")
+    val rho = when(w === 0L, MaxRho).otherwise(lit(MaxRho) - length(bin(w))).cast("int")
+    df.select(Sampling.md5Bucket(k, m).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Merge register tables (per-shard sketches → corpus sketch): per-bucket
+    * max. Associative and idempotent, so shards combine in any order.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max("rho").as("rho"))
+
+  /** Distinct-count estimate from a register table: the standard HLL
+    * harmonic-mean estimator with linear-counting small-range correction.
+    *
+    * The registers are the oracle-gated artifact; this fold collects ≤ m
+    * rows (bounded by construction, like the IVF quantizer sample) and sums
+    * the dyadic terms 2^(MaxRho−rho) as exact integers — the only floating
+    * ops are the final constant multiply and one division, so the estimate
+    * itself is order- and partition-invariant. Relative error ≈ 1.04/√m
+    * (~1.6% at p=12), spec-measured in SketchSpec.
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 12): Double = {
+    val m = 1 << p
+    val rows = registers.select(col("bucket"), col("rho")).collect()
+    require(rows.length <= m, s"register table has ${rows.length} rows for m=$m")
+    var sScaled = 0L
+    rows.foreach { r => sScaled += 1L << (MaxRho - r.getInt(1)) }
+    sScaled += (m - rows.length).toLong * (1L << MaxRho) // empty buckets: rho = 0
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val eRaw = alpha * m * m * java.lang.Math.scalb(1.0, MaxRho) / sScaled.toDouble
+    val v = m - rows.length
+    if (eRaw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else eRaw
+  }
+
+  /** Count-Min sketch counter table for `key`: (i, slot, cnt) over d hash
+    * rows × w slots. hash_i(key) = md5_number_lower(i + ":" + key) mod w.
+    *
+    * One map-side-combined count into ≤ d·w groups — the d-fold explode
+    * multiplies only the slim (i, slot) projection, never carried columns,
+    * and the result is d·w longs no matter the corpus size.
+    */
+  def cmsTable(df: DataFrame, key: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d>=1, w>=2; got d=$d w=$w")
+    df.select(col(key).cast("string").as("k"))
+      .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("k"))
+      .select(col("i"),
+        Sampling.md5Bucket(concat(col("i").cast("string"), lit(":"), col("k")), w).as("slot"))
+      .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimates for every distinct key in `df`: est = min over the
+    * d counters the key hashes to. Guarantees est ≥ true count (collisions
+    * only inflate), with overestimate bounded by ~e·N/w per row whp — so for
+    * heavy keys est == true with high probability, which is what a
+    * frequency gate actually consumes.
+    *
+    * The d·w counter table broadcasts (KBs by construction); distinct keys
+    * shuffle once, slim. Returns (k, est).
+    */
+  def cmsEstimates(df: DataFrame, key: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    val table = cmsTable(df, key, d, w)
+    val probes = df.select(col(key).cast("string").as("k")).distinct()
+      .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("k"), col("i"),
+        Sampling.md5Bucket(concat(col("i").cast("string"), lit(":"), col("k")), w).as("slot"))
+    probes.join(broadcast(table), Seq("i", "slot"))
+      .groupBy("k").agg(min("cnt").as("est"))
+  }
+}

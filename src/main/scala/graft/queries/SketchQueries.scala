@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.GraftSession.table
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Fluency, Sketch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based corpus statistics and corpus-relative scoring (SURVEY.md §2
+  * beyond-inventory rows): HyperLogLog distinct counting, Count-Min heavy
+  * hitters, and bigram fluency. All three are oracle-exact — the sketches
+  * hash with the cross-engine md5 family, so DuckDB replays the full
+  * register/counter state, and the fluency score is integer-exact by
+  * construction.
+  */
+object SketchQueries {
+
+  private val tokensSql = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  // ---- HyperLogLog distinct sketch ---------------------------------------
+  /** Full HLL register table (m = 4096) over document texts — the complete
+    * sketch state sits under the hash gate; estimation accuracy is
+    * spec-measured in SketchSpec.
+    */
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    Sketch.hllRegisters(table(s, dir, "documents"), "text")
+      .orderBy("bucket")
+
+  val qHllDistinctSql: String =
+    """WITH h AS (
+      |  SELECT CAST(md5_number_lower(text) % 4096 AS INT) AS bucket,
+      |         md5_number_lower('r:' || text) % 281474976710656 AS w
+      |  FROM documents),
+      |r AS (
+      |  SELECT bucket,
+      |    CAST(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END AS INT) AS rho
+      |  FROM h)
+      |SELECT bucket, CAST(max(rho) AS INT) AS rho
+      |FROM r GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---- Count-Min heavy hitters -------------------------------------------
+  /** Top-20 tokens by Count-Min estimated count (d=4 rows × w=1024 slots).
+    * est ≥ true always; for heavy tokens est == true whp — both properties
+    * spec-pinned. Ties at the cut break by token, so the result is a total
+    * order on both engines.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("token"))
+    Sketch.cmsEstimates(toks, "token")
+      .withColumnRenamed("k", "token")
+      .orderBy(desc("est"), asc("token"))
+      .limit(20)
+  }
+
+  val qHeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest($tokensSql) AS k FROM documents),
+       |cms AS (
+       |  SELECT i, CAST(md5_number_lower(CAST(i AS VARCHAR) || ':' || k) % 1024 AS INT) AS slot,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks, LATERAL unnest(generate_series(0, 3)) AS g(i)
+       |  GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT k FROM toks),
+       |probes AS (
+       |  SELECT k, i, CAST(md5_number_lower(CAST(i AS VARCHAR) || ':' || k) % 1024 AS INT) AS slot
+       |  FROM keys, LATERAL unnest(generate_series(0, 3)) AS g(i))
+       |SELECT k AS token, CAST(min(cnt) AS BIGINT) AS est
+       |FROM probes JOIN cms USING (i, slot)
+       |GROUP BY k
+       |ORDER BY est DESC, token
+       |LIMIT 20""".stripMargin
+
+  // ---- corpus-relative bigram fluency ------------------------------------
+  /** Per-document bigram fluency (integer-exact millionth-quantized mean of
+    * corpus-conditional bigram probabilities). Docs with < 2 tokens have no
+    * bigrams and are excluded on both engines.
+    */
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    Fluency.bigramFluency(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val qLmScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS w FROM documents),
+       |b AS (
+       |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+       |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+       |  WHERE len(w) >= 2),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+       |s AS (
+       |  SELECT b.doc_id, (1000000 * c2.c2) // c1.c1 AS p_micro
+       |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(p_micro) AS BIGINT) AS fluency_micro_sum,
+       |  CAST(CAST(sum(p_micro) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS DOUBLE) AS fluency
+       |FROM s GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+}

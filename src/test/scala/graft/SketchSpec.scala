@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Fluency, Sketch}
+import org.apache.spark.sql.functions._
+
+/** HLL / CMS sketches and bigram fluency: estimate accuracy, the guarantees
+  * (CMS est ≥ true; HLL duplicate-invariance), mergeability (the distributed
+  * / incremental property), and fluency's integer-exact arithmetic.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(from: Int, until: Int) =
+    (from until until).map(i => s"val-$i").toDF("v")
+
+  test("HLL estimate lands within 3% on 100k distinct values") {
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(ids(0, 100000), "v"))
+    assert(math.abs(est - 100000) / 100000.0 < 0.03, s"est=$est")
+  }
+
+  test("HLL small-range (linear counting) branch is accurate at n=100") {
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(ids(0, 100), "v"))
+    assert(math.abs(est - 100) / 100.0 < 0.05, s"est=$est")
+  }
+
+  test("duplicates never move the registers: sketch(x3 copies) == sketch") {
+    val once = Sketch.hllRegisters(ids(0, 5000), "v")
+    val tripled = Sketch.hllRegisters(
+      ids(0, 5000).union(ids(0, 5000)).union(ids(0, 5000)), "v")
+    assert(once.exceptAll(tripled).isEmpty && tripled.exceptAll(once).isEmpty)
+  }
+
+  test("HLL merge of disjoint shards == sketch of the whole corpus") {
+    val whole = Sketch.hllRegisters(ids(0, 20000), "v")
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(ids(0, 12000), "v"),
+      Sketch.hllRegisters(ids(12000, 20000), "v"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+    // overlapping shards too: merge is idempotent on the overlap
+    val overlapped = Sketch.hllMerge(
+      Sketch.hllRegisters(ids(0, 15000), "v"),
+      Sketch.hllRegisters(ids(5000, 20000), "v"))
+    assert(whole.exceptAll(overlapped).isEmpty && overlapped.exceptAll(whole).isEmpty)
+  }
+
+  // zipfian-ish corpus: token t_k appears ~N/k times
+  private def zipf(n: Int) =
+    (1 to n).flatMap(k => Seq.fill(n / k)(s"t$k")).toDF("tok")
+
+  test("CMS estimates dominate true counts, exactly, for every key") {
+    val df = zipf(64)
+    val truth = df.groupBy("tok").count()
+    val under = Sketch.cmsEstimates(df, "tok")
+      .join(truth, col("k") === col("tok"))
+      .filter(col("est") < col("count")).count()
+    assert(under == 0L)
+  }
+
+  test("CMS is exact on the heavy hitters of a zipfian corpus") {
+    val df = zipf(64)
+    val truth = df.groupBy("tok").count()
+    // top-8 true heavy hitters: est must equal true count (w=1024 slots vs
+    // 64 distinct keys → collisions with another heavy key are impossible
+    // unless md5 buckets collide, which the assertion would surface)
+    val wrong = Sketch.cmsEstimates(df, "tok")
+      .join(truth.orderBy(desc("count")).limit(8), col("k") === col("tok"))
+      .filter(col("est") =!= col("count")).count()
+    assert(wrong == 0L)
+  }
+
+  test("CMS counter tables merge by addition: shard-sum == whole") {
+    val whole = Sketch.cmsTable(zipf(64), "tok")
+    val a = zipf(64).limit(100)
+    val b = zipf(64).exceptAll(a)
+    val merged = Sketch.cmsTable(a, "tok").unionByName(Sketch.cmsTable(b, "tok"))
+      .groupBy("i", "slot").agg(sum("cnt").as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
+  test("bigram fluency matches hand-computed corpus-conditional probabilities") {
+    // corpus: "a b", "a b", "a c" → c1(a)=3, c2(a,b)=2, c2(a,c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = Fluency.bigramFluency(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "fluency_micro_sum")
+      .as[(Long, Long, Long)].collect().toSeq
+    // P(b|a) = 2/3 → 666666 micro; P(c|a) = 1/3 → 333333 micro
+    assert(got == Seq((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)))
+  }
+
+  test("fluency is partition-invariant and excludes sub-bigram docs") {
+    val docs = Seq((1L, "x y z x y"), (2L, "solo"), (3L, ""), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val once = Fluency.bigramFluency(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val wide = Fluency.bigramFluency(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(once == wide)
+    assert(once.map(_.getLong(0)) == Seq(1L, 4L)) // doc 2 (1 token) and 3 (empty) excluded
+    graft.operators.Caches.release()
+  }
+}
