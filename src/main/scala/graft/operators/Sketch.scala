@@ -45,13 +45,24 @@ object Sketch {
     * regardless of corpus size.
     */
   def hllRegisters(df: DataFrame, key: String, p: Int = 12): DataFrame = {
+    val (bucket, rho) = hllProjection(col(key), p)
+    df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** The (bucket, rho) projection behind [[hllRegisters]] — shared with the
+    * streaming sketch ([[graft.streaming.StreamStats]]), so batch and
+    * per-window streaming registers are the same deterministic function of
+    * the data by construction.
+    */
+  def hllProjection(key: org.apache.spark.sql.Column, p: Int = 12):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
-    val k = col(key).cast("string")
+    val k = key.cast("string")
     val w = pmod(Sampling.md5Lower(concat(lit("r:"), k)), lit(1L << WindowBits)).cast("long")
     val rho = when(w === 0L, MaxRho).otherwise(lit(MaxRho) - length(bin(w))).cast("int")
-    df.select(Sampling.md5Bucket(k, m).as("bucket"), rho.as("rho"))
-      .groupBy("bucket").agg(max("rho").as("rho"))
+    (Sampling.md5Bucket(k, m), rho)
   }
 
   /** Merge register tables (per-shard sketches → corpus sketch): per-bucket

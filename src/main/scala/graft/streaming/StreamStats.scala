@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.operators.Sketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus statistics via mergeable sketches.
+  *
+  * HLL registers are a plain max-aggregation, so Structured Streaming
+  * maintains them incrementally per event-time window with ordinary
+  * watermark state semantics — no custom stateful operator, and state per
+  * window is bounded at m registers regardless of stream volume (the
+  * streaming-native version of the batch sketch's "values never shuffle").
+  *
+  * Because max is associative, commutative and idempotent, a window's
+  * settled register table is IDENTICAL to the batch sketch of the same
+  * rows — replays, micro-batch boundaries, and late arrivals within the
+  * watermark cannot change it (StreamStatsSpec proves stream == batch).
+  * Downstream, window tables merge shard-style via
+  * [[graft.operators.Sketch.hllMerge]] for hour→day→corpus rollups, and
+  * [[graft.operators.Sketch.hllEstimate]] reads any of them.
+  */
+object StreamStats {
+
+  /** Per-event-time-window HLL register table for a streaming frame:
+    * (window, bucket, rho). Late data beyond `watermarkDelay` is dropped by
+    * the engine; everything inside it folds into the same registers batch
+    * would produce.
+    */
+  def hllRegistersWindowed(stream: DataFrame, tsCol: String, key: String,
+                           windowDur: String, watermarkDelay: String,
+                           p: Int = 12): DataFrame = {
+    val (bucket, rho) = Sketch.hllProjection(col(key), p)
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(window(col(tsCol), windowDur), col("bucket"))
+      .agg(max("rho").as("rho"))
+  }
+}
