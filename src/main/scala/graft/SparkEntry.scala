@@ -77,6 +77,7 @@ object SparkEntry {
     "q_semdedup"           -> (LlmQueries.qSemdedup _),
     "q_ann_ivf"            -> (LlmQueries.qAnnIvf _),
     "q_ann_ivf_full"       -> (LlmQueries.qAnnIvfFull _),
+    "q_length_percentiles" -> (LlmQueries.qLengthPercentiles _),
     "q_hll_distinct"       -> (SketchQueries.qHllDistinct _),
     "q_heavy_hitters"      -> (SketchQueries.qHeavyHitters _),
     "q_lm_score"           -> (SketchQueries.qLmScore _)
@@ -159,6 +160,9 @@ object SparkEntry {
     "q_ann_ivf"            -> LlmQueries.qAnnIvfSql,
     // sketches: the FULL register/counter state replays in SQL (md5 hash
     // family), so approximation machinery sits under the exact hash gate
+    // exact percentiles off the histogram CDF — same no-value-buffering
+    // posture as q_corpus_stats' median, generalized to any percentile
+    "q_length_percentiles" -> LlmQueries.qLengthPercentilesSql,
     "q_hll_distinct"       -> SketchQueries.qHllDistinctSql,
     "q_heavy_hitters"      -> SketchQueries.qHeavyHittersSql,
     "q_lm_score"           -> SketchQueries.qLmScoreSql

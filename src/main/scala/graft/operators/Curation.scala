@@ -142,4 +142,35 @@ object Curation {
       .select(col(srcCol), col("n_docs"), col("total_tokens"),
         col("median_chars"), col("distinct_docs"))
   }
+
+  /** EXACT per-group percentiles of a discrete value (doc lengths, token
+    * counts) — [[corpusStats]]' histogram-median machinery generalized to
+    * any percentile list, same reason: `percentile()`/`median()` buffer
+    * every group value in executor memory (OOM at 10¹⁰-doc sources), while
+    * the lossless frequency histogram is ~|groups × distinct values| rows
+    * and the cumulative window carries two running longs of state.
+    *
+    * Percentile semantics (discrete, no interpolation): p-th percentile =
+    * the smallest value whose cumulative count ≥ ⌈p·n⌉ — replayed
+    * identically in SQL. The ⌈p·n⌉ position is one IEEE double product on
+    * both engines, so the cut position is bit-identical cross-engine.
+    * Output: one `p<N>` BIGINT column per requested percentile.
+    */
+  def lengthPercentiles(docs: DataFrame, srcCol: String, valueCol: String,
+                        ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), s"bad percentiles $ps")
+    val hist = docs.groupBy(col(srcCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = hist
+      .withColumn("__hi", sum(col("__cnt")).over(
+        Window.partitionBy(srcCol).orderBy("__v")))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(srcCol)))
+    val aggs = ps.map { p =>
+      val pos = ceil(col("__n") * lit(p)).cast("long")
+      min(when(col("__hi") >= pos, col("__v"))).cast("long")
+        .as(s"p${math.round(p * 100)}")
+    }
+    cum.groupBy(col(srcCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

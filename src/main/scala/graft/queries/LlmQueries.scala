@@ -1150,6 +1150,31 @@ object LlmQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Exact per-source p50/p90/p99 doc-length percentiles via the histogram
+    * CDF — no value-buffering percentile aggregate on either engine: the
+    * oracle replays the same "smallest value with cumulative count ≥ ⌈p·n⌉"
+    * rule over the same histogram.
+    */
+  def qLengthPercentiles(s: SparkSession, dir: String): DataFrame =
+    Curation.lengthPercentiles(table(s, dir, "documents"), "source", "n_chars")
+      .orderBy("source")
+
+  val qLengthPercentilesSql: String =
+    """WITH hist AS (
+      |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM hist)
+      |SELECT source,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.9) THEN v END) AS BIGINT) AS p90,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.99) THEN v END) AS BIGINT) AS p99
+      |FROM cum GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val qSourceGateSql: String =
     """WITH q AS (
       |  SELECT doc_id, source,

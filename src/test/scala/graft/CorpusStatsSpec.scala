@@ -70,4 +70,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!plan.contains("median(") && !plan.contains("percentile"),
       "corpusStats must not plan a per-group value-buffering aggregate")
   }
+
+  test("histogram percentiles equal the sort-based definition per group") {
+    val got = Curation.lengthPercentiles(corpus(), "source", "n_chars")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // reference: smallest value at cumulative position ceil(p*n) over the
+    // sorted group values, computed by brute sort per group
+    val vals = corpus().select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val ref = vals.map { case (s, v) =>
+      def p(q: Double) = v(math.ceil(q * v.length).toLong.toInt - 1)
+      s -> ((p(0.5), p(0.9), p(0.99)))
+    }
+    assert(got == ref, s"percentiles diverged: $got vs $ref")
+  }
+
+  test("percentiles: single-row group, p=1.0, and heavy duplication") {
+    import spark.implicits._
+    val tiny = Seq(("a", 10), ("b", 4), ("b", 4), ("b", 4), ("b", 9))
+      .toDF("source", "n_chars")
+    val got = Curation.lengthPercentiles(tiny, "source", "n_chars",
+        ps = Seq(0.5, 1.0))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // b: sorted [4,4,4,9], p50 pos=ceil(2)=2 → 4; p100 pos=4 → 9
+    assert(got == Seq(("a", 10L, 10L), ("b", 4L, 9L)))
+  }
+
+  test("percentiles are invariant under repartitioning and plan no buffering") {
+    val df = Curation.lengthPercentiles(corpus().repartition(13), "source", "n_chars")
+    val a = df.orderBy("source").collect().toSeq
+    val b = Curation.lengthPercentiles(corpus().repartition(2), "source", "n_chars")
+      .orderBy("source").collect().toSeq
+    assert(a == b)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile") && !plan.contains("median("))
+  }
 }
