@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Sampling
+import graft.plans.NativeHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -60,9 +60,11 @@ object Sketch {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val k = key.cast("string")
-    val w = pmod(Sampling.md5Lower(concat(lit("r:"), k)), lit(1L << WindowBits)).cast("long")
+    // native graft_md5_mod == the declarative md5Lower/pmod route (fuzz-
+    // pinned in SketchSpec); the memoized digest makes repeated keys ~free
+    val w = NativeHash.md5Mod(concat(lit("r:"), k), 1L << WindowBits)
     val rho = when(w === 0L, MaxRho).otherwise(lit(MaxRho) - length(bin(w))).cast("int")
-    (Sampling.md5Bucket(k, m), rho)
+    (NativeHash.md5Mod(k, m).cast("int"), rho)
   }
 
   /** Merge register tables (per-shard sketches → corpus sketch): per-bucket
@@ -106,7 +108,8 @@ object Sketch {
     df.select(col(key).cast("string").as("k"))
       .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("k"))
       .select(col("i"),
-        Sampling.md5Bucket(concat(col("i").cast("string"), lit(":"), col("k")), w).as("slot"))
+        NativeHash.md5Mod(concat(col("i").cast("string"), lit(":"), col("k")), w)
+          .cast("int").as("slot"))
       .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
   }
 
@@ -124,7 +127,8 @@ object Sketch {
     val probes = df.select(col(key).cast("string").as("k")).distinct()
       .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("i"))
       .select(col("k"), col("i"),
-        Sampling.md5Bucket(concat(col("i").cast("string"), lit(":"), col("k")), w).as("slot"))
+        NativeHash.md5Mod(concat(col("i").cast("string"), lit(":"), col("k")), w)
+          .cast("int").as("slot"))
     probes.join(broadcast(table), Seq("i", "slot"))
       .groupBy("k").agg(min("cnt").as("est"))
   }

@@ -547,6 +547,28 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): ShingleSet = copy(child = newChild)
   }
 
+  /** `md5_number_lower(s) % m` (unsigned) in one native pass — value-
+    * identical to the declarative [[graft.functions.Sampling.md5Lower]]
+    * route (byte-reversed-hex → conv → decimal(20,0) → pmod), which pays a
+    * hex round-trip, string concat, and decimal arithmetic per call. This
+    * is the sketch hot path: Count-Min hashes every TOKEN OCCURRENCE d
+    * times, and the memoized digest (vocab ≪ stream) makes repeated tokens
+    * ~free. Unsigned mod over the signed long via Long.remainderUnsigned ==
+    * pmod over the unsigned decimal.
+    */
+  case class Md5Mod(child: Expression, m: Long) extends UnaryExpression with CodegenFallback {
+    require(m > 0, s"modulus must be positive, got $m")
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_md5_mod requires a string input, got ${child.dataType.catalogString}")
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.remainderUnsigned(md5Lower64(input.asInstanceOf[UTF8String].toString), m)
+    override protected def withNewChildInternal(newChild: Expression): Md5Mod = copy(child = newChild)
+    override def prettyName: String = "graft_md5_mod"
+  }
+
   /** Banded LSH bucket keys over a minhash signature in one pass —
     * semantics identical to the declarative form in
     * [[graft.operators.Dedup.bandKeys]]: band i's key folds signature
@@ -698,6 +720,8 @@ object NativeHash {
 
   def lshKeys(v: Column, nTables: Int, k: Int): Column =
     call_function("graft_lsh_keys", v, lit(nTables), lit(k))
+
+  def md5Mod(c: Column, m: Long): Column = call_function("graft_md5_mod", c, lit(m))
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -760,6 +784,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NativeHash.LshKeys].getName, "graft_lsh_keys"),
       (args: Seq[Expression]) => NativeHash.LshKeys(args.head,
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_mod"),
+      new ExpressionInfo(classOf[NativeHash.Md5Mod].getName, "graft_md5_mod"),
+      (args: Seq[Expression]) => NativeHash.Md5Mod(args.head,
+        args(1).eval() match { case i: Int => i.toLong; case l: Long => l })
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_clean_upc"),

@@ -77,6 +77,22 @@ class SketchSpec extends SparkSpec {
     assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
 
+  test("native graft_md5_mod == declarative md5Lower/pmod for any modulus") {
+    // adversarial fuzz: unicode, empties, long strings — and moduli that
+    // exercise the unsigned-mod boundary (top-bit-set hashes): powers of
+    // two (the sketch configs) and a non-power-of-two
+    val strs = (0 until 2000).map(i => s"tok-$i-é世${"x" * (i % 17)}") ++
+      Seq("", " ", "a b", "ıI")
+    val df = strs.toDF("s")
+    for (m <- Seq(97L, 1024L, 4096L, 1L << 48)) {
+      val mismatches = df.select(
+          graft.plans.NativeHash.md5Mod(col("s"), m).as("nat"),
+          pmod(graft.functions.Sampling.md5Lower(col("s")), lit(m)).cast("long").as("dec"))
+        .filter(col("nat") =!= col("dec")).count()
+      assert(mismatches == 0L, s"m=$m")
+    }
+  }
+
   test("bigram fluency matches hand-computed corpus-conditional probabilities") {
     // corpus: "a b", "a b", "a c" → c1(a)=3, c2(a,b)=2, c2(a,c)=1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
