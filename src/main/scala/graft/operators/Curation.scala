@@ -28,13 +28,16 @@ object Curation {
     * verdict. Total corpus-sized work: one scan, zero shuffles of the
     * documents.
     *
-    * Means are FIXED-POINT: quality quantizes to nano-units (×10⁹, a
+    * Means are FIXED-POINT: quality quantizes to micro-units (×10⁶, a
     * bigint) before summing, so the per-source and corpus means come from
     * exactly-associative integer sums — bit-identical on any engine, any
     * partitioning, any row order. A raw double `avg()` drifts in the last
     * ulp with summation order, which flips gate verdicts for sources
     * sitting exactly at the corpus mean and breaks run-to-run
-    * reproducibility at different parallelism.
+    * reproducibility at different parallelism. Micro (not nano) units keep
+    * the BIGINT corpus total safe past 9×10¹² docs — above the 10¹⁰-doc
+    * source scale this module is sized for (nano-units would overflow at
+    * ~9.2×10⁹ docs and silently flip gate verdicts).
     */
   def sourceQualityGate(docs: DataFrame, idCol: String, srcCol: String,
                         quality: Column): DataFrame = {
@@ -43,7 +46,7 @@ object Curation {
       .persist()
     Caches.register(scored)
     val srcStats = scored.groupBy(col(srcCol))
-      .agg(sum(round(col("quality") * 1e9).cast("long")).as("__qsum"),
+      .agg(sum(round(col("quality") * 1e6).cast("long")).as("__qsum"),
         count(lit(1)).as("src_docs"))
     // corpus mean = total nano-quality / total docs — derived from the
     // ~|sources|-row stats frame, never rescanning the documents
@@ -54,7 +57,7 @@ object Curation {
       .filter(col("__qsum").cast("double") / col("src_docs").cast("double") >=
         col("__tq").cast("double") / col("__td").cast("double"))
       .select(col(srcCol),
-        (col("__qsum").cast("double") / (col("src_docs").cast("double") * 1e9)).as("src_avg"))
+        (col("__qsum").cast("double") / (col("src_docs").cast("double") * 1e6)).as("src_avg"))
     scored.join(broadcast(passing), srcCol)
       .select(col(idCol), col(srcCol), col("quality"), col("src_avg"))
   }

@@ -48,6 +48,8 @@ object Pack {
     * chunkSize ⇒ an exact partition of the token stream). Chunk starts are
     * generated while start < n_tokens, so every token lands in ≥1 chunk and
     * the final chunk may run short — the shape retrieval chunkers emit.
+    * Zero-token documents emit NO chunks (they are filtered before the
+    * explode): a RAG consumer never receives an empty chunk.
     *
     * Purely per-row (explode bounded by ⌈len/stride⌉ per document): no
     * shuffle, no state — chunking 100 TB is embarrassingly parallel and
@@ -61,6 +63,7 @@ object Pack {
     val toks = TextFunctions.tokens(col(textCol))
     docs
       .select(col(idCol), toks.as("__t"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
       .select(col(idCol), col("__t"), col("__n"),
         posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))))
       .select(col(idCol),

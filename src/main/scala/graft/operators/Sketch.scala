@@ -32,8 +32,12 @@ object Sketch {
   private val WindowBits = 48
   val MaxRho: Int = WindowBits + 1
 
-  /** HyperLogLog register table for `key`: one (bucket, rho) row per
-    * NON-EMPTY bucket, m = 2^p buckets.
+  /** HyperLogLog register table for `key`: one (bucket, rho, p) row per
+    * NON-EMPTY bucket, m = 2^p buckets. The precision travels IN the
+    * schema (a constant `p` column) so a register table is self-describing:
+    * [[hllMerge]] of sketches built at different precisions can't silently
+    * mix registers, and [[hllEstimate]] fails fast on a table whose p
+    * doesn't match the caller's.
     *
     * bucket = md5_number_lower(key) mod m; the rho window is an independent
     * md5 draw ("r:" + key) so bucket and rho bits never correlate — and both
@@ -48,6 +52,7 @@ object Sketch {
     val (bucket, rho) = hllProjection(col(key), p)
     df.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max("rho").as("rho"))
+      .withColumn("p", lit(p))
   }
 
   /** The (bucket, rho) projection behind [[hllRegisters]] — shared with the
@@ -69,27 +74,48 @@ object Sketch {
 
   /** Merge register tables (per-shard sketches → corpus sketch): per-bucket
     * max. Associative and idempotent, so shards combine in any order.
+    *
+    * Grouping includes the `p` column: registers from sketches built at
+    * different precisions never combine into one bucket row (their
+    * estimates would be meaningless), and [[hllEstimate]] rejects the
+    * mixed-precision table outright.
     */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy("bucket").agg(max("rho").as("rho"))
+    a.unionByName(b).groupBy("bucket", "p").agg(max("rho").as("rho"))
+      .select("bucket", "rho", "p")
 
   /** Distinct-count estimate from a register table: the standard HLL
     * harmonic-mean estimator with linear-counting small-range correction.
     *
     * The registers are the oracle-gated artifact; this fold collects ≤ m
     * rows (bounded by construction, like the IVF quantizer sample) and sums
-    * the dyadic terms 2^(MaxRho−rho) as exact integers — the only floating
-    * ops are the final constant multiply and one division, so the estimate
-    * itself is order- and partition-invariant. Relative error ≈ 1.04/√m
-    * (~1.6% at p=12), spec-measured in SketchSpec.
+    * the dyadic terms 2^(MaxRho−rho) as exact BigInt — at p ≥ 14 the
+    * empty-bucket term (m − rows)·2^49 exceeds Long range, so a Long
+    * accumulator would silently wrap; BigInt keeps every admitted p ∈
+    * [4, 16] exact and order-invariant. The only floating ops are the
+    * final constant multiply and one division, so the estimate itself is
+    * order- and partition-invariant. Relative error ≈ 1.04/√m (~1.6% at
+    * p=12), spec-measured in SketchSpec.
+    *
+    * Fails fast when the table's `p` column (if present) disagrees with
+    * the caller's p — the guard that catches a mismatched [[hllMerge]].
     */
   def hllEstimate(registers: DataFrame, p: Int = 12): Double = {
     val m = 1 << p
-    val rows = registers.select(col("bucket"), col("rho")).collect()
+    val hasP = registers.columns.contains("p")
+    val cols = if (hasP) Seq(col("bucket"), col("rho"), col("p"))
+               else Seq(col("bucket"), col("rho"))
+    val rows = registers.select(cols: _*).collect()
     require(rows.length <= m, s"register table has ${rows.length} rows for m=$m")
-    var sScaled = 0L
-    rows.foreach { r => sScaled += 1L << (MaxRho - r.getInt(1)) }
-    sScaled += (m - rows.length).toLong * (1L << MaxRho) // empty buckets: rho = 0
+    if (hasP) {
+      val ps = rows.map(_.getInt(2)).distinct
+      require(ps.isEmpty || (ps.length == 1 && ps.head == p),
+        s"register table precision ${ps.mkString(",")} != requested p=$p " +
+          "(mixed values mean sketches of different precisions were merged)")
+    }
+    var sScaled = BigInt(0)
+    rows.foreach { r => sScaled += BigInt(1) << (MaxRho - r.getInt(1)) }
+    sScaled += BigInt(m - rows.length) << MaxRho // empty buckets: rho = 0
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val eRaw = alpha * m * m * java.lang.Math.scalb(1.0, MaxRho) / sScaled.toDouble
     val v = m - rows.length

@@ -542,12 +542,12 @@ object LlmQueries {
        |  FROM flagged f JOIN corp c USING (doc_id)
        |  GROUP BY f.doc_id, c.source),
        |q AS (SELECT doc_id, source, text_kept, ${qualitySql("text_kept")} AS quality FROM sp),
-       |st AS (SELECT source, CAST(SUM(CAST(round(quality * 1000000000.0) AS BIGINT)) AS BIGINT) AS qsum,
+       |st AS (SELECT source, CAST(SUM(CAST(round(quality * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum,
        |              count(*) AS src_docs FROM q GROUP BY source),
        |ga AS (SELECT CAST(SUM(qsum) AS BIGINT) AS tq, CAST(SUM(src_docs) AS BIGINT) AS td FROM st),
        |gated AS (
        |  SELECT q.doc_id, q.source, q.quality,
-       |    CAST(st.qsum AS DOUBLE) / (CAST(st.src_docs AS DOUBLE) * 1000000000.0) AS src_avg,
+       |    CAST(st.qsum AS DOUBLE) / (CAST(st.src_docs AS DOUBLE) * 1000000.0) AS src_avg,
        |    q.text_kept
        |  FROM q JOIN st USING (source), ga
        |  WHERE CAST(st.qsum AS DOUBLE) / CAST(st.src_docs AS DOUBLE) >= CAST(ga.tq AS DOUBLE) / CAST(ga.td AS DOUBLE)),
@@ -777,7 +777,8 @@ object LlmQueries {
       |    CAST(g.i AS INT) AS chunk_start,
       |    CAST(least(len(t) - g.i, 64) AS INT) AS n_chunk_tokens,
       |    array_to_string(list_slice(t, g.i + 1, g.i + 64), ' ') AS chunk_text
-      |  FROM w, LATERAL unnest(generate_series(0, CAST(greatest(len(t) - 1, 0) AS BIGINT), 48)) AS g(i))
+      |  FROM w, LATERAL unnest(generate_series(0, CAST(greatest(len(t) - 1, 0) AS BIGINT), 48)) AS g(i)
+      |  WHERE len(t) > 0)
       |SELECT doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text
       |FROM c
       |ORDER BY doc_id, chunk_idx""".stripMargin
@@ -901,6 +902,33 @@ object LlmQueries {
   // always reads the fixture that run wrote.
   private val lastIvfDir = new java.util.concurrent.atomic.AtomicReference[String](".")
 
+  /** Pin `centroids` at `fixture` WITHOUT the delete/rewrite race a blind
+    * `mode("overwrite")` has: training is deterministic per dataset, so a
+    * complete existing fixture (its `_SUCCESS` marker present) is already
+    * byte-correct and is left untouched — two JVMs verifying the SAME
+    * dataset can no longer interleave one run's delete with the other's
+    * fixture read or DuckDB replay. A missing/incomplete fixture is built
+    * in a private temp dir and RENAMED into place (atomic on a local/HDFS
+    * filesystem); losing the rename race just means the concurrent writer's
+    * identical bytes won.
+    */
+  private def pinCentroids(centroids: () => DataFrame, fixture: String,
+                           spark: SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(fixture)
+    val ok = new org.apache.hadoop.fs.Path(fixture, "_SUCCESS")
+    if (fs.exists(ok)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      fixture + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+    centroids().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true) // stale incomplete dir (no _SUCCESS) — safe to drop
+    if (!fs.rename(tmp, dst)) {
+      require(fs.exists(ok), s"fixture rename to $fixture failed and no complete fixture exists")
+      fs.delete(tmp, true)
+    }
+  }
+
   /** Multi-table hyperplane LSH ANN (OR-of-ANDs, 8 tables × 4 planes).
     * The oracle re-derives every table key in SQL — key t = (t << 4) |
     * sign bits of md5-derived global planes t·4..t·4+3 — so the whole
@@ -948,8 +976,8 @@ object LlmQueries {
     val emb = table(s, dir, "embeddings")
     val fixture = ivfCentroidFixture(dir)
     lastIvfDir.set(dir)
-    Ann.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
-      .coalesce(1).write.mode("overwrite").parquet(fixture)
+    pinCentroids(() => Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iters = 1), fixture, s)
     // search consumes the PINNED floats read back from the fixture — the
     // Spark result and the SQL oracle provably see identical centroid bits
     val pinned = s.read.parquet(fixture)
@@ -1019,8 +1047,8 @@ object LlmQueries {
     val emb = table(s, dir, "embeddings")
     val fixture = semdedupCentroidFixture(dir)
     lastSemdedupDir.set(dir)
-    Ann.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16, iters = 1)
-      .coalesce(1).write.mode("overwrite").parquet(fixture)
+    pinCentroids(() => Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iters = 1), fixture, s)
     val pinned = s.read.parquet(fixture)
     Dedup.dropDuplicatesSemantic(emb, "vec_id", "embedding", pinned, threshold = 0.3)
       .select("vec_id", "label")
@@ -1186,11 +1214,11 @@ object LlmQueries {
       |              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
       |    1.0), 0.0) AS quality
       |  FROM documents),
-      |s AS (SELECT source, CAST(SUM(CAST(round(quality * 1000000000.0) AS BIGINT)) AS BIGINT) AS qsum,
+      |s AS (SELECT source, CAST(SUM(CAST(round(quality * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum,
       |             count(*) AS src_docs FROM q GROUP BY source),
       |g AS (SELECT CAST(SUM(qsum) AS BIGINT) AS tq, CAST(SUM(src_docs) AS BIGINT) AS td FROM s)
       |SELECT q.doc_id, q.source, q.quality,
-      |  CAST(s.qsum AS DOUBLE) / (CAST(s.src_docs AS DOUBLE) * 1000000000.0) AS src_avg
+      |  CAST(s.qsum AS DOUBLE) / (CAST(s.src_docs AS DOUBLE) * 1000000.0) AS src_avg
       |FROM q JOIN s USING (source), g
       |WHERE CAST(s.qsum AS DOUBLE) / CAST(s.src_docs AS DOUBLE) >= CAST(g.tq AS DOUBLE) / CAST(g.td AS DOUBLE)
       |ORDER BY q.doc_id""".stripMargin

@@ -35,7 +35,7 @@ object SketchQueries {
       |  SELECT bucket,
       |    CAST(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END AS INT) AS rho
       |  FROM h)
-      |SELECT bucket, CAST(max(rho) AS INT) AS rho
+      |SELECT bucket, CAST(max(rho) AS INT) AS rho, CAST(12 AS INT) AS p
       |FROM r GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 

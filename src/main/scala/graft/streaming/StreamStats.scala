@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
 object StreamStats {
 
   /** Per-event-time-window HLL register table for a streaming frame:
-    * (window, bucket, rho). Late data beyond `watermarkDelay` is dropped by
-    * the engine; everything inside it folds into the same registers batch
-    * would produce.
+    * (window, bucket, rho, p). Late data beyond `watermarkDelay` is dropped
+    * by the engine; everything inside it folds into the same registers batch
+    * would produce. The constant `p` column matches the batch register
+    * schema, so window tables drop `window` and feed straight into
+    * [[graft.operators.Sketch.hllMerge]]/[[graft.operators.Sketch.hllEstimate]]
+    * with the same precision fail-fast.
     */
   def hllRegistersWindowed(stream: DataFrame, tsCol: String, key: String,
                            windowDur: String, watermarkDelay: String,
@@ -36,5 +39,6 @@ object StreamStats {
       .select(col(tsCol), bucket.as("bucket"), rho.as("rho"))
       .groupBy(window(col(tsCol), windowDur), col("bucket"))
       .agg(max("rho").as("rho"))
+      .withColumn("p", lit(p))
   }
 }

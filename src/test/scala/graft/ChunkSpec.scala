@@ -40,6 +40,15 @@ class ChunkSpec extends SparkSpec {
     assert(got == Seq((0, 2, "a b")))
   }
 
+  test("no chunk is ever empty: zero-token inputs are filtered before the explode") {
+    import org.apache.spark.sql.types._
+    // bypass the string tokenizer's [""]-never-empty guarantee by probing
+    // the operator's contract directly over a corpus with an empty doc
+    val docs = Seq((1L, ""), (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = Pack.chunkTokens(docs, "doc_id", "text", chunkSize = 2, stride = 2)
+    assert(chunks.filter(col("n_chunk_tokens") <= 0).count() == 0L)
+  }
+
   test("every token is covered and consecutive chunks overlap by chunk - stride") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val chunks = Pack.chunkTokens(docs, "doc_id", "text", chunkSize = 64, stride = 48)

@@ -43,6 +43,26 @@ class SketchSpec extends SparkSpec {
     assert(whole.exceptAll(overlapped).isEmpty && overlapped.exceptAll(whole).isEmpty)
   }
 
+  test("HLL estimate stays finite and sane at p=16 (no Long wrap in the dyadic sum)") {
+    // the empty-bucket term (m - rows)·2^49 is ~2^65 at p=16 — a Long
+    // accumulator wraps to garbage/Infinity; BigInt keeps it exact
+    val estEmpty = Sketch.hllEstimate(Sketch.hllRegisters(ids(0, 0), "v", p = 16), p = 16)
+    assert(estEmpty == 0.0, s"empty corpus at p=16 gave $estEmpty")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(ids(0, 5000), "v", p = 16), p = 16)
+    assert(math.abs(est - 5000) / 5000.0 < 0.05, s"est=$est")
+  }
+
+  test("HLL merge of mismatched precisions fails fast at estimate time") {
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(ids(0, 3000), "v", p = 12),
+      Sketch.hllRegisters(ids(0, 3000), "v", p = 10))
+    val e = intercept[IllegalArgumentException] { Sketch.hllEstimate(merged, p = 12) }
+    assert(e.getMessage.contains("precision"))
+    // and the right precision is demanded even for a clean single-p table
+    val clean = Sketch.hllRegisters(ids(0, 3000), "v", p = 10)
+    intercept[IllegalArgumentException] { Sketch.hllEstimate(clean, p = 12) }
+  }
+
   // zipfian-ish corpus: token t_k appears ~N/k times
   private def zipf(n: Int) =
     (1 to n).flatMap(k => Seq.fill(n / k)(s"t$k")).toDF("tok")
