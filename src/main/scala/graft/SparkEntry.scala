@@ -80,7 +80,10 @@ object SparkEntry {
     "q_length_percentiles" -> (LlmQueries.qLengthPercentiles _),
     "q_hll_distinct"       -> (SketchQueries.qHllDistinct _),
     "q_heavy_hitters"      -> (SketchQueries.qHeavyHitters _),
-    "q_lm_score"           -> (SketchQueries.qLmScore _)
+    "q_lm_score"           -> (SketchQueries.qLmScore _),
+    "q_bpe_count"          -> (LlmQueries.qBpeCount _),
+    "q_token_budget_bpe"   -> (LlmQueries.qTokenBudgetBpe _),
+    "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -165,6 +168,12 @@ object SparkEntry {
     "q_length_percentiles" -> LlmQueries.qLengthPercentilesSql,
     "q_hll_distinct"       -> SketchQueries.qHllDistinctSql,
     "q_heavy_hitters"      -> SketchQueries.qHeavyHittersSql,
-    "q_lm_score"           -> SketchQueries.qLmScoreSql
+    "q_lm_score"           -> SketchQueries.qLmScoreSql,
+    // trained-merges BPE: training pinned as a fixture (deterministic but
+    // not SQL-expressible); the ENCODE replays in pure SQL — one literal
+    // replace per merge rank — so model-token counts sit under the hash gate
+    "q_bpe_count"          -> LlmQueries.qBpeCountSql,
+    "q_token_budget_bpe"   -> LlmQueries.qTokenBudgetBpeSql,
+    "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql
   )
 }

@@ -36,11 +36,14 @@ object Mix {
     *
     * @param budgets  token budget per stratum value; `defaultBudget` for
     *                 strata not listed
+    * @param tokenCount how to count a document's tokens — defaults to the
+    *                 whitespace count; pass [[Bpe.bpeLen]] to budget in
+    *                 model tokens under a trained merge table
     */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
                   budgets: Map[String, Long], defaultBudget: Long,
-                  prioBuckets: Int = 64): DataFrame =
-    withCumTokens(docs, idCol, textCol, stratumCol, prioBuckets)
+                  prioBuckets: Int = 64, tokenCount: Option[Column] = None): DataFrame =
+    withCumTokens(docs, idCol, textCol, stratumCol, prioBuckets, tokenCount)
       .filter(col("cum_tokens") <= budgetCol(stratumCol, budgets, defaultBudget))
       .select(col(idCol), col(stratumCol), col("n_tokens"), col("cum_tokens"))
 
@@ -115,11 +118,13 @@ object Mix {
     * two-level prefix sum described above.
     */
   private def withCumTokens(docs: DataFrame, idCol: String, textCol: String,
-                            stratumCol: String, prioBuckets: Int): DataFrame = {
+                            stratumCol: String, prioBuckets: Int,
+                            tokenCount: Option[Column] = None): DataFrame = {
     val base = docs.select(
       col(idCol),
       col(stratumCol),
-      TextFunctions.tokenCountWs(col(textCol)).cast("long").as("n_tokens"),
+      tokenCount.getOrElse(TextFunctions.tokenCountWs(col(textCol)))
+        .cast("long").as("n_tokens"),
       Sampling.md5Bucket(col(idCol), 1000000).as("__prio"))
       .withColumn("__bucket", pmod(col("__prio"), lit(prioBuckets)))
     val totals = base.groupBy(stratumCol, "__bucket").agg(sum("n_tokens").as("__btok"))

@@ -23,14 +23,18 @@ object Pack {
 
   /** @param maxTokens window length in tokens
     * @param shards    independent packing streams per stratum
+    * @param tokenCount how to count a document's tokens — defaults to the
+    *         whitespace count; pass [[Bpe.bpeLen]] to pack in model tokens
     * @return input columns + n_tokens, shard, seq_id (global within
     *         (stratum, shard)), seq_offset (token offset within seq_id)
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
-                    maxTokens: Int, shards: Int = 64): DataFrame = {
+                    maxTokens: Int, shards: Int = 64,
+                    tokenCount: Option[Column] = None): DataFrame = {
     require(maxTokens > 0 && shards > 0)
     val shard = Sampling.md5Bucket(col(idCol), shards)
-    val toks: Column = TextFunctions.tokenCountWs(col(textCol)).cast("long")
+    val toks: Column =
+      tokenCount.getOrElse(TextFunctions.tokenCountWs(col(textCol))).cast("long")
     val w = Window.partitionBy(col(stratumCol), col("shard"))
       .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

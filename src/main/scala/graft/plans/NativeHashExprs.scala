@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeHash {
 
-  private def tokenize(s: UTF8String): Array[String] = {
+  private[plans] def tokenize(s: UTF8String): Array[String] = {
     // UTF8String.toLowerCase = Spark lower(): locale-immune ASCII fast path,
     // so the native tokenizer matches the declarative lower() on tr/az JVMs
     val t = s.toLowerCase.toString.trim
@@ -820,6 +820,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_isect_ge"),
       new ExpressionInfo(classOf[NativeHash.SortedIntersectGe].getName, "graft_sorted_isect_ge"),
       (args: Seq[Expression]) => NativeHash.SortedIntersectGe(args(0), args(1), args(2))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_len"),
+      new ExpressionInfo(classOf[Bpe.BpeLen].getName, "graft_bpe_len"),
+      (args: Seq[Expression]) => Bpe.BpeLen(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[Bpe.BpeTokens].getName, "graft_bpe_tokens"),
+      (args: Seq[Expression]) => Bpe.BpeTokens(args(0), args(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

@@ -902,7 +902,8 @@ object LlmQueries {
   // always reads the fixture that run wrote.
   private val lastIvfDir = new java.util.concurrent.atomic.AtomicReference[String](".")
 
-  /** Pin `centroids` at `fixture` WITHOUT the delete/rewrite race a blind
+  /** Pin a deterministic training artifact (centroids, merge tables) at
+    * `fixture` WITHOUT the delete/rewrite race a blind
     * `mode("overwrite")` has: training is deterministic per dataset, so a
     * complete existing fixture (its `_SUCCESS` marker present) is already
     * byte-correct and is left untouched — two JVMs verifying the SAME
@@ -912,7 +913,7 @@ object LlmQueries {
     * filesystem); losing the rename race just means the concurrent writer's
     * identical bytes won.
     */
-  private def pinCentroids(centroids: () => DataFrame, fixture: String,
+  private def pinFixture(build: () => DataFrame, fixture: String,
                            spark: SparkSession): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
@@ -921,7 +922,7 @@ object LlmQueries {
     if (fs.exists(ok)) return
     val tmp = new org.apache.hadoop.fs.Path(
       fixture + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
-    centroids().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    build().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(dst, true) // stale incomplete dir (no _SUCCESS) — safe to drop
     if (!fs.rename(tmp, dst)) {
       require(fs.exists(ok), s"fixture rename to $fixture failed and no complete fixture exists")
@@ -976,7 +977,7 @@ object LlmQueries {
     val emb = table(s, dir, "embeddings")
     val fixture = ivfCentroidFixture(dir)
     lastIvfDir.set(dir)
-    pinCentroids(() => Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+    pinFixture(() => Ann.trainIvfCentroids(emb, "vec_id", "embedding",
       nlist = 16, iters = 1), fixture, s)
     // search consumes the PINNED floats read back from the fixture — the
     // Spark result and the SQL oracle provably see identical centroid bits
@@ -1047,7 +1048,7 @@ object LlmQueries {
     val emb = table(s, dir, "embeddings")
     val fixture = semdedupCentroidFixture(dir)
     lastSemdedupDir.set(dir)
-    pinCentroids(() => Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+    pinFixture(() => Ann.trainIvfCentroids(emb, "vec_id", "embedding",
       nlist = 16, iters = 1), fixture, s)
     val pinned = s.read.parquet(fixture)
     Dedup.dropDuplicatesSemantic(emb, "vec_id", "embedding", pinned, threshold = 0.3)
@@ -1222,4 +1223,136 @@ object LlmQueries {
       |FROM q JOIN s USING (source), g
       |WHERE CAST(s.qsum AS DOUBLE) / CAST(s.src_docs AS DOUBLE) >= CAST(g.tq AS DOUBLE) / CAST(g.td AS DOUBLE)
       |ORDER BY q.doc_id""".stripMargin
+
+  // ---- trained-merges BPE tokenization ------------------------------------
+
+  /** Absolute path of the pinned BPE merge-table fixture for `dir`.
+    * Training (graft.operators.Bpe.train, 48 merges) is a deterministic
+    * pure function of the corpus's word-frequency table, but not
+    * SQL-expressible — so like the IVF centroids, the MERGES are pinned on
+    * disk and the oracle replays everything downstream of training (the
+    * whole encode) in pure SQL over the same strings.
+    */
+  def bpeMergesFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/bpe_merges_m48_${dataTag(dir)}.parquet").getAbsolutePath
+
+  private val lastBpeDir = new java.util.concurrent.atomic.AtomicReference[String](".")
+
+  private def pinnedBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val fixture = bpeMergesFixture(dir)
+    lastBpeDir.set(dir)
+    pinFixture(() => graft.operators.Bpe.train(table(s, dir, "documents"), "text",
+      numMerges = 48), fixture, s)
+    graft.operators.Bpe.mergesOf(s.read.parquet(fixture))
+  }
+
+  /** The shared oracle CTE chain: distinct corpus words → BPE length per
+    * word via one literal `replace` per merge rank over the
+    * separator-wrapped token string (chr(31) boundaries make matches
+    * token-exact; `replace` is leftmost-first non-overlapping — exactly
+    * the native expression's per-rank pass) → per-document word and BPE
+    * token counts. Callers embed it under WITH RECURSIVE.
+    */
+  private def bpeDocLenCtes(fixture: String): String =
+    s"""m AS (SELECT rank, lhs, rhs FROM read_parquet('$fixture/*.parquet')),
+       |wx AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0),
+       |uw AS (SELECT DISTINCT w FROM wx),
+       |enc(w, r, s) AS (
+       |  SELECT w, 0, chr(31) || array_to_string(regexp_extract_all(w, '.'), chr(31)||chr(31)) || chr(31)
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT e.w, e.r + 1,
+       |    replace(e.s, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31), chr(31)||m.lhs||m.rhs||chr(31))
+       |  FROM enc e JOIN m ON m.rank = e.r + 1),
+       |wlen AS (
+       |  SELECT w, len(string_split(s, chr(31)||chr(31))) AS n
+       |  FROM enc WHERE r = (SELECT max(rank) FROM m)),
+       |doclen AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n) AS BIGINT) AS n_bpe
+       |  FROM wx JOIN wlen USING (w) GROUP BY doc_id)""".stripMargin
+
+  /** Per-document model-token counts under the pinned 48-merge table —
+    * whitespace words vs BPE tokens side by side (the drift the regex
+    * approximation can't see). Zero-word documents carry (0, 0).
+    */
+  def qBpeCount(s: SparkSession, dir: String): DataFrame = {
+    val merges = pinnedBpeMerges(s, dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(TF.tokens(col("text")), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        graft.operators.Bpe.bpeLen(col("text"), merges).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  def qBpeCountSql: String =
+    s"""WITH RECURSIVE ${bpeDocLenCtes(bpeMergesFixture(lastBpeDir.get))}
+       |SELECT d.doc_id,
+       |  CAST(coalesce(l.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(l.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM documents d LEFT JOIN doclen l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[qTokenBudgetMix]] in MODEL tokens: the same hash-priority budget
+    * draw, but n_tokens is the trained-BPE count — budgets now mean what
+    * the training run means by "tokens".
+    */
+  def qTokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
+    val merges = pinnedBpeMerges(s, dir)
+    graft.operators.Mix.tokenBudget(table(s, dir, "documents"),
+        "doc_id", "text", "source",
+        budgets = Map("src0" -> 700L, "src1" -> 1500L), defaultBudget = 1100L,
+        tokenCount = Some(graft.operators.Bpe.bpeLen(col("text"), merges)))
+      .orderBy("doc_id")
+  }
+
+  def qTokenBudgetBpeSql: String =
+    s"""WITH RECURSIVE ${bpeDocLenCtes(bpeMergesFixture(lastBpeDir.get))},
+       |t AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(coalesce(l.n_bpe, 0) AS BIGINT) AS n_tokens,
+       |    md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 AS prio
+       |  FROM documents d LEFT JOIN doclen l USING (doc_id)),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio % 64, prio, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM c
+       |WHERE cum_tokens <= CASE WHEN source = 'src0' THEN 700
+       |                         WHEN source = 'src1' THEN 1500 ELSE 1100 END
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[qSeqPack]] in MODEL tokens: identical shard/stream structure, BPE
+    * sequence offsets — what a packed tokenized corpus on disk would hold.
+    */
+  def qSeqPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val merges = pinnedBpeMerges(s, dir)
+    graft.operators.Pack.packSequences(table(s, dir, "documents"),
+        "doc_id", "text", "lang", maxTokens = 2048, shards = 8,
+        tokenCount = Some(graft.operators.Bpe.bpeLen(col("text"), merges)))
+      .select("doc_id", "lang", "shard", "n_tokens", "seq_id", "seq_offset")
+      .orderBy("doc_id")
+  }
+
+  def qSeqPackBpeSql: String =
+    s"""WITH RECURSIVE ${bpeDocLenCtes(bpeMergesFixture(lastBpeDir.get))},
+       |t AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 8 AS INT) AS shard,
+       |    CAST(coalesce(l.n_bpe, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN doclen l USING (doc_id)),
+       |c AS (
+       |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |                                ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, shard, n_tokens,
+       |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+       |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE training determinism, apply correctness (including the rank-order /
+  * lowest-rank-first equivalence the oracle replay relies on), and the
+  * column surface.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("training learns the expected merges on a hand-checked corpus") {
+    // "low low low lower lowest": chars l o w (+er/est tails)
+    // pair counts round 1 (word-freq weighted): (l,o)=5, (o,w)=5, (w,e)=2...
+    // tie (l,o) vs (o,w) at 5 → lexicographic: (l,o) first
+    val docs = Seq("low low low", "lower lowest").toDF("text")
+    val merges = Bpe.mergesOf(Bpe.train(docs, "text", numMerges = 3))
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "s")) ||
+           merges.take(2) == Seq(("l", "o"), ("lo", "w")),
+      s"got $merges")
+    // after (l,o): (lo,w)=5 dominates; after (lo,w): remaining pairs
+    // (low,e)=2, (e,r)=1, (e,s)=1, (s,t)=1 → (low,e)
+    assert(merges(2) == ("low", "e") || merges(2) == ("e", "s"), s"got $merges")
+  }
+
+  test("training is deterministic and a pure function of the word-frequency table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Bpe.mergesOf(Bpe.train(docs, "text", numMerges = 32))
+    val b = Bpe.mergesOf(Bpe.train(docs.repartition(13), "text", numMerges = 32))
+    assert(a == b && a.length == 32)
+  }
+
+  test("encode applies merges leftmost-first, non-overlapping (the replace semantics)") {
+    val merges = Seq(("a", "a"))
+    val enc = graft.plans.Bpe.encodeWord("aaaa", merges.map(identity).toArray)
+    assert(enc.toSeq == Seq("aa", "aa"))
+    val odd = graft.plans.Bpe.encodeWord("aaa", merges.toArray)
+    assert(odd.toSeq == Seq("aa", "a"))
+  }
+
+  test("rank-order exhaustive application == lowest-rank-first greedy (the oracle equivalence)") {
+    // reference: the textbook algorithm — repeatedly merge the present
+    // pair with the lowest rank, leftmost occurrence first
+    def reference(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var toks = graft.plans.Bpe.codePoints(word).toSeq
+      var done = false
+      while (!done && toks.length >= 2) {
+        val present = toks.zip(toks.tail).filter(rank.contains)
+        if (present.isEmpty) done = true
+        else {
+          val best = present.minBy(rank)
+          val i = toks.zip(toks.tail).indexOf(best)
+          toks = toks.take(i) ++ Seq(best._1 + best._2) ++ toks.drop(i + 2)
+        }
+      }
+      toks
+    }
+    // merges trained on real corpus words → realistic chaining structure
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = Bpe.mergesOf(Bpe.train(docs, "text", numMerges = 48))
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct().limit(500).as[String].collect()
+    words.foreach { w =>
+      val fast = graft.plans.Bpe.encodeWord(w, merges.toArray).toSeq
+      assert(fast == reference(w, merges), s"mismatch on '$w'")
+    }
+  }
+
+  test("bpeLen: per-document counts are partition-invariant and <= code-point count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = Bpe.mergesOf(Bpe.train(docs, "text", numMerges = 32))
+    val once = docs.select(col("doc_id"), Bpe.bpeLen(col("text"), merges).as("n"))
+      .orderBy("doc_id").collect().toSeq
+    val wide = docs.repartition(11)
+      .select(col("doc_id"), Bpe.bpeLen(col("text"), merges).as("n"))
+      .orderBy("doc_id").collect().toSeq
+    assert(once == wide)
+    // merges only ever shrink the token stream
+    val over = docs.select(Bpe.bpeLen(col("text"), merges).as("n"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", "")).as("chars"))
+      .filter(col("n") > col("chars")).count()
+    assert(over == 0L)
+  }
+
+  test("unicode words encode by code point, and empty/whitespace text counts zero") {
+    val merges = Seq(("é", "t"), ("ét", "é"))
+    assert(graft.plans.Bpe.encodeWord("été", merges.toArray).toSeq == Seq("été"))
+    val df = Seq("", "   ", "été été").toDF("text")
+    val got = df.select(Bpe.bpeLen(col("text"), merges).as("n")).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 2))
+  }
+}
