@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   * by ulps across engines; see the fixed-point sourceQualityGate note in
   * PLANS.md). The one double in the output divides two exact integers.
   *
-  * Scale: one tokenize pass — the slim (doc, w₁, w₂) occurrence frame
-  * persists and BOTH count tables re-aggregate it (map-side combined);
-  * document text never moves after the explode. The count joins are
-  * vocab-keyed (sort-merge at web vocabularies, broadcast below the
-  * threshold — same posture as TfIdf's df join). 10⁶·c₂ stays in BIGINT
-  * up to 9·10¹² occurrences of a single bigram.
+  * Scale: one tokenize pass, then the occurrence stream immediately
+  * REDUCES to per-(doc, w₁, w₂) counts — that aggregated frame persists,
+  * both count tables re-aggregate it (map-side combined), and the
+  * vocab-keyed count joins probe it instead of the raw occurrence
+  * stream. This cuts join volume by the per-document repetition factor
+  * and blunts head-word skew (a boilerplate page repeating "of the" 10⁴
+  * times ships ONE row through the c₂/c₁ joins, not 10⁴); residual
+  * cross-document head-word skew splits under AQE skew-join like the
+  * rest of the dedup family (AqeSkewSpec). The joins are sort-merge at
+  * web vocabularies, broadcast below the threshold — same posture as
+  * TfIdf's df join. 10⁶·c₂ stays in BIGINT up to 9·10¹² occurrences of
+  * a single bigram.
   */
 object Fluency {
 
@@ -36,23 +42,29 @@ object Fluency {
     val toks = docs
       .select(col(idCol), TF.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
-    val grams = toks
+    // reduce occurrences to per-(doc, w1, w2) multiplicities BEFORE any
+    // join: k·⌊10⁶·c2/c1⌋ ≡ the occurrence-wise sum, exactly, and the
+    // joins now move |distinct bigrams per doc| rows instead of the
+    // corpus token stream
+    val g = toks
       .select(col(idCol),
         explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("k"))
       .persist()
-    Caches.register(grams)
-    val c2 = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    grams
+    Caches.register(g)
+    val c2 = g.groupBy("w1", "w2").agg(sum("k").as("c2"))
+    val c1 = g.groupBy("w1").agg(sum("k").as("c1"))
+    g
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
-      .select(col(idCol), expr("(1000000L * c2) div c1").as("p_micro"))
+      .select(col(idCol), col("k"), expr("(1000000L * c2) div c1").as("p_micro"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("fluency_micro_sum"))
+      .agg(sum("k").as("n_bigrams"),
+        sum(expr("k * p_micro")).as("fluency_micro_sum"))
       .withColumn("fluency",
         col("fluency_micro_sum").cast("double") /
           (col("n_bigrams") * lit(1000000L)).cast("double"))

@@ -155,6 +155,27 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.Caches.release()
   }
 
+  test("fluency: count joins probe the per-(doc,bigram) aggregate, never raw occurrences") {
+    val df = graft.queries.SketchQueries.qLmScore(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==").head
+    // the probe side of the c2/c1 joins must be the reduced (doc, w1, w2, k)
+    // frame: the persisted aggregate appears as an InMemoryTableScan
+    // carrying the multiplicity column k — if the joins consumed the raw
+    // occurrence explode, no k attribute would exist on the probe side
+    val probeScans = s.linesIterator.count(l =>
+      l.contains("InMemoryTableScan") && "[\\[, ]k#".r.findFirstIn(l).isDefined)
+    assert(probeScans >= 1,
+      s"c2/c1 joins no longer probe the pre-aggregated bigram frame:\n$s")
+    // occurrence stream reduced before joining: the explode exists ONLY
+    // inside the cache-build subtree (printed under InMemoryRelation) —
+    // exactly one occurrence means no join consumes raw generator output
+    val explodes = "Generate explode".r.findAllIn(s).size
+    assert(explodes == 1,
+      s"expected the explode only in the cache build, found $explodes:\n$s")
+    graft.operators.Caches.release()
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)
