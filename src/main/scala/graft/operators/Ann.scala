@@ -133,14 +133,24 @@ object Ann {
 
   /** Nearest-centroid assignment: broadcast the (small) centroid table,
     * argmin by cosine distance.
+    *
+    * Shuffle discipline: the ×nlist scored stream carries ONLY
+    * (vid, cid, d) — the cosine is computed map-side while the vector is
+    * still in hand, then the embedding payload is dropped BEFORE the
+    * per-vid argmax shuffle (which TopKRewriteRule turns into a k=1 heap:
+    * one slim row per vector leaves each map task — asserted in
+    * PlanContractSpec). Vectors join back by id afterwards, so the wide
+    * column crosses the wire once, not nlist times.
     */
   private[graft] def assignToNearest(c: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vid").orderBy(col("d").desc, col("cid"))
-    c.crossJoin(broadcast(centroids))
+    val asgn = c.crossJoin(broadcast(centroids))
       .withColumn("d", VectorFunctions.cosine(col("v"), col("centroid")))
+      .select("vid", "cid", "d")
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
-      .select("vid", "v", "cid")
+      .select("vid", "cid")
+    c.join(asgn, "vid").select("vid", "v", "cid")
   }
 
   /** LSH-bucketed ANN, MULTI-TABLE (OR-of-ANDs): a corpus vector is a

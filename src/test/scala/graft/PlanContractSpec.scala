@@ -155,6 +155,25 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.Caches.release()
   }
 
+  test("ivf assignment: k=1 heap rewrite fires and the ×nlist stream ships no embeddings") {
+    val df = graft.queries.LlmQueries.qAnnIvf(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // row_number()===1 over (vid) must rewrite to the bounded heap — one
+    // row per vector leaves each map task instead of nlist sorted rows
+    assert(opt.contains("graft_topk"),
+      s"TopKRewriteRule did not fire on assignToNearest:\n$opt")
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==").head
+    // the scored ×nlist projection is slim: (vid, cid, d) with the vector
+    // payload dropped map-side before any exchange
+    val slimProj = s.linesIterator.exists(l =>
+      l.contains("Project [") && "[\\[, ]d#".r.findFirstIn(l).isDefined &&
+        "[\\[, ]cid#".r.findFirstIn(l).isDefined &&
+        "[\\[, ]v#".r.findFirstIn(l).isEmpty)
+    assert(slimProj, s"×nlist stream still carries the embedding column:\n$s")
+    graft.operators.Caches.release()
+  }
+
   test("fluency: count joins probe the per-(doc,bigram) aggregate, never raw occurrences") {
     val df = graft.queries.SketchQueries.qLmScore(spark, sfDir)
     df.collect()
