@@ -86,13 +86,20 @@ object Mix {
     * parallel. Document bodies never shuffle (join them back by id at
     * write time — [[writeShards]]).
     */
+  /** @param startOffset token position the stream starts at — 0 for a
+    *        whole-corpus batch run; a streaming micro-batch passes the
+    *        previous batch's end offset so shard boundaries continue
+    *        across batches ([[graft.streaming.StreamShards]])
+    */
   def shardAssign(docs: DataFrame, idCol: String, textCol: String, shardTokens: Long,
-                  prioBuckets: Int = 64): DataFrame = {
+                  prioBuckets: Int = 64, startOffset: Long = 0L): DataFrame = {
     require(shardTokens > 0, "shardTokens must be positive")
+    require(startOffset >= 0, "startOffset must be non-negative")
     require(!docs.columns.contains("__all"), "reserved column name __all")
     val cum = withCumTokens(docs.withColumn("__all", lit("all")), idCol, textCol,
       "__all", prioBuckets)
     cum
+      .withColumn("cum_tokens", col("cum_tokens") + lit(startOffset))
       .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) div $shardTokens"))
       .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard_id"))
   }

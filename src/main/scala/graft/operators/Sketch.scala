@@ -129,14 +129,25 @@ object Sketch {
     * multiplies only the slim (i, slot) projection, never carried columns,
     * and the result is d·w longs no matter the corpus size.
     */
-  def cmsTable(df: DataFrame, key: String, d: Int = 4, w: Int = 1024): DataFrame = {
-    require(d >= 1 && w >= 2, s"need d>=1, w>=2; got d=$d w=$w")
-    df.select(col(key).cast("string").as("k"))
-      .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("k"))
-      .select(col("i"),
-        NativeHash.md5Mod(concat(col("i").cast("string"), lit(":"), col("k")), w)
-          .cast("int").as("slot"))
+  def cmsTable(df: DataFrame, key: String, d: Int = 4, w: Int = 1024): DataFrame =
+    cmsProject(df, key, d, w)
       .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
+
+  /** The slim (i, slot) projection behind [[cmsTable]] — d rows per input
+    * row, carrying only `carry` columns besides the counter coordinates.
+    * Shared with the streaming sketch ([[graft.streaming.StreamStats]]),
+    * so batch and per-window streaming counters are the same deterministic
+    * function of the data by construction.
+    */
+  def cmsProject(df: DataFrame, key: String, d: Int, w: Int,
+                 carry: Seq[String] = Nil): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d>=1, w>=2; got d=$d w=$w")
+    val keep = carry.map(col)
+    df.select(keep :+ col(key).cast("string").as("k"): _*)
+      .select(keep ++ Seq(explode(sequence(lit(0), lit(d - 1))).as("i"), col("k")): _*)
+      .select(keep ++ Seq(col("i"),
+        NativeHash.md5Mod(concat(col("i").cast("string"), lit(":"), col("k")), w)
+          .cast("int").as("slot")): _*)
   }
 
   /** CMS point estimates for every distinct key in `df`: est = min over the

@@ -41,4 +41,23 @@ object StreamStats {
       .agg(max("rho").as("rho"))
       .withColumn("p", lit(p))
   }
+
+  /** Per-event-time-window Count-Min counter table for a streaming frame:
+    * (window, i, slot, cnt). Counter increments are an associative,
+    * commutative SUM — the same mergeability that lets batch CMS shards
+    * fold — so Structured Streaming maintains the d·w counters per window
+    * with ordinary watermark state; state per window is ≤ d·w longs
+    * regardless of stream volume. A settled window's counter table is
+    * IDENTICAL to [[graft.operators.Sketch.cmsTable]] of the same rows
+    * (shared projection; StreamStatsSpec proves it), and window tables
+    * roll up hour→day→corpus by per-(i, slot) addition exactly like
+    * batch shard merges.
+    */
+  def cmsTableWindowed(stream: DataFrame, tsCol: String, key: String,
+                       windowDur: String, watermarkDelay: String,
+                       d: Int = 4, w: Int = 1024): DataFrame =
+    Sketch.cmsProject(stream.withWatermark(tsCol, watermarkDelay),
+        key, d, w, carry = Seq(tsCol))
+      .groupBy(window(col(tsCol), windowDur), col("i"), col("slot"))
+      .agg(count(lit(1)).as("cnt"))
 }
