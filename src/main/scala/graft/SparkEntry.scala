@@ -81,6 +81,7 @@ object SparkEntry {
     "q_hll_distinct"       -> (SketchQueries.qHllDistinct _),
     "q_heavy_hitters"      -> (SketchQueries.qHeavyHitters _),
     "q_lm_score"           -> (SketchQueries.qLmScore _),
+    "q_corpus_stats_v2"    -> (LlmQueries.qCorpusStatsV2 _),
     "q_bpe_count"          -> (LlmQueries.qBpeCount _),
     "q_token_budget_bpe"   -> (LlmQueries.qTokenBudgetBpe _),
     "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _)
@@ -172,6 +173,9 @@ object SparkEntry {
     // trained-merges BPE: training pinned as a fixture (deterministic but
     // not SQL-expressible); the ENCODE replays in pure SQL — one literal
     // replace per merge rank — so model-token counts sit under the hash gate
+    // bounded-memory corpus report: HLL register state replaces the exact
+    // distinct shuffle; published columns are exact sketch state
+    "q_corpus_stats_v2"    -> LlmQueries.qCorpusStatsV2Sql,
     "q_bpe_count"          -> LlmQueries.qBpeCountSql,
     "q_token_budget_bpe"   -> LlmQueries.qTokenBudgetBpeSql,
     "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql

@@ -113,7 +113,6 @@ object Curation {
     */
   def corpusStats(docs: DataFrame, srcCol: String, textCol: String,
                   charsCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // persisted: both aggregations below consume it — without this the
     // documents (and the md5/tokenize work) would be scanned twice
     val slim = docs.select(col(srcCol), col(charsCol).as("__chars"),
@@ -125,10 +124,22 @@ object Curation {
       count(lit(1)).as("n_docs"),
       sum(col("__tok")).as("total_tokens"),
       countDistinct(col("__fp")).as("distinct_docs"))
+    base.join(histMedian(slim, srcCol), srcCol)
+      .select(col(srcCol), col("n_docs"), col("total_tokens"),
+        col("median_chars"), col("distinct_docs"))
+  }
+
+  /** The lossless-histogram median over a slim frame carrying `__chars` —
+    * shared by [[corpusStats]] and [[corpusStatsSketch]]. Identical
+    * interpolation to SQL `median`: average of the values at positions
+    * ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ of the cumulative histogram.
+    */
+  private def histMedian(slim: DataFrame, srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hist = slim.groupBy(col(srcCol), col("__chars")).agg(count(lit(1)).as("__cnt"))
     val byChars = Window.partitionBy(srcCol).orderBy("__chars")
     val whole = Window.partitionBy(srcCol)
-    val med = hist
+    hist
       .withColumn("__hi", sum(col("__cnt")).over(byChars))
       .withColumn("__n", sum(col("__cnt")).over(whole))
       .withColumn("__lo", col("__hi") - col("__cnt") + 1)
@@ -141,9 +152,58 @@ object Curation {
           col("__chars").cast("double")).otherwise(lit(0.0))) +
         sum(when(col("__p2").between(col("__lo"), col("__hi")),
           col("__chars").cast("double")).otherwise(lit(0.0)))) / 2.0).as("median_chars"))
-    base.join(med, srcCol)
-      .select(col(srcCol), col("n_docs"), col("total_tokens"),
-        col("median_chars"), col("distinct_docs"))
+  }
+
+  /** [[corpusStats]] at 100 TB shape: the distinct-content column comes
+    * from a per-source HyperLogLog register table instead of
+    * `COUNT(DISTINCT md5)`. Exact distinct pays a corpus-sized shuffle of
+    * every distinct fingerprint; the sketch reduces map-side to ≤ m rows
+    * per source, and the whole report stays ORACLE-EXACT because what it
+    * publishes is deterministic sketch state:
+    *
+    *  - `hll_buckets`   — non-empty registers (exact int),
+    *  - `hll_sum`       — the dyadic harmonic denominator
+    *                      Σ 2^(49−rho) + (m−v)·2^49, exact BIGINT
+    *                      (≤ m·2^49 ≈ 2.3·10¹⁸ at p=12),
+    *  - `est_distinct`  — the raw HLL harmonic estimate: one double
+    *                      division of exact integers with a constant
+    *                      factor written identically on both engines, so
+    *                      even the double is bit-identical cross-engine.
+    *
+    * `est_distinct` is the uncorrected estimator: the small-range
+    * (linear-counting) correction needs `ln`, whose last-ulp rounding is
+    * not pinned across engines — consumers needing it apply
+    * [[Sketch.hllEstimate]]'s branch over the same published state
+    * (v = hll_buckets), downstream of the gate.
+    */
+  def corpusStatsSketch(docs: DataFrame, srcCol: String, textCol: String,
+                        charsCol: String, p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val maxRho = Sketch.MaxRho
+    val (bucket, rho) = Sketch.hllProjection(col(textCol), p)
+    val slim = docs.select(col(srcCol), col(charsCol).as("__chars"),
+      graft.functions.TextFunctions.tokenCountWs(col(textCol)).cast("long").as("__tok"),
+      bucket.as("__bucket"), rho.as("__rho"))
+      .persist()
+    Caches.register(slim)
+    val base = slim.groupBy(col(srcCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__tok")).as("total_tokens"))
+    val regs = slim.groupBy(col(srcCol), col("__bucket"))
+      .agg(max(col("__rho")).as("__rho"))
+    val alphaM2P = s"((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+      s"CAST(1.079 AS DOUBLE) / CAST($m AS DOUBLE))) * " +
+      s"CAST(${m.toLong * m.toLong} AS DOUBLE) * CAST(${1L << maxRho} AS DOUBLE))"
+    val hll = regs.groupBy(col(srcCol)).agg(
+        count(lit(1)).as("hll_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - __rho)")).as("__s_ne"))
+      .withColumn("hll_sum",
+        col("__s_ne") + (lit(m.toLong) - col("hll_buckets")) * lit(1L << maxRho))
+      .withColumn("est_distinct", expr(s"$alphaM2P / CAST(hll_sum AS DOUBLE)"))
+      .select(col(srcCol), col("hll_buckets"), col("hll_sum"), col("est_distinct"))
+    base.join(histMedian(slim, srcCol), srcCol).join(hll, srcCol)
+      .select(col(srcCol), col("n_docs"), col("total_tokens"), col("median_chars"),
+        col("hll_buckets"), col("hll_sum"), col("est_distinct"))
   }
 
   /** EXACT per-group percentiles of a discrete value (doc lengths, token

@@ -1179,6 +1179,41 @@ object LlmQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** The corpus report at 100 TB shape: distinct-content accounting via the
+    * per-source HLL register state instead of an exact COUNT(DISTINCT) —
+    * bounded memory, still fully under the hash gate (the published columns
+    * are exact sketch state plus one bit-pinned double division; see
+    * [[Curation.corpusStatsSketch]]).
+    */
+  def qCorpusStatsV2(s: SparkSession, dir: String): DataFrame =
+    Curation.corpusStatsSketch(table(s, dir, "documents"), "source", "text", "n_chars")
+      .orderBy("source")
+
+  val qCorpusStatsV2Sql: String =
+    """WITH slim AS (
+      |  SELECT source, n_chars,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS tok,
+      |    CAST(md5_number_lower(text) % 4096 AS INT) AS bucket,
+      |    CAST(CASE WHEN md5_number_lower('r:' || text) % 281474976710656 = 0 THEN 49
+      |         ELSE 49 - length(bin(md5_number_lower('r:' || text) % 281474976710656)) END AS INT) AS rho
+      |  FROM documents),
+      |base AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |         CAST(median(n_chars) AS DOUBLE) AS median_chars
+      |  FROM slim GROUP BY source),
+      |regs AS (SELECT source, bucket, max(rho) AS rho FROM slim GROUP BY 1, 2),
+      |hll AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS hll_buckets,
+      |         CAST(sum(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS s_ne
+      |  FROM regs GROUP BY source)
+      |SELECT base.source, n_docs, total_tokens, median_chars, hll_buckets,
+      |  CAST(s_ne + (4096 - hll_buckets) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS hll_sum,
+      |  ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096 AS DOUBLE)))
+      |    * CAST(16777216 AS DOUBLE) * CAST(562949953421312 AS DOUBLE))
+      |    / CAST(s_ne + (4096 - hll_buckets) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_distinct
+      |FROM base JOIN hll USING (source)
+      |ORDER BY source""".stripMargin
+
   /** Exact per-source p50/p90/p99 doc-length percentiles via the histogram
     * CDF — no value-buffering percentile aggregate on either engine: the
     * oracle replays the same "smallest value with cumulative count ≥ ⌈p·n⌉"

@@ -46,6 +46,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(row.getAs[Long]("distinct_docs") == 5L)
   }
 
+  test("sketch report: HLL state matches per-source registers; estimate tracks exact distinct") {
+    import graft.operators.Sketch
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Curation.corpusStatsSketch(docs, "source", "text", "n_chars")
+    // the published (hll_buckets, hll_sum) must equal the state derived
+    // from the standalone per-source register tables — same projection,
+    // so this pins the report to the oracle-gated sketch family
+    got.select("source", "hll_buckets", "hll_sum").collect().foreach { r =>
+      val regs = Sketch.hllRegisters(
+        docs.filter(col("source") === r.getString(0)), "text")
+      val rows = regs.select("rho").as[Int](org.apache.spark.sql.Encoders.scalaInt).collect()
+      assert(r.getAs[Long]("hll_buckets") == rows.length.toLong)
+      val s = rows.map(rh => 1L << (Sketch.MaxRho - rh)).sum +
+        (4096L - rows.length) * (1L << Sketch.MaxRho)
+      assert(r.getAs[Long]("hll_sum") == s)
+    }
+    // est_distinct tracks the exact distinct count; at test scale the
+    // linear-counting branch applies, so route the published raw estimate
+    // through the same correction hllEstimate documents for consumers
+    val exact = docs.groupBy("source").agg(countDistinct(md5(col("text"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.select("source", "hll_buckets", "est_distinct").collect().foreach { r =>
+      val v = 4096L - r.getAs[Long]("hll_buckets")
+      val raw = r.getAs[Double]("est_distinct")
+      val est = if (raw <= 2.5 * 4096 && v > 0) 4096.0 * math.log(4096.0 / v) else raw
+      val d = exact(r.getString(0)).toDouble
+      assert(math.abs(est - d) / d < 0.1, s"${r.getString(0)}: est=$est exact=$d")
+    }
+    graft.operators.Caches.release()
+  }
+
   test("single-row and two-row groups interpolate like SQL median") {
     import spark.implicits._
     val tiny = Seq(("a", "x", 10L), ("b", "y", 4L), ("b", "z", 7L))
