@@ -103,4 +103,23 @@ class VectorLshSpec extends SparkSpec {
     info(s"true pairs: ${brute.size}, min colliding tables: ${margins.min}")
     assert(margins.min >= 2)
   }
+
+  test("scale-probe corpus: production 8x16 config recovers planted pairs, background prunes to zero") {
+    // the EmbedScaleProbe corpus at CI size — pins the corpus shape the
+    // sf1 scale evidence stands on: planted near-dups (cos ≈ 0.98) are
+    // found at ≥ 0.95 recall, and NOTHING else clears the 0.8 threshold
+    // (background cosines concentrate near 0 at dim 64)
+    val vecs = graft.EmbedScaleProbe.corpus(spark, 2000)
+    val pairs = graft.operators.Dedup.embedNearDupPairsLsh(
+        vecs, "vec_id", "embedding", threshold = 0.8,
+        nTables = 8, planesPerTable = 16)
+      .select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val planted = 20 // n/100
+    assert(pairs.size >= (planted * 95) / 100, s"recall too low: ${pairs.size}/$planted")
+    // every found pair IS a planted pair: (i*100, 2000 + i)
+    assert(pairs.forall { case (a, b) => b >= 2000 && a == (b - 2000) * 100 },
+      s"background pair leaked past the verify: $pairs")
+    graft.operators.Caches.release()
+  }
 }
