@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle width tracks the input size (SPARK_GRAFT_INIT_PARTS still
+    // overrides) — scale runs no longer depend on remembering the env var
+    val width = GraftSession.autoSizeShuffle(spark, sfDir)
+    System.err.println(s"[bench] initial shuffle width: $width")
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
 
     // real-ingest extras beyond the oracle registry: q_excel_file parses the

@@ -1,19 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** One-off experiment: banded minhash at sf1 under different AQE
-  * initialPartitionNum settings (see PLANS.md round-5 shuffle-partition
-  * note). Deleted after measurement if it stops being useful.
+/** A/B harness for the AQE initial-shuffle-width policy: banded minhash
+  * under an explicit initialPartitionNum (`runMain graft.PartProbe 256
+  * <dir>`) or the derived default (`runMain graft.PartProbe auto <dir>`,
+  * = [[GraftSession.autoSizeShuffle]]). Produced the round-5 knob evidence
+  * and the round-6 derived-default validation (PLANS.md).
   */
 object PartProbe {
   def main(args: Array[String]): Unit = {
     val init = args.headOption.getOrElse("32")
     val sf = if (args.length > 1) args(1) else "/root/repo/testdata-sf1"
-    val spark = GraftSession.tune(SparkSession.builder()
+    val builder = GraftSession.tune(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", init)
       .config("spark.ui.enabled", "false"))
+    val spark = (if (init == "auto") builder
+      else builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", init))
       .getOrCreate()
+    if (init == "auto") {
+      val w = GraftSession.autoSizeShuffle(spark, sf)
+      println(s"[partprobe] auto width for $sf: $w")
+    }
     spark.sparkContext.setLogLevel("WARN")
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
