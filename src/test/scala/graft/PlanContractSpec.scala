@@ -174,8 +174,29 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.Caches.release()
   }
 
-  test("fluency: count joins probe the per-(doc,bigram) aggregate, never raw occurrences") {
-    val df = graft.queries.SketchQueries.qLmScore(spark, sfDir)
+  test("fluency default: zero wide shuffles — counts broadcast, occurrences never exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Fluency.bigramFluency(docs, "doc_id", "text")
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==").head
+    // the measured-fast default: c2/c1 ride broadcasts, so the persisted
+    // occurrence stream feeds map-side hash joins and never shuffles for
+    // a join (the remaining exchanges are the slim count partials and the
+    // final per-doc aggregation)
+    assert(!s.contains("SortMergeJoin"),
+      s"count joins stopped broadcasting at bench SF:\n$s")
+    // the cache BUILD subtree (InMemoryRelation → its FileScan) is
+    // shuffle-free: scan → filter → explode → project, no Exchange
+    val build = s.split("InMemoryRelation")(1).split("FileScan")(0)
+    assert(!build.contains("Exchange"),
+      s"occurrence cache build gained a shuffle:\n$s")
+    graft.operators.Caches.release()
+  }
+
+  test("fluency preAggregate: count joins probe the per-(doc,bigram) aggregate, never raw occurrences") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Fluency.bigramFluency(docs, "doc_id", "text",
+      preAggregate = true)
     df.collect()
     val s = executed(df).toString.split("== Initial Plan ==").head
     // the probe side of the c2/c1 joins must be the reduced (doc, w1, w2, k)

@@ -124,6 +124,22 @@ class SketchSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)))
   }
 
+  test("fluency routes are result-identical: occurrence joins == pre-aggregated") {
+    // heavy within-doc repetition — the case where the pre-aggregation
+    // actually reduces (k > 1) and the k-weighted arithmetic must still
+    // reproduce the occurrence-wise sums exactly
+    val docs = Seq(
+      (1L, "of the of the of the of the"),
+      (2L, "the of the of zz qq"),
+      (3L, "of of of of of")).toDF("doc_id", "text")
+    val a = Fluency.bigramFluency(docs, "doc_id", "text", preAggregate = false)
+      .orderBy("doc_id").collect().toSeq
+    val b = Fluency.bigramFluency(docs, "doc_id", "text", preAggregate = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    graft.operators.Caches.release()
+  }
+
   test("fluency is partition-invariant and excludes sub-bigram docs") {
     val docs = Seq((1L, "x y z x y"), (2L, "solo"), (3L, ""), (4L, "x y"))
       .toDF("doc_id", "text")
