@@ -84,6 +84,26 @@ class BpeSpec extends SparkSpec {
     assert(over == 0L)
   }
 
+  test("spaceless scripts: CJK text tokenizes by learned merges, not whitespace") {
+    // whitespace counting sees ONE token per CJK sentence — the drift BPE
+    // exists to fix. Merges learned from a tiny CJK corpus compress the
+    // frequent bigram; unseen characters stay as single code points.
+    val docs = Seq("東京東京東京", "東京の天気", "東京東京").toDF("text")
+    val merges = Bpe.mergesOf(Bpe.train(docs, "text", numMerges = 2))
+    assert(merges.head == ("東", "京"), s"got $merges") // freq 6, dominates
+    val enc = graft.plans.Bpe.encodeWord("東京の天気", merges.toArray).toSeq
+    assert(enc.head == "東京" && enc.contains("の"), s"got $enc")
+    val counts = docs.select(
+        graft.functions.TextFunctions.tokenCountWs(col("text")).as("ws"),
+        Bpe.bpeLen(col("text"), merges).as("bpe"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // ws sees 1 token per doc; BPE sees the real granularity:
+    // 東京東京東京 → [東京東京, 東京] = 2; 東京の天気 → [東京,の,天,気] = 4;
+    // 東京東京 → [東京東京] = 1
+    assert(counts.map(_._1) == Seq(1, 1, 1))
+    assert(counts.map(_._2) == Seq(2, 4, 1), s"got $counts")
+  }
+
   test("unicode words encode by code point, and empty/whitespace text counts zero") {
     val merges = Seq(("é", "t"), ("ét", "é"))
     assert(graft.plans.Bpe.encodeWord("été", merges.toArray).toSeq == Seq("été"))
