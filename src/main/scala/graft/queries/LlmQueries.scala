@@ -904,14 +904,20 @@ object LlmQueries {
 
   /** Pin a deterministic training artifact (centroids, merge tables) at
     * `fixture` WITHOUT the delete/rewrite race a blind
-    * `mode("overwrite")` has: training is deterministic per dataset, so a
-    * complete existing fixture (its `_SUCCESS` marker present) is already
-    * byte-correct and is left untouched — two JVMs verifying the SAME
-    * dataset can no longer interleave one run's delete with the other's
-    * fixture read or DuckDB replay. A missing/incomplete fixture is built
-    * in a private temp dir and RENAMED into place (atomic on a local/HDFS
-    * filesystem); losing the rename race just means the concurrent writer's
-    * identical bytes won.
+    * `mode("overwrite")` has. Training always runs (it is cheap and
+    * deterministic) into a PRIVATE temp dir; the result then compares
+    * against the existing fixture:
+    *
+    *  - content equal (the common case — same dataset ⇒ same training):
+    *    nothing touches the published path, so a concurrent JVM mid-read
+    *    or mid-DuckDB-replay of the same fixture can never observe a
+    *    delete/write window;
+    *  - content differs (the dataset at this path CHANGED — path-keyed
+    *    fixtures would otherwise go silently stale) or no complete
+    *    fixture exists: the temp dir RENAMES into place (atomic on a
+    *    local/HDFS filesystem; readers see old or new, never partial).
+    *    Losing a rename race just means the concurrent writer's
+    *    identical bytes won.
     */
   private def pinFixture(build: () => DataFrame, fixture: String,
                            spark: SparkSession): Unit = {
@@ -919,11 +925,18 @@ object LlmQueries {
       new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(fixture)
     val ok = new org.apache.hadoop.fs.Path(fixture, "_SUCCESS")
-    if (fs.exists(ok)) return
     val tmp = new org.apache.hadoop.fs.Path(
       fixture + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
     build().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true) // stale incomplete dir (no _SUCCESS) — safe to drop
+    // fixtures are tiny by construction (≤ nlist centroid rows / numMerges
+    // merge rows) — row-level compare is a driver-side no-op in cost
+    def rows(p: org.apache.hadoop.fs.Path) =
+      spark.read.parquet(p.toString).collect().map(_.toSeq.toString).sorted.toSeq
+    if (fs.exists(ok) && rows(dst) == rows(tmp)) {
+      fs.delete(tmp, true)
+      return
+    }
+    fs.delete(dst, true) // stale content or incomplete dir — replace
     if (!fs.rename(tmp, dst)) {
       require(fs.exists(ok), s"fixture rename to $fixture failed and no complete fixture exists")
       fs.delete(tmp, true)
