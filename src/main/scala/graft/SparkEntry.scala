@@ -84,7 +84,8 @@ object SparkEntry {
     "q_corpus_stats_v2"    -> (LlmQueries.qCorpusStatsV2 _),
     "q_bpe_count"          -> (LlmQueries.qBpeCount _),
     "q_token_budget_bpe"   -> (LlmQueries.qTokenBudgetBpe _),
-    "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _)
+    "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _),
+    "q_bpe_encode"         -> (LlmQueries.qBpeEncode _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -178,6 +179,7 @@ object SparkEntry {
     "q_corpus_stats_v2"    -> LlmQueries.qCorpusStatsV2Sql,
     "q_bpe_count"          -> LlmQueries.qBpeCountSql,
     "q_token_budget_bpe"   -> LlmQueries.qTokenBudgetBpeSql,
-    "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql
+    "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql,
+    "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql
   )
 }

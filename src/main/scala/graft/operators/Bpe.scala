@@ -113,6 +113,35 @@ object Bpe {
     out.toArray
   }
 
+  /** Deterministic token VOCABULARY for a trained merge table — the id
+    * space a packed corpus stores: base tokens are the distinct code
+    * points of the top-`vocabCap` training words (sorted, ids 0..B−1);
+    * merged tokens follow in rank order (ids B, B+1, …). Two different
+    * merge chains can in principle produce the same SURFACE string
+    * ((a, bc) and (ab, c) both yield "abc"); the vocabulary keys by
+    * surface string and keeps the lowest id, so encode→id is a function.
+    * Tokens outside the vocabulary (code points beyond the training top
+    * words) map to −1 (UNK) at encode time.
+    */
+  def vocab(docs: DataFrame, textCol: String, mergeTable: DataFrame,
+            vocabCap: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    val topWords = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w"))
+      .limit(vocabCap)
+      .collect().map(_.getString(0))
+    val base = topWords.flatMap(graft.plans.Bpe.codePoints).distinct.sorted
+    val merged = mergesOf(mergeTable).map { case (l, r) => l + r }
+    val all = (base ++ merged).zipWithIndex
+      .groupBy(_._1).map { case (t, ids) => (t, ids.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    import spark.implicits._
+    all.map { case (t, i) => (i, t) }.toDF("token_id", "token")
+  }
+
   /** Merge table → the rank-ordered pair list the apply expression takes.
     * Bounded collect: the table is ≤ numMerges rows by construction.
     */

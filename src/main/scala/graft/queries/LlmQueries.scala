@@ -1345,6 +1345,58 @@ object LlmQueries {
        |FROM documents d LEFT JOIN doclen l USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  def bpeVocabFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/bpe_vocab_m48_${dataTag(dir)}.parquet").getAbsolutePath
+
+  private def pinnedBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val fixture = bpeVocabFixture(dir)
+    pinFixture(() => {
+      val merges = s.read.parquet(bpeMergesFixture(dir))
+      graft.operators.Bpe.vocab(table(s, dir, "documents"), "text", merges)
+    }, fixture, s)
+    s.read.parquet(fixture)
+  }
+
+  /** Full token-ID encoding — what a packed corpus on disk stores: one row
+    * per (doc, word, token) with the token's vocabulary id (−1 = UNK).
+    * The oracle recovers the token STREAM (not just counts) from the same
+    * separator-wrapped replay and joins the pinned vocabulary, so every
+    * emitted id sits under the hash gate.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = pinnedBpeMerges(s, dir)
+    val vocab = pinnedBpeVocab(s, dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("word_idx"),
+        posexplode(graft.operators.Bpe.bpeTokens(col("w"), merges)).as(Seq("tok_idx", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("word_idx"), col("tok_idx"), col("token"),
+        coalesce(col("token_id"), lit(-1)).cast("int").as("token_id"))
+      .orderBy("doc_id", "word_idx", "tok_idx")
+  }
+
+  def qBpeEncodeSql: String =
+    s"""WITH RECURSIVE ${bpeDocLenCtes(bpeMergesFixture(lastBpeDir.get))},
+       |v AS (SELECT token, token_id FROM read_parquet('${bpeVocabFixture(lastBpeDir.get)}/*.parquet')),
+       |toks AS (
+       |  SELECT w, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS ts
+       |  FROM enc WHERE r = (SELECT max(rank) FROM m)),
+       |wpos AS (
+       |  SELECT doc_id, CAST(g.i - 1 AS INT) AS word_idx, wl[g.i] AS wd
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS wl FROM documents),
+       |       LATERAL unnest(generate_series(1, CAST(len(wl) AS BIGINT))) AS g(i)
+       |  WHERE len(wl[g.i]) > 0),
+       |stream AS (
+       |  SELECT doc_id, word_idx, CAST(g2.j - 1 AS INT) AS tok_idx, ts[g2.j] AS token
+       |  FROM wpos JOIN toks ON toks.w = wpos.wd,
+       |       LATERAL unnest(generate_series(1, CAST(len(ts) AS BIGINT))) AS g2(j))
+       |SELECT doc_id, word_idx, tok_idx, token,
+       |  CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+       |FROM stream LEFT JOIN v USING (token)
+       |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
+
   /** [[qTokenBudgetMix]] in MODEL tokens: the same hash-priority budget
     * draw, but n_tokens is the trained-BPE count — budgets now mean what
     * the training run means by "tokens".

@@ -84,6 +84,22 @@ class BpeSpec extends SparkSpec {
     assert(over == 0L)
   }
 
+  test("token ids: vocab is deterministic, encode roundtrips, unseen code points are UNK") {
+    val docs = Seq("abc abc cab", "bca").toDF("text")
+    val mergeTable = Bpe.train(docs, "text", numMerges = 2)
+    val v = Bpe.vocab(docs, "text", mergeTable)
+      .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    // base = sorted distinct code points a,b,c (ids 0..2); merges follow
+    assert(v("a") == 0 && v("b") == 1 && v("c") == 2)
+    assert(Bpe.mergesOf(mergeTable).map { case (l, r) => l + r }.forall(v.contains))
+    // roundtrip: concatenating a word's encoded tokens reproduces the word
+    val merges = Bpe.mergesOf(mergeTable)
+    for (w <- Seq("abc", "cab", "bca", "abcabc", "zzz"))
+      assert(graft.plans.Bpe.encodeWord(w, merges.toArray).mkString == w)
+    // a code point absent from training is not in the vocab → UNK id -1
+    assert(!v.contains("z"))
+  }
+
   test("spaceless scripts: CJK text tokenizes by learned merges, not whitespace") {
     // whitespace counting sees ONE token per CJK sentence — the drift BPE
     // exists to fix. Merges learned from a tiny CJK corpus compress the
