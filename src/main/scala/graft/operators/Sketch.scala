@@ -150,6 +150,75 @@ object Sketch {
           .cast("int").as("slot")): _*)
   }
 
+  /** Bloom-filter bit table for `key`: one (pos, k, m) row per SET bit,
+    * k hash functions over an m-bit space. pos_i(key) =
+    * md5_number_lower("b" + i + ":" + key) mod m — the same cross-engine md5
+    * family as the HLL/CMS sketches, so the ENTIRE bit state is a
+    * deterministic function of the data and replays in pure SQL.
+    *
+    * k and m travel in the schema (constant columns) so a bit table is
+    * self-describing: [[bloomMerge]] refuses to union filters built with
+    * different parameters, and [[bloomMightContain]] reads its probe
+    * parameters from the table it probes.
+    *
+    * Plan shape: slim key projection → k-fold explode of (pos) only →
+    * distinct with map-side partial — at most min(k·n, m) rows come out
+    * regardless of corpus size, and the sparse set-bit representation is
+    * exactly the state an incremental corpus gate maintains (new shard →
+    * union-distinct, see [[bloomMerge]]).
+    *
+    * Why a Bloom gate at 100 TB: the exact streaming dedup gate keeps one
+    * state row per distinct fingerprint (RocksDB-backed); a Bloom prefilter
+    * is m BITS broadcast to every executor — probe rows that miss ANY of
+    * their k positions are definite non-members and skip the expensive
+    * index probe entirely; only possible-members (true hits + a measured
+    * false-positive ratio ≈ fill^k) pay the join.
+    */
+  def bloomBits(df: DataFrame, key: String, k: Int = 4, m: Int = 65536): DataFrame = {
+    require(k >= 1 && m >= 2, s"need k>=1, m>=2; got k=$k m=$m")
+    df.select(col(key).cast("string").as("kk"))
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("kk"))
+      .select(NativeHash.md5Mod(concat(lit("b"), col("i").cast("string"), lit(":"), col("kk")), m)
+        .cast("int").as("pos"))
+      .distinct()
+      .withColumn("k", lit(k)).withColumn("m", lit(m))
+  }
+
+  /** Merge bit tables (per-shard filters → corpus filter): set union.
+    * Associative and idempotent. Grouping includes (k, m): bits from
+    * filters built with different parameters never collapse into one row,
+    * and a mixed merge surfaces as >1 (k, m) pair downstream rather than a
+    * silently wrong filter.
+    */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).select("pos", "k", "m").distinct()
+
+  /** Membership probe: one row per DISTINCT probe key, `member` = all k
+    * positions of the key are set in `bits`. No false negatives (every inserted key
+    * probes true); false-positive ratio ≈ fill^k, spec-measured.
+    *
+    * The bit table broadcasts (≤ m rows of one int by construction after
+    * the slim projection); probe keys fan out ×k map-side and re-aggregate
+    * with map-side combine, so the only shuffle is ≤ |probe| slim rows.
+    * (At m ≥ 2³⁰ the broadcast gives way to an equi-join on pos — the
+    * sparse-set representation shuffles instead; same plan, no rewrite.)
+    */
+  def bloomMightContain(probe: DataFrame, bits: DataFrame, probeKey: String): DataFrame = {
+    val params = bits.select("k", "m").distinct().collect()
+    require(params.length == 1,
+      s"bit table carries ${params.length} distinct (k, m) pairs — refusing to probe a mixed merge")
+    val (k, m) = (params(0).getInt(0), params(0).getInt(1))
+    val setBits = bits.select(col("pos"), lit(1).as("__hit"))
+    probe.select(col(probeKey).cast("string").as("probe_key")).distinct()
+      .select(col("probe_key"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("probe_key"),
+        NativeHash.md5Mod(concat(lit("b"), col("i").cast("string"), lit(":"), col("probe_key")), m)
+          .cast("int").as("pos"))
+      .join(broadcast(setBits), Seq("pos"), "left")
+      .groupBy("probe_key")
+      .agg((sum(coalesce(col("__hit"), lit(0))) === k).as("member"))
+  }
+
   /** CMS point estimates for every distinct key in `df`: est = min over the
     * d counters the key hashes to. Guarantees est ≥ true count (collisions
     * only inflate), with overestimate bounded by ~e·N/w per row whp — so for
