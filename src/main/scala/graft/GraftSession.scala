@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import scala.util.chaining._
 
@@ -58,6 +60,23 @@ object GraftSession {
   /** Load one of the standard tables from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table's `ts` as epoch MILLISECONDS, whatever physical type
+    * the parquet writer chose. Generators have shipped `ts` both as
+    * TIMESTAMP(NANOS) — which Spark 4 only reads as a long via
+    * `nanosAsLong` (see [[tune]]) — and as TIMESTAMP(MICROS), which arrives
+    * as TIMESTAMP_NTZ. `DIV` has no timestamp overload, so the long-nanos
+    * expression fails analysis on the NTZ read (and vice versa); dispatching
+    * on the *schema as read* makes every events query engine-stable across
+    * testdata regenerations. The session TZ is pinned UTC ([[tune]]), so the
+    * NTZ→timestamp cast is instant-preserving and both branches agree with
+    * the oracle's `epoch_ms(ts)`.
+    */
+  def eventTsMs(events: DataFrame, tsCol: String = "ts"): Column =
+    events.schema(tsCol).dataType match {
+      case LongType => expr(s"$tsCol DIV 1000000") // nanos-as-long → ms
+      case _        => unix_millis(col(tsCol).cast(TimestampType))
+    }
 
   /** Derive the AQE initial shuffle width from the INPUT'S on-disk size and
     * set it on the session (a runtime SQL conf — no rebuild needed).

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftSession
 import graft.GraftSession.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -212,8 +213,9 @@ object AnalyticsQueries {
     * is DuckDB's native ASOF LEFT JOIN.
     */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ts_ms"),
+    val raw = table(s, dir, "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
         col("event_type"), col("value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_ms", "value")
@@ -240,8 +242,9 @@ object AnalyticsQueries {
     * naive inequality join — same rows, quadratic plan.
     */
   def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ts_ms"),
+    val raw = table(s, dir, "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
         col("event_type"), col("value"))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id"), col("ts_ms"))
@@ -309,8 +312,9 @@ object AnalyticsQueries {
     */
   def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    table(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000000").as("ts_ms"),
+    val raw = table(s, dir, "events")
+    raw
+      .select(col("event_id"), col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
         col("value").cast("decimal(12,2)").as("v"))
       .withColumn("new_sess",
         when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > 1800000L, 1).otherwise(0))
@@ -350,13 +354,17 @@ object AnalyticsQueries {
     * `window()`; here the bucket is integer epoch math for oracle-exact
     * interchange).
     */
-  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .select(expr("(ts DIV 1000000) DIV 3600000 * 3600000").as("window_start_ms"),
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    raw
+      .select(GraftSession.eventTsMs(raw).as("ts_ms"),
         col("event_type"), col("value").cast("decimal(12,2)").as("v"))
+      .select(expr("ts_ms DIV 3600000 * 3600000").as("window_start_ms"),
+        col("event_type"), col("v"))
       .groupBy("window_start_ms", "event_type")
       .agg(count(lit(1)).as("n"), sum("v").cast("double").as("sum_value"))
       .orderBy("window_start_ms", "event_type")
+  }
 
   val qEventsWindowSql: String =
     """SELECT epoch_ms(ts) // 3600000 * 3600000 AS window_start_ms, event_type,

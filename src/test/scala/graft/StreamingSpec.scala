@@ -42,7 +42,8 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema).parquet(src)
     assert(stream.isStreaming)
     val agg = stream
-      .select(expr("(ts DIV 1000000) DIV 3600000 * 3600000").as("w"), col("value"))
+      .select(GraftSession.eventTsMs(stream).as("ts_ms"), col("value"))
+      .select(expr("ts_ms DIV 3600000 * 3600000").as("w"), col("value"))
       .groupBy("w").agg(count(lit(1)).as("n"))
     val q = agg.writeStream.format("memory").queryName("evt_stream")
       .outputMode("complete").start()
