@@ -157,9 +157,18 @@ object Sketch {
     * deterministic function of the data and replays in pure SQL.
     *
     * k and m travel in the schema (constant columns) so a bit table is
-    * self-describing: [[bloomMerge]] refuses to union filters built with
-    * different parameters, and [[bloomMightContain]] reads its probe
-    * parameters from the table it probes.
+    * self-describing: [[bloomMerge]] keeps bits from differently-parametered
+    * filters apart (they never collapse into one row), and
+    * [[bloomMightContain]] reads its probe parameters from the table it
+    * probes and REFUSES a table carrying more than one (k, m) pair — a
+    * mixed merge is detected at probe time, before any wrong answer.
+    *
+    * NULL keys are dropped: a NULL fingerprint has no hash positions (the
+    * md5 family is null-safe, null→null), so inserting it would add a
+    * useless NULL pos row and probing it could only return an arbitrary
+    * verdict. [[bloomMightContain]] drops NULL probe keys under the same
+    * policy — callers that must route NULL keys handle them before the
+    * filter, exactly as they would for the downstream exact index.
     *
     * Plan shape: slim key projection → k-fold explode of (pos) only →
     * distinct with map-side partial — at most min(k·n, m) rows come out
@@ -177,6 +186,7 @@ object Sketch {
   def bloomBits(df: DataFrame, key: String, k: Int = 4, m: Int = 65536): DataFrame = {
     require(k >= 1 && m >= 2, s"need k>=1, m>=2; got k=$k m=$m")
     df.select(col(key).cast("string").as("kk"))
+      .filter(col("kk").isNotNull)
       .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("kk"))
       .select(NativeHash.md5Mod(concat(lit("b"), col("i").cast("string"), lit(":"), col("kk")), m)
         .cast("int").as("pos"))
@@ -187,8 +197,11 @@ object Sketch {
   /** Merge bit tables (per-shard filters → corpus filter): set union.
     * Associative and idempotent. Grouping includes (k, m): bits from
     * filters built with different parameters never collapse into one row,
-    * and a mixed merge surfaces as >1 (k, m) pair downstream rather than a
-    * silently wrong filter.
+    * and a mixed merge surfaces as >1 (k, m) pair — [[bloomMightContain]]
+    * rejects such a table at probe time. (The merge itself stays a lazy
+    * transformation: an eager parameter assertion here would force both
+    * input lineages on every shard union; the probe's require is the
+    * enforcement point.)
     */
   def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).select("pos", "k", "m").distinct()
@@ -197,24 +210,38 @@ object Sketch {
     * positions of the key are set in `bits`. No false negatives (every inserted key
     * probes true); false-positive ratio ≈ fill^k, spec-measured.
     *
-    * The bit table broadcasts (≤ m rows of one int by construction after
-    * the slim projection); probe keys fan out ×k map-side and re-aggregate
-    * with map-side combine, so the only shuffle is ≤ |probe| slim rows.
-    * (At m ≥ 2³⁰ the broadcast gives way to an equi-join on pos — the
-    * sparse-set representation shuffles instead; same plan, no rewrite.)
+    * The bit table broadcasts while m keeps it broadcast-sized (≤ m rows of
+    * one int after the slim projection); a broadcast HINT overrides Spark's
+    * own size thresholds, so above [[bloomBroadcastMaxM]] the hint is
+    * withheld and the join falls back to the planner's choice (an equi-join
+    * shuffle on pos over the sparse set — same plan shape, no rewrite).
+    * Probe keys fan out ×k map-side and re-aggregate with map-side combine,
+    * so the only shuffle is ≤ |probe| slim rows. NULL probe keys are
+    * dropped (see [[bloomBits]]).
+    *
+    * Reading (k, m) forces one tiny action on `bits`' lineage at call time
+    * (the probe join is a separate execution) — callers probing an
+    * expensively-derived bit table should `.cache()` it first.
     */
+  /** Above this m a bloom bit table is no longer force-broadcast (2²⁷
+    * positions ≈ 0.5 GiB of ints before dedup — past executor-broadcast
+    * comfort; the guarantee "≤ m rows" stops being a useful bound). */
+  val bloomBroadcastMaxM: Int = 1 << 27
+
   def bloomMightContain(probe: DataFrame, bits: DataFrame, probeKey: String): DataFrame = {
     val params = bits.select("k", "m").distinct().collect()
     require(params.length == 1,
       s"bit table carries ${params.length} distinct (k, m) pairs — refusing to probe a mixed merge")
     val (k, m) = (params(0).getInt(0), params(0).getInt(1))
-    val setBits = bits.select(col("pos"), lit(1).as("__hit"))
-    probe.select(col(probeKey).cast("string").as("probe_key")).distinct()
+    val slim = bits.select(col("pos"), lit(1).as("__hit"))
+    val setBits = if (m <= bloomBroadcastMaxM) broadcast(slim) else slim
+    probe.select(col(probeKey).cast("string").as("probe_key"))
+      .filter(col("probe_key").isNotNull).distinct()
       .select(col("probe_key"), explode(sequence(lit(0), lit(k - 1))).as("i"))
       .select(col("probe_key"),
         NativeHash.md5Mod(concat(lit("b"), col("i").cast("string"), lit(":"), col("probe_key")), m)
           .cast("int").as("pos"))
-      .join(broadcast(setBits), Seq("pos"), "left")
+      .join(setBits, Seq("pos"), "left")
       .groupBy("probe_key")
       .agg((sum(coalesce(col("__hit"), lit(0))) === k).as("member"))
   }

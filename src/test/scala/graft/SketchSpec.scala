@@ -113,6 +113,66 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // ---- bloom filter ------------------------------------------------------
+
+  test("bloom: no false negatives — every inserted key probes member=true") {
+    val inserted = ids(0, 2000)
+    val bits = Sketch.bloomBits(inserted, "v", k = 4, m = 16384).cache()
+    val verdicts = Sketch.bloomMightContain(inserted, bits, "v")
+    assert(verdicts.count() == 2000L)
+    assert(verdicts.filter(!col("member")).count() == 0L)
+    bits.unpersist()
+  }
+
+  test("bloom: measured false-positive ratio tracks fill^k") {
+    val n = 2000; val k = 4; val m = 16384
+    val bits = Sketch.bloomBits(ids(0, n), "v", k = k, m = m).cache()
+    val setCount = bits.count().toDouble
+    val fill = setCount / m // actual fill after hash collisions
+    val probes = (100000 until 110000).map(i => s"val-$i").toDF("v") // disjoint from inserted
+    val fp = Sketch.bloomMightContain(probes, bits, "v")
+      .filter(col("member")).count().toDouble / 10000.0
+    val expected = math.pow(fill, k)
+    // 10k probes at fp≈0.15: ±5 sigma ≈ ±0.018 — generous but real bound
+    assert(math.abs(fp - expected) < 0.02, s"fp=$fp expected≈$expected (fill=$fill)")
+    bits.unpersist()
+  }
+
+  test("bloom: merge is associative and idempotent, shard-union == whole") {
+    val (a, b, c) = (ids(0, 500), ids(500, 1000), ids(800, 1500))
+    def bs(df: org.apache.spark.sql.DataFrame) = Sketch.bloomBits(df, "v", k = 3, m = 8192)
+    val whole = bs(ids(0, 1500))
+    val leftAssoc = Sketch.bloomMerge(Sketch.bloomMerge(bs(a), bs(b)), bs(c))
+    val rightAssoc = Sketch.bloomMerge(bs(a), Sketch.bloomMerge(bs(b), bs(c)))
+    val selfMerge = Sketch.bloomMerge(whole, whole)
+    for (m <- Seq(leftAssoc, rightAssoc, selfMerge))
+      assert(whole.exceptAll(m).isEmpty && m.exceptAll(whole).isEmpty)
+  }
+
+  test("bloom: probing a mixed-(k,m) merged table is refused") {
+    val mixed = Sketch.bloomMerge(
+      Sketch.bloomBits(ids(0, 100), "v", k = 4, m = 16384),
+      Sketch.bloomBits(ids(0, 100), "v", k = 3, m = 8192))
+    val e = intercept[IllegalArgumentException] {
+      Sketch.bloomMightContain(ids(0, 10), mixed, "v")
+    }
+    assert(e.getMessage.contains("mixed"))
+  }
+
+  test("bloom: NULL keys are dropped on insert and probe — never a false negative") {
+    val withNulls = (Seq[Option[String]](None, Some("x"), Some("y"), None))
+      .toDF("v")
+    val bits = Sketch.bloomBits(withNulls, "v", k = 4, m = 1024).cache()
+    // no NULL pos row pollutes the bit table
+    assert(bits.filter(col("pos").isNull).count() == 0L)
+    // inserted non-null keys still probe true; NULL probe rows are dropped,
+    // not reported as (arbitrary) members/non-members
+    val verdicts = Sketch.bloomMightContain(withNulls, bits, "v")
+    assert(verdicts.count() == 2L)
+    assert(verdicts.filter(!col("member")).count() == 0L)
+    bits.unpersist()
+  }
+
   test("bigram fluency matches hand-computed corpus-conditional probabilities") {
     // corpus: "a b", "a b", "a c" → c1(a)=3, c2(a,b)=2, c2(a,c)=1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
