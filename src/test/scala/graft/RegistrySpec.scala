@@ -15,6 +15,22 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.values.forall(_.trim.nonEmpty))
   }
 
+  test("every registered query ANALYZES against the testdata as it exists") {
+    // The cheap environment-drift alarm: building the DataFrame and touching
+    // .schema forces full analysis (column resolution, type checking) against
+    // the CURRENT parquet schemas without executing anything. When the driver
+    // regenerates /root/testdata with different physical types (r6: events.ts
+    // TIMESTAMP(NANOS)->MICROS broke four queries at analysis time), this
+    // names every affected query in milliseconds — the execute-everything test
+    // below then covers runtime failures.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).schema; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail ANALYSIS (schema drift?):\n" + failures.mkString("\n"))
+  }
+
   test("every registered query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sfDir).count(); None }
