@@ -10,6 +10,7 @@ object PartProbe {
   def main(args: Array[String]): Unit = {
     val init = args.headOption.getOrElse("32")
     val sf = if (args.length > 1) args(1) else "/root/repo/testdata-sf1"
+    val runs = if (args.length > 2) args(2).toInt else 3
     val builder = GraftSession.tune(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,7 +23,7 @@ object PartProbe {
       println(s"[partprobe] auto width for $sf: $w")
     }
     spark.sparkContext.setLogLevel("WARN")
-    for (i <- 1 to 3) {
+    for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = graft.queries.LlmQueries.qDedupMinhashBanded(spark, sf).count()
       graft.operators.Caches.release()
