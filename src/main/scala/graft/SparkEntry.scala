@@ -85,7 +85,9 @@ object SparkEntry {
     "q_bpe_count"          -> (LlmQueries.qBpeCount _),
     "q_token_budget_bpe"   -> (LlmQueries.qTokenBudgetBpe _),
     "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _),
-    "q_bpe_encode"         -> (LlmQueries.qBpeEncode _)
+    "q_bpe_encode"         -> (LlmQueries.qBpeEncode _),
+    "q_bloom_prefilter"    -> (SketchQueries.qBloomPrefilter _),
+    "q_events_hop"         -> (AnalyticsQueries.qEventsHop _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -180,6 +182,8 @@ object SparkEntry {
     "q_bpe_count"          -> LlmQueries.qBpeCountSql,
     "q_token_budget_bpe"   -> LlmQueries.qTokenBudgetBpeSql,
     "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql,
-    "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql
+    "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql,
+    "q_bloom_prefilter"    -> SketchQueries.qBloomPrefilterSql,
+    "q_events_hop"         -> AnalyticsQueries.qEventsHopSql
   )
 }

@@ -373,6 +373,39 @@ object AnalyticsQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- events: hopping-window aggregation --------------------------------
+  /** Hopping (sliding) 1h windows every 30 min — the batch twin of
+    * Structured Streaming's `window(ts, "1 hour", "30 minutes")`. Each
+    * event lands in len/hop = 2 windows; the membership explode is a pure
+    * per-row `sequence` (no shuffle added beyond the one aggregation), and
+    * the window start is integer epoch math so both engines bucket
+    * identically. At scale the fan-out is bounded by len/hop — the
+    * aggregation state, not the explode, is the cost, exactly as in the
+    * streaming twin.
+    */
+  def qEventsHop(s: SparkSession, dir: String): DataFrame = {
+    val hopMs = 1800000L // 30 min
+    val nWins = 2        // 1h window / 30min hop
+    val raw = table(s, dir, "events")
+    raw
+      .select(GraftSession.eventTsMs(raw).as("ts_ms"),
+        col("event_type"), col("value").cast("decimal(12,2)").as("v"))
+      .select(explode(expr(s"sequence(0, ${nWins - 1})")).as("k"),
+        col("ts_ms"), col("event_type"), col("v"))
+      .select(expr(s"(ts_ms DIV $hopMs - k) * $hopMs").as("window_start_ms"),
+        col("event_type"), col("v"))
+      .groupBy("window_start_ms", "event_type")
+      .agg(count(lit(1)).as("n"), sum("v").cast("double").as("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  val qEventsHopSql: String =
+    """SELECT (epoch_ms(ts) // 1800000 - k) * 1800000 AS window_start_ms, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events, LATERAL unnest(generate_series(0, 1)) AS g(k)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- events: JSON property extraction ---------------------------------
   /** Schemaless JSON props → typed column, fully codegen'd (no UDF). */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =

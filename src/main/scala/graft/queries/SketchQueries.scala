@@ -72,6 +72,44 @@ object SketchQueries {
        |ORDER BY est DESC, token
        |LIMIT 20""".stripMargin
 
+  // ---- Bloom prefilter ----------------------------------------------------
+  /** The streaming-gate Bloom prefilter under the hash gate: insert the
+    * content fingerprints of the already-ingested corpus slice (doc_id ≡ 0
+    * mod 5), probe EVERY document's fingerprint. Inserted keys are all
+    * member=true (no false negatives — spec-pinned); the rest are mostly
+    * false with a deterministic false-positive set, because positions come
+    * from the cross-engine md5 family — so the oracle replays the ENTIRE
+    * bit table and every verdict, exactly like the HLL/CMS state.
+    *
+    * Fingerprints (md5 hex) rather than raw texts probe the filter: that is
+    * what a production gate hashes (32-byte keys, not document bodies), and
+    * both engines compute identical hex.
+    */
+  def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val inserted = docs.filter(col("doc_id") % 5 === 0).select(md5(col("text")).as("fp"))
+    val bits = Sketch.bloomBits(inserted, "fp", k = 4, m = 16384)
+    Sketch.bloomMightContain(docs.select(md5(col("text")).as("fp")), bits, "fp")
+      .orderBy("probe_key")
+  }
+
+  val qBloomPrefilterSql: String =
+    """WITH ins AS (
+      |  SELECT DISTINCT md5(text) AS kk FROM documents WHERE doc_id % 5 = 0),
+      |bits AS (
+      |  SELECT DISTINCT CAST(md5_number_lower('b' || CAST(i AS VARCHAR) || ':' || kk) % 16384 AS INT) AS pos
+      |  FROM ins, LATERAL unnest(generate_series(0, 3)) AS g(i)),
+      |probes AS (SELECT DISTINCT md5(text) AS probe_key FROM documents),
+      |pp AS (
+      |  SELECT probe_key,
+      |         CAST(md5_number_lower('b' || CAST(i AS VARCHAR) || ':' || probe_key) % 16384 AS INT) AS pos
+      |  FROM probes, LATERAL unnest(generate_series(0, 3)) AS g(i))
+      |SELECT probe_key,
+      |  CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 4 AS BOOLEAN) AS member
+      |FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+      |GROUP BY probe_key
+      |ORDER BY probe_key""".stripMargin
+
   // ---- corpus-relative bigram fluency ------------------------------------
   /** Per-document bigram fluency (integer-exact millionth-quantized mean of
     * corpus-conditional bigram probabilities). Docs with < 2 tokens have no
