@@ -87,7 +87,8 @@ object SparkEntry {
     "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _),
     "q_bpe_encode"         -> (LlmQueries.qBpeEncode _),
     "q_bloom_prefilter"    -> (SketchQueries.qBloomPrefilter _),
-    "q_events_hop"         -> (AnalyticsQueries.qEventsHop _)
+    "q_events_hop"         -> (AnalyticsQueries.qEventsHop _),
+    "q_embed_pool"         -> (LlmQueries.qEmbedPool _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -184,6 +185,7 @@ object SparkEntry {
     "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql,
     "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql,
     "q_bloom_prefilter"    -> SketchQueries.qBloomPrefilterSql,
-    "q_events_hop"         -> AnalyticsQueries.qEventsHopSql
+    "q_events_hop"         -> AnalyticsQueries.qEventsHopSql,
+    "q_embed_pool"         -> LlmQueries.qEmbedPoolSql
   )
 }

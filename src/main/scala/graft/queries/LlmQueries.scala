@@ -1292,6 +1292,35 @@ object LlmQueries {
       |WHERE CAST(s.qsum AS DOUBLE) / CAST(s.src_docs AS DOUBLE) >= CAST(g.tq AS DOUBLE) / CAST(g.td AS DOUBLE)
       |ORDER BY q.doc_id""".stripMargin
 
+  // ---- embedding mean-pool ------------------------------------------------
+  /** Chunk→document mean pooling over the embeddings table (groups of 10
+    * consecutive vec_ids stand in for a document's chunk set). Micro-unit
+    * integer cell sums make the mean partitioning-invariant and let the
+    * oracle replay every element exactly — see [[graft.operators.Embed]].
+    *
+    * The REGISTERED projection posexplodes the pooled array: every element
+    * AND its assembled position sit under the hash gate as scalars (arrow
+    * list schemas differ cross-engine in child naming/nullability, which
+    * the driver's schema compare would flag even for equal values — the
+    * exploded form gates strictly more: content plus assembly order).
+    */
+  def qEmbedPool(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Embed.meanPool(
+        table(s, dir, "embeddings").withColumn("grp", expr("vec_id DIV 10")),
+        "grp", "embedding")
+      .select(col("grp"), posexplode(col("mean_embedding")).as(Seq("pos", "m")))
+      .orderBy("grp", "pos")
+
+  val qEmbedPoolSql: String =
+    """WITH e AS (
+      |  SELECT vec_id // 10 AS grp, CAST(g.i - 1 AS INT) AS pos,
+      |         CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+      |  FROM embeddings, LATERAL unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS g(i))
+      |SELECT grp, pos,
+      |  CAST(SUM(micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m
+      |FROM e GROUP BY grp, pos
+      |ORDER BY grp, pos""".stripMargin
+
   // ---- trained-merges BPE tokenization ------------------------------------
 
   /** Absolute path of the pinned BPE merge-table fixture for `dir`.
