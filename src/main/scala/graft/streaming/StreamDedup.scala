@@ -154,3 +154,71 @@ object NearDupGate {
       d.listFiles().exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
   }
 }
+
+/** Streaming EXACT-dedup admission gate with a Bloom prefilter — the
+  * production use the Bloom sketch exists for. The exact admitted-set join
+  * is the expensive step of a fingerprint gate (at 100 TB the admitted set
+  * is corpus-sized and must shuffle or be state-store-probed per batch);
+  * the Bloom bit table is ≤ m BITS broadcast to every executor. A batch
+  * fingerprint whose k positions are not all set is a DEFINITE non-member
+  * (no false negatives — SketchSpec) and admits without touching the exact
+  * set; only possible-members (true duplicates + the measured ≈fill^k
+  * false-positive sliver) pay the exact anti-join that resolves them.
+  *
+  * Result contract: admissions are EXACTLY `StreamDedup.firstSeen`'s (=
+  * batch `dropDuplicatesExact` under arrival-order ids) — the prefilter
+  * changes cost, never the verdict (spec-pinned, including the
+  * only-possible-members-join accounting).
+  */
+final class BloomGate(spark: org.apache.spark.sql.SparkSession,
+                      idCol: String, textCol: String,
+                      k: Int = 4, m: Int = 1 << 20) {
+  import graft.operators.Sketch
+
+  private val fpSchema = "__fp string"
+  @volatile private var fps: DataFrame = // exact admitted fingerprints
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(fpSchema))
+  @volatile private var bits: DataFrame =
+    Sketch.bloomBits(fps, "__fp", k, m).localCheckpoint(true)
+  /** Rows the exact anti-join processed across all batches (the cost the
+    * prefilter saves — observable so specs/ops can assert the win). */
+  @volatile var exactJoinRows: Long = 0L
+
+  /** Admit one micro-batch: emit first-seen rows (min `idCol` within the
+    * batch per fingerprint), grow the bit table + exact set. */
+  def admit(batch: DataFrame): DataFrame = synchronized {
+    val keyed = batch
+      .withColumn("__fp", TextFunctions.contentFingerprint(col(textCol)))
+    // within-batch first-seen, same election as the state gate: min id wins
+    val firstInBatch = keyed
+      .groupBy("__fp")
+      .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__fp"), col("__r.*"))
+      .localCheckpoint(true) // two consumers below; compute the election once
+    // an empty bit table (first batch, nothing admitted) carries no (k, m)
+    // row for the probe to read — and trivially has no set bits: all false
+    val verdicts =
+      if (bits.isEmpty)
+        firstInBatch.select(col("__fp").as("probe_key"), lit(false).as("member"))
+      else Sketch.bloomMightContain(firstInBatch.select("__fp"), bits, "__fp")
+    val possible = firstInBatch.join(
+      verdicts.filter(col("member")).select(col("probe_key").as("__fp")), Seq("__fp"))
+    val definite = firstInBatch.join(
+      verdicts.filter(!col("member")).select(col("probe_key").as("__fp")), Seq("__fp"))
+    exactJoinRows += possible.count()
+    // only possible-members reach the exact set; broadcast them — the batch
+    // side is the small side, the admitted set streams map-side
+    val confirmedNew = broadcast(possible).join(fps, Seq("__fp"), "left_anti")
+    val admitted = definite.unionByName(confirmedNew).localCheckpoint(true)
+    val newFps = admitted.select("__fp")
+    bits = Sketch.bloomMerge(bits, Sketch.bloomBits(newFps, "__fp", k, m))
+      .localCheckpoint(true)
+    fps = fps.unionByName(newFps).localCheckpoint(true)
+    admitted.drop("__fp")
+  }
+
+  /** Adapter for `writeStream.foreachBatch`. */
+  def foreachBatch(sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => sink(admit(batch))
+}

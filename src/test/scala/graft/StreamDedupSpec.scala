@@ -163,4 +163,38 @@ class StreamDedupSpec extends SparkSpec {
     assert(gateC.currentIndex.count() == 3L) // corpus + 2 persisted admissions
     graft.operators.Caches.release()
   }
+
+  test("bloom gate: admissions equal firstSeen/batch dedup; only possible-members pay the exact join") {
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 300).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val batches = docs.grouped(80).toSeq
+
+    val gate = new graft.streaming.BloomGate(spark, "doc_id", "text", k = 4, m = 1 << 16)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(gate.foreachBatch { s =>
+        got ++= s.select("doc_id").collect().map(_.getLong(0))
+      })
+      .start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val batch = Dedup.dropDuplicatesExact(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got.sorted.toSeq == batch && got.nonEmpty)
+
+    // prefilter accounting: the exact anti-join saw only possible-members —
+    // at most the true cross-batch duplicates plus the tiny fp sliver, and
+    // strictly fewer rows than the naive always-join (= every distinct
+    // fingerprint of batches 2..n; batch 1 probes an empty filter)
+    val naive = batches.drop(1).map(b =>
+      b.map(_._2).map(t => t.trim.toLowerCase).distinct.size.toLong).sum
+    assert(gate.exactJoinRows < naive,
+      s"exact join rows ${gate.exactJoinRows} not below naive $naive")
+  }
 }
