@@ -88,7 +88,8 @@ object SparkEntry {
     "q_bpe_encode"         -> (LlmQueries.qBpeEncode _),
     "q_bloom_prefilter"    -> (SketchQueries.qBloomPrefilter _),
     "q_events_hop"         -> (AnalyticsQueries.qEventsHop _),
-    "q_embed_pool"         -> (LlmQueries.qEmbedPool _)
+    "q_embed_pool"         -> (LlmQueries.qEmbedPool _),
+    "q_containment"        -> (LlmQueries.qContainment _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -186,6 +187,7 @@ object SparkEntry {
     "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql,
     "q_bloom_prefilter"    -> SketchQueries.qBloomPrefilterSql,
     "q_events_hop"         -> AnalyticsQueries.qEventsHopSql,
-    "q_embed_pool"         -> LlmQueries.qEmbedPoolSql
+    "q_embed_pool"         -> LlmQueries.qEmbedPoolSql,
+    "q_containment"        -> LlmQueries.qContainmentSql
   )
 }

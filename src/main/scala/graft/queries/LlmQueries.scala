@@ -1292,6 +1292,51 @@ object LlmQueries {
       |WHERE CAST(s.qsum AS DOUBLE) / CAST(s.src_docs AS DOUBLE) >= CAST(g.tq AS DOUBLE) / CAST(g.td AS DOUBLE)
       |ORDER BY q.doc_id""".stripMargin
 
+  // ---- directional containment (near-subset pairs) ------------------------
+  /** Ordered near-subset pairs at containment ≥ 0.8 over distinct 5-gram
+    * shingles — the truncation/excerpt detector symmetric jaccard can't
+    * express (|A| ≪ |B| caps jaccard regardless of how completely A ⊂ B).
+    * dfCap = 2²⁰ provably exceeds every df at test scale, so the registered
+    * result is the EXACT pair set; the cap's recall trade is spec-pinned
+    * separately ([[graft.operators.Containment]]).
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Containment.containmentPairs(table(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.8, shingleN = 5, dfCap = 1L << 20)
+      .select(col("src"), col("dst"), col("n_src").cast("long").as("n_src"),
+        col("n_dst").cast("long").as("n_dst"), col("isect").cast("long").as("isect"),
+        col("containment"))
+      .orderBy("src", "dst")
+
+  val qContainmentSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 5
+      |    THEN list_distinct(list_transform(range(0, len(t) - 4), i -> array_to_string(t[i+1:i+5], ' ')))
+      |    ELSE [array_to_string(t, ' ')] END AS gs
+      |  FROM t),
+      |sz AS (SELECT doc_id, len(gs) AS sz FROM sh),
+      |e AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS isect
+      |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT p.a, p.b, sa.sz AS sza, sb.sz AS szb, p.isect
+      |  FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b),
+      |d AS (
+      |  SELECT a AS src, b AS dst, sza AS n_src, szb AS n_dst, isect FROM j
+      |  WHERE CAST(isect AS DOUBLE) >= CAST(sza AS DOUBLE) * 0.8
+      |  UNION ALL
+      |  SELECT b, a, szb, sza, isect FROM j
+      |  WHERE CAST(isect AS DOUBLE) >= CAST(szb AS DOUBLE) * 0.8)
+      |SELECT src, dst, CAST(n_src AS BIGINT) AS n_src, CAST(n_dst AS BIGINT) AS n_dst,
+      |  CAST(isect AS BIGINT) AS isect,
+      |  CAST(isect AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+      |FROM d
+      |ORDER BY src, dst""".stripMargin
+
   // ---- embedding mean-pool ------------------------------------------------
   /** Chunk→document mean pooling over the embeddings table (groups of 10
     * consecutive vec_ids stand in for a document's chunk set). Micro-unit
