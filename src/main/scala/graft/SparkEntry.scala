@@ -89,7 +89,8 @@ object SparkEntry {
     "q_bloom_prefilter"    -> (SketchQueries.qBloomPrefilter _),
     "q_events_hop"         -> (AnalyticsQueries.qEventsHop _),
     "q_embed_pool"         -> (LlmQueries.qEmbedPool _),
-    "q_containment"        -> (LlmQueries.qContainment _)
+    "q_containment"        -> (LlmQueries.qContainment _),
+    "q_temperature_mix"    -> (LlmQueries.qTemperatureMix _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -188,6 +189,7 @@ object SparkEntry {
     "q_bloom_prefilter"    -> SketchQueries.qBloomPrefilterSql,
     "q_events_hop"         -> AnalyticsQueries.qEventsHopSql,
     "q_embed_pool"         -> LlmQueries.qEmbedPoolSql,
-    "q_containment"        -> LlmQueries.qContainmentSql
+    "q_containment"        -> LlmQueries.qContainmentSql,
+    "q_temperature_mix"    -> LlmQueries.qTemperatureMixSql
   )
 }

@@ -73,6 +73,45 @@ object Mix {
         explode(sequence(lit(0L), col("__n") - 1)).as("epoch"))
   }
 
+  /** Temperature-weighted budgets: budget_s = totalBudget · √total_s / Σ√total —
+    * the α = 0.5 point of the mT5/LLaMA-style temperature-sampling rule
+    * (budget ∝ total^α), which up-weights small strata without letting any
+    * stratum dominate. α is PINNED at 0.5 because sqrt is IEEE
+    * exactly-rounded on every engine — an arbitrary pow() differs in last
+    * ulps across libm implementations and would un-gate the draw. Weights
+    * quantize to micro-units and the allocation is pure integer arithmetic
+    * (BigInt — totalBudget · w overflows a long at 100 TB scale), so the
+    * budget map is bit-identical on any engine; floor-division remainders
+    * stay unallocated (≤ |strata| tokens).
+    */
+  def temperatureBudgets(totals: Seq[(String, Long)], totalBudget: Long): Map[String, Long] = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    val weights = totals.map { case (s, t) =>
+      (s, BigInt(math.floor(math.sqrt(t.toDouble) * 1e6).toLong))
+    }
+    val sumW = weights.map(_._2).sum
+    if (sumW == 0) totals.map { case (s, _) => (s, 0L) }.toMap
+    else weights.map { case (s, w) => (s, ((BigInt(totalBudget) * w) / sumW).toLong) }.toMap
+  }
+
+  /** [[tokenBudget]] with the per-stratum budgets DERIVED by
+    * [[temperatureBudgets]] from the strata's own token totals — one extra
+    * map-side-combined aggregation to |strata| rows, collected driver-side
+    * (control-plane sized, the IVF-sample class of driver touch). Same
+    * deterministic hash-priority draw downstream.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+                     totalBudget: Long, prioBuckets: Int = 64,
+                     tokenCount: Option[Column] = None): DataFrame = {
+    val totals = docs
+      .select(col(stratumCol).cast("string").as("__s"),
+        tokenCount.getOrElse(TextFunctions.tokenCountWs(col(textCol))).cast("long").as("__n"))
+      .groupBy("__s").agg(sum("__n").as("__tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    tokenBudget(docs, idCol, textCol, stratumCol,
+      temperatureBudgets(totals, totalBudget), defaultBudget = 0L, prioBuckets, tokenCount)
+  }
+
   /** Token-budget SHARD assignment — the corpus-output layout step: order
     * the corpus by the deterministic (bucket, priority, id) total order and
     * cut it into shards of `shardTokens` tokens by START offset (a document

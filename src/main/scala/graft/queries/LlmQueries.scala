@@ -670,6 +670,39 @@ object LlmQueries {
       |                         WHEN source = 'src1' THEN 900 ELSE 700 END
       |ORDER BY doc_id""".stripMargin
 
+  // ---- temperature mixing (budgets from the corpus itself) ----------------
+  /** Budgets derived by temperature sampling at α = 0.5: budget_s =
+    * 3000 · √total_s / Σ√total — the data-balancing rule multilingual/
+    * multi-domain mixes publish, with sqrt the one power both engines
+    * round identically. The oracle replays weight quantization, the
+    * integer allocation, AND the draw — the whole mix is hash-gated.
+    */
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mix.temperatureMix(table(s, dir, "documents"),
+        "doc_id", "text", "source", totalBudget = 3000L)
+      .orderBy("doc_id")
+
+  val qTemperatureMixSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 AS prio
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM t GROUP BY source),
+      |w AS (SELECT source, CAST(floor(sqrt(CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM tot),
+      |b AS (SELECT source,
+      |        CAST(CAST(3000 AS HUGEINT) * w // (SELECT SUM(w) FROM w) AS BIGINT) AS budget
+      |      FROM w),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio % 64, prio, doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t)
+      |SELECT c.doc_id, c.source, c.n_tokens, CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c JOIN b USING (source)
+      |WHERE c.cum_tokens <= b.budget
+      |ORDER BY c.doc_id""".stripMargin
+
   // ---- epoch mixing (up-sampling) -----------------------------------------
   /** Up-sampling mix: src0's 4000-token budget ≈ 2.8 epochs of its ~1435
     * tokens (2 full repeats + a hash-priority partial), src1's 800 is a

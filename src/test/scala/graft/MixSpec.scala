@@ -151,4 +151,40 @@ class MixSpec extends SparkSpec {
     val alt = run(3, 8)
     assert(alt.nonEmpty)
   }
+
+  test("temperature budgets: sqrt proportionality, exact integer allocation") {
+    // totals 100 vs 400: weights 10e6 vs 20e6 -> budgets 1000 vs 2000 of 3000
+    val b = Mix.temperatureBudgets(Seq("a" -> 100L, "b" -> 400L), 3000L)
+    assert(b == Map("a" -> 1000L, "b" -> 2000L))
+    // α=0.5 compresses the ratio: a 100× bigger stratum gets only 10× budget
+    val c = Mix.temperatureBudgets(Seq("s" -> 10000L, "t" -> 100L), 1100L)
+    assert(c("s") == 1000L && c("t") == 100L)
+    // degenerate cases: empty corpus allocates nothing; remainders unallocated
+    assert(Mix.temperatureBudgets(Seq("x" -> 0L), 500L) == Map("x" -> 0L))
+    val r = Mix.temperatureBudgets(Seq("p" -> 100L, "q" -> 100L, "r" -> 100L), 1000L)
+    assert(r.values.toSeq.distinct == Seq(333L)) // 1 token floor remainder
+  }
+
+  test("temperature mix draws within derived budgets and matches the manual map") {
+    import spark.implicits._
+    val docs = (0 until 200).toSeq.map { i =>
+      val src = if (i % 4 == 0) "big" else "small" // small has 3x the docs
+      (i.toLong, src, Seq.fill(5)(s"w$i").mkString(" "))
+    }.toDF("id", "src", "text")
+    val auto = Mix.temperatureMix(docs, "id", "text", "src", totalBudget = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    // replay the derivation by hand and feed the plain budget draw
+    val totals = docs.groupBy("src")
+      .agg(sum(graft.functions.TextFunctions.tokenCountWs(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val budgets = Mix.temperatureBudgets(totals, 300L)
+    val manual = Mix.tokenBudget(docs, "id", "text", "src", budgets, defaultBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(auto == manual && auto.nonEmpty)
+    // per-stratum sums respect the derived budgets
+    val perSrc = Mix.temperatureMix(docs, "id", "text", "src", totalBudget = 300L)
+      .groupBy("src").agg(sum("n_tokens").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    perSrc.foreach { case (s, tok) => assert(tok <= budgets(s), s"$s over budget") }
+  }
 }
