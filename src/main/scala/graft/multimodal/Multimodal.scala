@@ -109,12 +109,20 @@ object Multimodal {
 
   // ---- deterministic stubs (??? markers for the codec boundary) ----------
 
-  /** STUB — header probe. A real impl parses PNG/WAV/MP4 headers; this
-    * derives deterministic fake dims from the content hash.
+  /** Header probe: REAL container parsing first ([[MediaHeaders]] — PNG /
+    * JPEG / GIF / BMP dimensions, WAV duration, pure byte arithmetic, no
+    * codec); only an UNRECOGNIZED format falls back to the deterministic
+    * hash-derived fake (the synthetic test fixtures in this container are
+    * not real media files). The stub boundary is thus pixels/samples only —
+    * metadata is production code.
     */
   private[multimodal] def probeHeader(bytes: Array[Byte]): (Int, Int, Long) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    (math.abs(h % 1920) + 1, math.abs((h / 7) % 1080) + 1, math.abs(h.toLong % 60000L) + 1000L)
+    val real = MediaHeaders.probe(bytes)
+    if (real != ((0, 0, 0L))) real
+    else { // STUB fallback for non-media synthetic fixtures
+      val h = java.util.Arrays.hashCode(bytes)
+      (math.abs(h % 1920) + 1, math.abs((h / 7) % 1080) + 1, math.abs(h.toLong % 60000L) + 1000L)
+    }
   }
 
   /** STUB — decode+embed. Real impl: decode bytes, run the feature model.
