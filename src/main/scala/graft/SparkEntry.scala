@@ -90,7 +90,8 @@ object SparkEntry {
     "q_events_hop"         -> (AnalyticsQueries.qEventsHop _),
     "q_embed_pool"         -> (LlmQueries.qEmbedPool _),
     "q_containment"        -> (LlmQueries.qContainment _),
-    "q_temperature_mix"    -> (LlmQueries.qTemperatureMix _)
+    "q_temperature_mix"    -> (LlmQueries.qTemperatureMix _),
+    "q_jsonl_roundtrip"    -> (SourceQueries.qJsonlRoundtrip _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_events_hop"         -> AnalyticsQueries.qEventsHopSql,
     "q_embed_pool"         -> LlmQueries.qEmbedPoolSql,
     "q_containment"        -> LlmQueries.qContainmentSql,
-    "q_temperature_mix"    -> LlmQueries.qTemperatureMixSql
+    "q_temperature_mix"    -> LlmQueries.qTemperatureMixSql,
+    "q_jsonl_roundtrip"    -> SourceQueries.qJsonlRoundtripSql
   )
 }

@@ -34,6 +34,29 @@ object SourceQueries {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- JSONL: to_json → from_json round trip ----------------------------
+  /** The training-corpus interchange format under the gate: every document
+    * row serializes to one JSON line (string escaping included) and parses
+    * back through [[graft.sources.JsonlSource]]; the oracle computes the
+    * plain projection, so the serializer+parser pair must be lossless.
+    */
+  def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val lines = table(s, dir, "documents")
+      .select(to_json(struct(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text")
+      )).as("line"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("lang", StringType)
+      .add("source", StringType).add("n_chars", LongType).add("text", StringType)
+    graft.sources.JsonlSource.parseLines(lines, col("line"), schema)
+      .orderBy("doc_id")
+  }
+
+  val qJsonlRoundtripSql: String =
+    """SELECT doc_id, lang, source, n_chars, text
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ---- Morris XML: build docs per order, parse back ---------------------
   def qMorrisXml(s: SparkSession, dir: String): DataFrame = {
     val fragment = concat(

@@ -80,6 +80,36 @@ object MorrisXmlSource {
       .select(keepCols.map(col) ++ Seq(col("__r.gtin"), col("__r.qty"), col("__r.price")): _*)
 }
 
+/** JSONL (one JSON object per line) — the training-corpus interchange
+  * format (WebDataset/HuggingFace-style shards) and the row shape the
+  * reference's produce side already emits
+  * (/root/reference/src/Service/KafkaProducer.php — one JSON document per
+  * message). Parsing is `from_json` per line: fully distributed, codegen'd,
+  * schema-pinned; malformed lines surface as all-null structs the caller
+  * filters (PERMISSIVE semantics, same posture as [[CsvSource.read]]'s
+  * corrupt-record handling).
+  */
+object JsonlSource {
+
+  /** Parse a column of JSONL lines into `schema`'s columns; rows whose line
+    * fails to parse are DROPPED (every parsed field null — indistinguishable
+    * from an all-null record, which JSONL corpora do not carry).
+    */
+  def parseLines(df: DataFrame, lineCol: Column, schema: StructType): DataFrame = {
+    val parsed = df.withColumn("__rec", from_json(lineCol, schema))
+    parsed
+      .filter(schema.fieldNames.map(f => col(s"__rec.`$f`").isNotNull)
+        .reduceOption(_ || _).getOrElse(lit(true)))
+      .select(col("__rec.*"))
+  }
+
+  /** File-level ingest of a directory of .jsonl files (the 100 TB path —
+    * one task per file split; text source lines never hit the driver).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    parseLines(spark.read.text(path), col("value"), schema)
+}
+
 /** REST API page parser
   * (/root/reference/src/Service/InputHandler/RestApiInputHandler.php:24-67):
   * responses shaped `{"data":[...], "meta":{"last_page":N}, "links":{...}}`;

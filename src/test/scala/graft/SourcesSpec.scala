@@ -135,4 +135,28 @@ class SourcesSpec extends SparkSpec {
     assert(SourceRouter.handlerFor(5) == "morris_xml_sftp")
     intercept[IllegalArgumentException](SourceRouter.handlerFor(99))
   }
+
+  test("jsonl: escapes round-trip, malformed lines drop, partial records keep") {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("id", LongType).add("txt", StringType)
+    val lines = Seq(
+      """{"id":1,"txt":"plain"}""",
+      """{"id":2,"txt":"quotes \" and \\ and\nnewline é"}""", // escaped content
+      """{"id":3}""",                   // missing field: partial record KEEPS
+      """not json at all""",            // malformed: drops
+      """{"id":""").toDF("line")        // truncated: drops
+    val got = graft.sources.JsonlSource.parseLines(lines, col("line"), schema)
+      .orderBy("id").collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(got == Seq(
+      (1L, "plain"),
+      (2L, "quotes \" and \\ and\nnewline é"),
+      (3L, null)))
+    // and the full serialize→parse loop is lossless on awkward strings
+    val src = Seq((10L, "a\"b\\c\nd\té")).toDF("id", "txt")
+    val round = graft.sources.JsonlSource.parseLines(
+      src.select(to_json(struct(col("id"), col("txt"))).as("l")), col("l"), schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(round == Seq((10L, "a\"b\\c\nd\té")))
+  }
 }
