@@ -45,6 +45,16 @@ class AggregatorSpec extends SparkSpec {
     ProduceSink.writeJsonl(out, "upc", sink)
     val produced = spark.read.json(sink)
     assert(produced.count() == 2 && produced.columns.contains("upc"))
+
+    // wire compatibility: the produced JSONL parses back through the typed
+    // JSONL SOURCE losslessly — the produce side and the ingest side agree
+    // on the format without schema inference
+    val roundTrip = graft.sources.JsonlSource.read(spark, sink,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "upc string, price double, qty bigint, supplier_id bigint, version bigint"))
+      .orderBy("upc")
+      .select("upc", "price", "qty", "supplier_id", "version").collect()
+    assert(roundTrip.toSeq == rows.toSeq)
   }
 
   test("config consumer: streams config messages, one aggregation each, bad message skipped") {
