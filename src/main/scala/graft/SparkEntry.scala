@@ -91,7 +91,8 @@ object SparkEntry {
     "q_embed_pool"         -> (LlmQueries.qEmbedPool _),
     "q_containment"        -> (LlmQueries.qContainment _),
     "q_temperature_mix"    -> (LlmQueries.qTemperatureMix _),
-    "q_jsonl_roundtrip"    -> (SourceQueries.qJsonlRoundtrip _)
+    "q_jsonl_roundtrip"    -> (SourceQueries.qJsonlRoundtrip _),
+    "q_quality_percentiles" -> (LlmQueries.qQualityPercentiles _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_embed_pool"         -> LlmQueries.qEmbedPoolSql,
     "q_containment"        -> LlmQueries.qContainmentSql,
     "q_temperature_mix"    -> LlmQueries.qTemperatureMixSql,
-    "q_jsonl_roundtrip"    -> SourceQueries.qJsonlRoundtripSql
+    "q_jsonl_roundtrip"    -> SourceQueries.qJsonlRoundtripSql,
+    "q_quality_percentiles" -> LlmQueries.qQualityPercentilesSql
   )
 }

@@ -1305,6 +1305,48 @@ object LlmQueries {
       |FROM cum GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Per-source quality-score percentiles — the CONTINUOUS-value cousin of
+    * the length percentiles: quality micro-quantizes to a bounded integer
+    * domain (≤ 10⁶ + 1 distinct cells), so the same histogram CDF gives
+    * EXACT percentiles with two-running-longs window state where a naive
+    * percentile aggregate buffers every value. The report a curation run
+    * publishes next to the gate verdicts ("p50 quality per source").
+    */
+  def qQualityPercentiles(s: SparkSession, dir: String): DataFrame =
+    Curation.lengthPercentiles(
+        table(s, dir, "documents").select(col("source"),
+          round(TF.qualityScore(col("text")) * lit(1000000.0)).cast("long").as("qm")),
+        "source", "qm")
+      .select(col("source"),
+        (col("p50").cast("double") / 1000000.0).as("p50_quality"),
+        (col("p90").cast("double") / 1000000.0).as("p90_quality"),
+        (col("p99").cast("double") / 1000000.0).as("p99_quality"))
+      .orderBy("source")
+
+  val qQualityPercentilesSql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |    CAST(round(greatest(least(
+      |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+      |      + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+      |              / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+      |      - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+      |    1.0), 0.0) * 1000000.0) AS BIGINT) AS qm
+      |  FROM documents),
+      |hist AS (SELECT source, qm AS v, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM hist)
+      |SELECT source,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS DOUBLE) / 1000000.0 AS p50_quality,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.9) THEN v END) AS DOUBLE) / 1000000.0 AS p90_quality,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.99) THEN v END) AS DOUBLE) / 1000000.0 AS p99_quality
+      |FROM cum GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val qSourceGateSql: String =
     """WITH q AS (
       |  SELECT doc_id, source,
