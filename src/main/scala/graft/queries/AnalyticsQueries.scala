@@ -406,6 +406,62 @@ object AnalyticsQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- events: ordered funnel --------------------------------------------
+  /** Three-stage ordered funnel per user: first view → first click AFTER
+    * that view → first purchase AFTER that click (strict event-time order —
+    * a click preceding every view doesn't advance the funnel). The
+    * product-analytics staple on an event stream.
+    *
+    * Scale shape: three slim aggregations keyed by user_id; each later
+    * stage joins the previous stage's one-row-per-user frame and
+    * re-aggregates — Catalyst reuses the user_id hash partitioning across
+    * the chain, and only (user, ms) pairs move. No windows, no per-user
+    * event buffering.
+    */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    // deterministic 1-in-31 sparsification: the synthetic stream is so dense
+    // every user would reach stage 3, making the partial-stage logic (and
+    // its oracle branch) unreachable; the modulus keeps stages 1/2/3 all
+    // populated while staying engine-identical
+    val ev = raw.select(col("user_id"), col("event_type"),
+      GraftSession.eventTsMs(raw).as("ts_ms"))
+      .filter(raw("event_id") % 31 === 0)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("view_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts_ms") > col("view_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts_ms") > col("click_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("purchase_ms"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ms"), col("click_ms"), col("purchase_ms"),
+        (lit(1) + col("click_ms").isNotNull.cast("int") +
+          col("purchase_ms").isNotNull.cast("int")).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val qEventsFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+      |            FROM events WHERE event_id % 31 = 0),
+      |v AS (SELECT user_id, min(ts_ms) AS view_ms FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, min(ts_ms) AS click_ms
+      |      FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_ms > view_ms GROUP BY 1),
+      |p AS (SELECT ev.user_id, min(ts_ms) AS purchase_ms
+      |      FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_ms > click_ms GROUP BY 1)
+      |SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+      |  CAST(1 + CASE WHEN c.click_ms IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN p.purchase_ms IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   // ---- events: JSON property extraction ---------------------------------
   /** Schemaless JSON props → typed column, fully codegen'd (no UDF). */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
