@@ -81,6 +81,51 @@ object Containment {
         col("isect").cast("double") / col("n_src").cast("double"))
   }
 
+  /** INCREMENTAL containment — the shape a production ingest runs: batch
+    * documents that are ≥ threshold near-subsets of some EXISTING corpus
+    * document are rejected; survivors admit (the [[Decontaminate]]
+    * direction but against a corpus-sized right side, and the
+    * [[graft.operators.Dedup.probeSurvivors]] posture for containment).
+    * Only the batch→corpus direction is tested — an ingest never un-admits
+    * corpus documents.
+    *
+    * Scale: the batch side is small by construction, so every
+    * batch-derived frame BROADCASTS (exploded shingles, candidate pairs,
+    * batch sets) and the corpus inverted index streams map-side — zero
+    * corpus shuffle, exactly like the jaccard probe. dfCap prunes
+    * boilerplate shingles from candidate generation on the CORPUS side
+    * (same recall trade as [[containmentPairs]]); verify is the exact
+    * merge-scan over full sets.
+    */
+  def probeNotContained(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 5,
+                        dfCap: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    def sets(df: DataFrame) = df.select(col(idCol).as("__id"),
+        sort_array(graft.plans.NativeHash.shingleSet(col(textCol), shingleN)).as("__gs"))
+      .select(col("__id"), col("__gs"), size(col("__gs")).as("__sz"))
+    val corpusSets = sets(corpus).persist()
+    Caches.register(corpusSets)
+    val corpusInv = corpusSets.select(col("__id").as("__cid"), explode(col("__gs")).as("__g"))
+    val rareInv = corpusInv.join(
+      corpusInv.groupBy("__g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap).select("__g"),
+      Seq("__g"))
+    val batchSets = sets(batch).persist()
+    Caches.register(batchSets)
+    val batchInv = batchSets.select(col("__id").as("__bid"), explode(col("__gs")).as("__g"))
+    val cands = rareInv.join(broadcast(batchInv), Seq("__g"))
+      .select("__bid", "__cid").distinct()
+    val contained = cands
+      .join(broadcast(batchSets.select(col("__id").as("__bid"), col("__gs").as("__bgs"),
+        col("__sz").as("__bsz"))), Seq("__bid"))
+      .join(corpusSets.select(col("__id").as("__cid"), col("__gs").as("__cgs")), Seq("__cid"))
+      .filter(graft.plans.NativeHash.sortedIntersectSize(col("__bgs"), col("__cgs"))
+        .cast("double") >= col("__bsz").cast("double") * threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(contained, Seq(idCol), "left_anti")
+  }
+
   /** The containment MATERIALIZER: drop every document with a containment
     * witness that BEATS it under a strict total order — larger shingle set
     * first, ties to the smaller id. A truncated copy always loses to its

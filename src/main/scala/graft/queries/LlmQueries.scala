@@ -1412,6 +1412,44 @@ object LlmQueries {
       |FROM d
       |ORDER BY src, dst""".stripMargin
 
+  // ---- incremental containment probe --------------------------------------
+  /** The ingest shape: the doc_id ≡ 0 (mod 4) slice arrives as a batch
+    * against the rest of the corpus; batch docs ≥ 0.8-contained in some
+    * corpus doc are rejected, survivors admit. Batch frames broadcast, the
+    * corpus index streams — zero corpus shuffle ([[graft.operators.Containment]]).
+    */
+  def qContainmentProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.operators.Containment.probeNotContained(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", threshold = 0.8, shingleN = 5, dfCap = 1L << 20)
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
+  val qContainmentProbeSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 5
+      |    THEN list_distinct(list_transform(range(0, len(t) - 4), i -> array_to_string(t[i+1:i+5], ' ')))
+      |    ELSE [array_to_string(t, ' ')] END AS gs
+      |  FROM t),
+      |b AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 4 = 0),
+      |c AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 4 <> 0),
+      |bsz AS (SELECT doc_id, len(gs) AS sz FROM sh WHERE doc_id % 4 = 0),
+      |isect AS (
+      |  SELECT b.doc_id AS bid, c.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM b JOIN c USING (g) GROUP BY 1, 2),
+      |contained AS (
+      |  SELECT DISTINCT i.bid AS doc_id
+      |  FROM isect i JOIN bsz ON bsz.doc_id = i.bid
+      |  WHERE CAST(i.n AS DOUBLE) >= CAST(bsz.sz AS DOUBLE) * 0.8)
+      |SELECT d.doc_id, d.source, d.lang
+      |FROM documents d
+      |WHERE d.doc_id % 4 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM contained)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- embedding mean-pool ------------------------------------------------
   /** Chunk→document mean pooling over the embeddings table (groups of 10
     * consecutive vec_ids stand in for a document's chunk set). Micro-unit

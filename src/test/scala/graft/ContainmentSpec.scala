@@ -65,6 +65,28 @@ class ContainmentSpec extends SparkSpec {
     Caches.release()
   }
 
+  test("incremental probe: batch survivors equal the pairs-derived reference") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 300).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val survivors = Containment.probeNotContained(corpus, batch, "doc_id", "text",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    Caches.release()
+    // reference: the full pair scan over the union, keeping batch docs with
+    // no batch→corpus containment edge
+    val pairs = Containment.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .filter(col("src") % 3 === 0 && col("dst") % 3 =!= 0)
+      .select("src").as[Long].collect().toSet
+    Caches.release()
+    val expected = batch.select("doc_id").as[Long].collect().toSeq
+      .filterNot(pairs).sorted
+    assert(survivors == expected && survivors.nonEmpty)
+    // a batch doc contained only in ANOTHER BATCH doc is not rejected
+    // (ingest never tests batch-vs-batch) — implied by the reference filter
+  }
+
   test("pairs are partition-invariant on the real documents table") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 200).select("doc_id", "text")
