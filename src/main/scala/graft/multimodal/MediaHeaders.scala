@@ -103,10 +103,16 @@ object MediaHeaders {
     var dataBytes = -1L
     while (i + 8 <= b.length && (byteRate == 0L || dataBytes < 0L)) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(b, i + 4)
+      val size = le32(b, i + 4) // unsigned u32 from untrusted bytes
       if (id == "fmt " && i + 8 + 16 <= b.length) byteRate = le32(b, i + 16)
       if (id == "data") dataBytes = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // advance in Long: a corrupt size near 2^32 truncated to Int goes
+      // zero/negative and the walk would loop forever or run off the front
+      val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= i || next > Int.MaxValue)
+        return if (byteRate > 0 && dataBytes >= 0) (0, 0, dataBytes * 1000L / byteRate)
+               else (0, 0, 0L)
+      i = next.toInt
     }
     if (byteRate > 0 && dataBytes >= 0) (0, 0, dataBytes * 1000L / byteRate)
     else (0, 0, 0L)

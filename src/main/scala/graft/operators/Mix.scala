@@ -103,10 +103,15 @@ object Mix {
   def temperatureMix(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
                      totalBudget: Long, prioBuckets: Int = 64,
                      tokenCount: Option[Column] = None): DataFrame = {
+    // NULL strata are excluded from the derivation (they'd NPE the sort and
+    // a budget can't be keyed on null) — their docs fall to defaultBudget=0
+    // below, i.e. never drawn; a stratum whose token counts are all NULL
+    // sums to 0 via the coalesce rather than crashing the driver read
     val totals = docs
       .select(col(stratumCol).cast("string").as("__s"),
         tokenCount.getOrElse(TextFunctions.tokenCountWs(col(textCol))).cast("long").as("__n"))
-      .groupBy("__s").agg(sum("__n").as("__tot"))
+      .filter(col("__s").isNotNull)
+      .groupBy("__s").agg(coalesce(sum("__n"), lit(0L)).as("__tot"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
     tokenBudget(docs, idCol, textCol, stratumCol,
       temperatureBudgets(totals, totalBudget), defaultBudget = 0L, prioBuckets, tokenCount)

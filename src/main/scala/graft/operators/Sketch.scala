@@ -230,6 +230,13 @@ object Sketch {
 
   def bloomMightContain(probe: DataFrame, bits: DataFrame, probeKey: String): DataFrame = {
     val params = bits.select("k", "m").distinct().collect()
+    // an EMPTY bit table is the legitimate nothing-inserted state (bloomBits
+    // of an empty frame yields zero rows): no position is set, so every
+    // probe key is a definite non-member
+    if (params.isEmpty)
+      return probe.select(col(probeKey).cast("string").as("probe_key"))
+        .filter(col("probe_key").isNotNull).distinct()
+        .withColumn("member", lit(false))
     require(params.length == 1,
       s"bit table carries ${params.length} distinct (k, m) pairs — refusing to probe a mixed merge")
     val (k, m) = (params(0).getInt(0), params(0).getInt(1))

@@ -186,10 +186,19 @@ final class BloomGate(spark: org.apache.spark.sql.SparkSession,
   @volatile var exactJoinRows: Long = 0L
 
   /** Admit one micro-batch: emit first-seen rows (min `idCol` within the
-    * batch per fingerprint), grow the bit table + exact set. */
+    * batch per fingerprint), grow the bit table + exact set.
+    *
+    * NULL-text rows (fingerprint null) are one ordinary dedup key — the
+    * same contract as `firstSeen`, whose `groupByKey` keeps the null-fp
+    * group. The Bloom/exact machinery drops NULL keys (and SQL null joins
+    * never match), so the null fingerprint is coalesced to a sentinel that
+    * md5 hex can never produce; it then flows the normal path: first
+    * sighting admits, every later one rejects.
+    */
   def admit(batch: DataFrame): DataFrame = synchronized {
     val keyed = batch
-      .withColumn("__fp", TextFunctions.contentFingerprint(col(textCol)))
+      .withColumn("__fp",
+        coalesce(TextFunctions.contentFingerprint(col(textCol)), lit(BloomGate.NullFp)))
     // within-batch first-seen, same election as the state gate: min id wins
     val firstInBatch = keyed
       .groupBy("__fp")
@@ -207,9 +216,15 @@ final class BloomGate(spark: org.apache.spark.sql.SparkSession,
     val definite = firstInBatch.join(
       verdicts.filter(!col("member")).select(col("probe_key").as("__fp")), Seq("__fp"))
     exactJoinRows += possible.count()
-    // only possible-members reach the exact set; broadcast them — the batch
-    // side is the small side, the admitted set streams map-side
-    val confirmedNew = broadcast(possible).join(fps, Seq("__fp"), "left_anti")
+    // only possible-members reach the exact set. BroadcastHashJoin can only
+    // build the RIGHT side of a left-anti join, so "broadcast the small
+    // batch side" is expressed in two steps that each build-right: the
+    // corpus-sized `fps` streams map-side against the broadcast batch keys
+    // (left-semi → the ≤|possible| duplicate keys), and that small result
+    // broadcasts as the anti-join's build side. `fps` never shuffles.
+    val possibleKeys = possible.select("__fp")
+    val dupKeys = fps.join(broadcast(possibleKeys), Seq("__fp"), "left_semi")
+    val confirmedNew = possible.join(broadcast(dupKeys), Seq("__fp"), "left_anti")
     val admitted = definite.unionByName(confirmedNew).localCheckpoint(true)
     val newFps = admitted.select("__fp")
     bits = Sketch.bloomMerge(bits, Sketch.bloomBits(newFps, "__fp", k, m))
@@ -221,4 +236,11 @@ final class BloomGate(spark: org.apache.spark.sql.SparkSession,
   /** Adapter for `writeStream.foreachBatch`. */
   def foreachBatch(sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch, _) => sink(admit(batch))
+}
+
+object BloomGate {
+  /** Sentinel standing in for a NULL fingerprint — `contentFingerprint`
+    * emits 32 lowercase hex chars, so this value collides with no real key.
+    */
+  val NullFp: String = "__null_fp__"
 }

@@ -64,6 +64,29 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(ms == 352784L * 1000 / 176400) // 1999 ms (floor division)
   }
 
+  test("WAV: corrupt huge/zero chunk sizes terminate the walk instead of hanging") {
+    // size 0xFFFFFFF8 truncated to Int is -8 => pre-fix advance of 0 (an
+    // infinite loop pinning an executor task); the Long-advance guard must
+    // return the documented fallback instead
+    val huge = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ bytes(0xf8, 0xff, 0xff, 0xff) ++ bytes(0, 0, 0, 0)
+    assert(MediaHeaders.probe(huge) == ((0, 0, 0L)))
+    // a size that makes the advance negative (walk backwards) must also bail
+    val neg = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ bytes(0x00, 0x00, 0x00, 0x80) ++ bytes(0, 0, 0, 0)
+    assert(MediaHeaders.probe(neg) == ((0, 0, 0L)))
+    // fmt already parsed + corrupt later chunk: keeps what it learned only
+    // when data was also seen — here data never arrives, so (0,0,0)
+    val fmt = "fmt ".getBytes ++ bytes(16, 0, 0, 0) ++
+      bytes(1, 0) ++ bytes(2, 0) ++
+      bytes(0x44, 0xac, 0x00, 0x00) ++
+      bytes(0x10, 0xb1, 0x02, 0x00) ++
+      bytes(4, 0) ++ bytes(16, 0)
+    val fmtThenHuge = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      fmt ++ "JUNK".getBytes ++ bytes(0xff, 0xff, 0xff, 0xff)
+    assert(MediaHeaders.probe(fmtThenHuge) == ((0, 0, 0L)))
+  }
+
   test("unknown formats and truncated headers return (0, 0, 0)") {
     assert(MediaHeaders.probe("not a media file".getBytes) == ((0, 0, 0L)))
     assert(MediaHeaders.probe(bytes(0x89, 'P')) == ((0, 0, 0L)))          // truncated PNG

@@ -187,4 +187,23 @@ class MixSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     perSrc.foreach { case (s, tok) => assert(tok <= budgets(s), s"$s over budget") }
   }
+
+  test("temperature mix tolerates NULL strata and all-NULL token counts") {
+    import spark.implicits._
+    // null stratum rows must not NPE the driver derivation; they fall to
+    // defaultBudget=0 (never drawn). A stratum whose counts are all NULL
+    // (null text) sums to 0 instead of crashing the row read.
+    val docs = Seq[(Long, String, String)](
+      (1L, "a", "one two three"),
+      (2L, "a", "four five"),
+      (3L, null, "orphan stratum"),
+      (4L, "b", null)
+    ).toDF("id", "src", "text")
+    val out = Mix.temperatureMix(docs, "id", "text", "src", totalBudget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // a-docs drawn; null-stratum doc 3 skipped (budget 0, 2 tokens > 0);
+    // doc 4 (0 tokens) fits b's 0 budget — a zero-token doc consumes
+    // nothing, so cum <= budget holds, the documented tokenBudget contract
+    assert(out == Seq(1L, 2L, 4L), s"drawn $out")
+  }
 }

@@ -159,6 +159,17 @@ class SketchSpec extends SparkSpec {
     assert(e.getMessage.contains("mixed"))
   }
 
+  test("bloom: probing an EMPTY bit table yields all-false verdicts, not a crash") {
+    // legitimate nothing-inserted state: bloomBits of an empty frame has
+    // zero rows and hence no (k, m) row — every probe is a definite
+    // non-member (no set positions exist)
+    val empty = Sketch.bloomBits(ids(0, 0), "v", k = 4, m = 1024)
+    assert(empty.count() == 0L)
+    val verdicts = Sketch.bloomMightContain(ids(0, 5), empty, "v")
+    assert(verdicts.count() == 5L)
+    assert(verdicts.filter(col("member")).count() == 0L)
+  }
+
   test("bloom: NULL keys are dropped on insert and probe — never a false negative") {
     val withNulls = (Seq[Option[String]](None, Some("x"), Some("y"), None))
       .toDF("v")

@@ -197,4 +197,44 @@ class StreamDedupSpec extends SparkSpec {
     assert(gate.exactJoinRows < naive,
       s"exact join rows ${gate.exactJoinRows} not below naive $naive")
   }
+
+  test("bloom gate: null-text rows are one ordinary dedup key, consistent across batches") {
+    val gate = new graft.streaming.BloomGate(spark, "doc_id", "text", k = 4, m = 1 << 12)
+    def batch(rows: (java.lang.Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // first batch: two null-text rows -> min-id one admitted, like any key
+    val a1 = ids(gate.admit(batch((5L, null), (2L, null), (1L, "alpha"))))
+    assert(a1 == Seq(1L, 2L), s"first batch admitted $a1")
+    // second batch: null text must now REJECT (it was admitted in batch 1) —
+    // the pre-fix behavior silently dropped the group in steady state and
+    // admitted it on the first batch; both eras violated the firstSeen
+    // contract one way or the other
+    val a2 = ids(gate.admit(batch((10L, null), (11L, "beta"), (12L, "alpha"))))
+    assert(a2 == Seq(11L), s"second batch admitted $a2")
+    // third batch: still consistent
+    val a3 = ids(gate.admit(batch((20L, null))))
+    assert(a3 == Seq.empty, s"third batch admitted $a3")
+  }
+
+  test("bloom gate exact-set join shape: corpus side streams, small sides broadcast") {
+    // the two-step restructure of the left-anti resolve: BroadcastHashJoin
+    // only supports BuildRight for semi/anti joins, so both steps must put
+    // the SMALL frame on the right — the corpus-sized fps frame is the
+    // streamed (left) side of the semi join and appears under no broadcast
+    import org.apache.spark.sql.functions.broadcast
+    val fps = (0L until 5000L).map(i => s"fp$i").toDF("__fp")
+    val possible = Seq("fp1", "fp2", "nope").toDF("__fp")
+    val dupKeys = fps.join(broadcast(possible), Seq("__fp"), "left_semi")
+    val confirmedNew = possible.join(broadcast(dupKeys), Seq("__fp"), "left_anti")
+    val plan = confirmedNew.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj == 2, s"expected both steps as BroadcastHashJoin BuildRight:\n$plan")
+    assert(plan.contains("LeftSemi, BuildRight") && plan.contains("LeftAnti, BuildRight"), plan)
+    assert(ids(confirmedNew) == Seq("nope"))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.getString(0)).toSeq.sorted
 }
