@@ -224,10 +224,17 @@ object Dedup {
     *                           join runs. 0 forces the banded path — both
     *                           strategies produce the identical candidate
     *                           set, so results never depend on the route.
+    *                           Default 256 is the measured local[32]
+    *                           crossover (MinhashCrossoverProbe, r8: the
+    *                           O(n²) broadcast scan wins only below
+    *                           ~128-256 sets where fixed shuffle overhead
+    *                           dominates; at 16k sets it is already 5.7×
+    *                           slower and the gap grows quadratically —
+    *                           curve in PLANS.md).
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
-                   broadcastThreshold: Long = 1024L): DataFrame = {
+                   broadcastThreshold: Long = 256L): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
 
     // cross-group pairs: rep pairs × member ids via two equi-joins on the
@@ -288,7 +295,7 @@ object Dedup {
 
   def dropDuplicatesNear(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, bands: Int = 20, r: Int = 2, shingleN: Int = 1,
-                         broadcastThreshold: Long = 1024L, maxRounds: Int = 50,
+                         broadcastThreshold: Long = 256L, maxRounds: Int = 50,
                          collectEdgeThreshold: Long = 1L << 22): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
     val gm = g.groups.select(col("set_key"), col("gmin"))
