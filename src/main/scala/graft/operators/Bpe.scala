@@ -52,6 +52,40 @@ object Bpe {
       .toDF("rank", "lhs", "rhs")
   }
 
+  /** BYTE-LEVEL training — the real GPT-2/LLaMA tokenizer family shape:
+    * words remap through the public byte→unicode table
+    * ([[graft.plans.Bpe.byteSymbols]]) and merges are learned over byte
+    * symbols. The resulting merge table pairs are SYMBOL strings; encode
+    * with [[bpeLenBytes]]/[[bpeTokensBytes]] and id-map with
+    * [[vocabBytes]]. Because the 256 byte symbols are the closed base
+    * alphabet, no UNK token exists — unseen text falls back to byte
+    * tokens, so token counts never drift on non-Latin/code text the way
+    * the code-point path's UNK = −1 does.
+    *
+    * Same 100 TB plan as [[train]]: the corpus-sized work is the one
+    * word-count aggregation; the remap is a driver-side pure function of
+    * the bounded top-`vocabCap` table.
+    */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                 vocabCap: Int = 65536): DataFrame = {
+    require(numMerges > 0 && vocabCap > 0, "numMerges and vocabCap must be positive")
+    val spark = docs.sparkSession
+    val freq = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w"))
+      .limit(vocabCap)
+      .collect()
+      // byteSymbols is injective, so distinct words stay distinct rows
+      .map(r => (graft.plans.Bpe.byteSymbols(r.getString(0)), r.getLong(1)))
+    val merges = trainOnWordFreq(freq, numMerges)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "lhs", "rhs")
+  }
+
   /** The classic in-memory trainer over a word-frequency table: repeatedly
     * count adjacent token pairs (weighted by word frequency), merge the
     * most frequent pair everywhere, stop early when no pair repeats.
@@ -142,6 +176,24 @@ object Bpe {
     all.map { case (t, i) => (i, t) }.toDF("token_id", "token")
   }
 
+  /** BYTE-LEVEL vocabulary: ids 0..255 are the 256 byte symbols in BYTE
+    * order (the GPT-2 layout — corpus-independent, every possible input
+    * byte is covered), merged tokens follow in rank order from id 256.
+    * Surface-string dedup keeps the lowest id, same rule as [[vocab]].
+    * With this id space [[bpeTokensBytes]] output ALWAYS resolves — the
+    * zero-UNK property `q_bpe_encode_bytes` pins under the oracle.
+    */
+  def vocabBytes(spark: org.apache.spark.sql.SparkSession,
+                 mergeTable: DataFrame): DataFrame = {
+    val base = (0 until 256).map(b => graft.plans.Bpe.byteSymbolTable(b).toString)
+    val merged = mergesOf(mergeTable).map { case (l, r) => l + r }
+    val all = (base ++ merged).zipWithIndex
+      .groupBy(_._1).map { case (t, ids) => (t, ids.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    import spark.implicits._
+    all.map { case (t, i) => (i, t) }.toDF("token_id", "token")
+  }
+
   /** Merge table → the rank-ordered pair list the apply expression takes.
     * Bounded collect: the table is ≤ numMerges rows by construction.
     */
@@ -160,5 +212,18 @@ object Bpe {
   /** Encoded token array of a single word (inspection/spec surface). */
   def bpeTokens(word: Column, merges: Seq[(String, String)]): Column =
     call_function("graft_bpe_tokens", word,
+      lit(graft.plans.Bpe.serializeMerges(merges)))
+
+  /** Byte-level token count — [[bpeLen]] over [[trainBytes]] merges;
+    * UNK-free on any input, so budgets/packing/shards built on it match
+    * what a real byte-level model tokenizer would count.
+    */
+  def bpeLenBytes(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_len_bytes", text,
+      lit(graft.plans.Bpe.serializeMerges(merges)))
+
+  /** Byte-level encoded token array of a single word. */
+  def bpeTokensBytes(word: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_tokens_bytes", word,
       lit(graft.plans.Bpe.serializeMerges(merges)))
 }

@@ -55,6 +55,34 @@ object Bpe {
     merges.map { case (l, r) => s"$l$FieldSep$r" }.mkString(EntrySep.toString)
   }
 
+  /** The public GPT-2 byte→unicode table (`bytes_to_unicode` in the
+    * released gpt-2 `encoder.py`; same table in every byte-level BPE
+    * tokenizer since): printable bytes 33–126, 161–172, 174–255 map to
+    * themselves as code points; the 68 remaining bytes (0–32, 127–160,
+    * 173) map to 256+rank in byte order — so byte 32 (space) is U+0120
+    * 'Ġ' and byte 10 (newline) is U+010A 'Ċ', the famous GPT-2 marker
+    * characters. A bijection byte ↔ one BMP char: symbol strings are
+    * ordinary strings, [[codePoints]] of a symbol string = the symbols.
+    */
+  val byteSymbolTable: Array[Char] = Array.tabulate(256) { b =>
+    if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)) b.toChar
+    else if (b <= 32) (256 + b).toChar
+    else if (b <= 160) (256 + 33 + (b - 127)).toChar
+    else (256 + 67).toChar // b == 173
+  }
+
+  /** A word's UTF-8 bytes rendered as the byte-symbol string BYTE-LEVEL
+    * BPE trains and encodes over. Injective (the table is a bijection per
+    * byte and UTF-8 is prefix-free), so distinct words stay distinct.
+    */
+  def byteSymbols(w: String): String = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteSymbolTable(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
   def codePoints(w: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
     var i = 0
@@ -100,6 +128,16 @@ object Bpe {
     }
     toks
   }
+
+  /** BYTE-LEVEL encode: the word remaps to its byte-symbol string first,
+    * then the same rank-order merge application runs over the symbols.
+    * Every emitted token is a single byte symbol (always in the 256-entry
+    * base vocabulary) or a learned merge's surface — no UNK can exist,
+    * the property the real GPT-2/LLaMA tokenizer family has and the
+    * code-point path lacks (unseen code points there map to −1).
+    */
+  def encodeWordBytes(word: String, merges: Array[(String, String)]): Array[String] =
+    encodeWord(byteSymbols(word), merges)
 
   private def checkArgs(left: Expression, right: Expression, name: String): TypeCheckResult =
     if (left.dataType != StringType || right.dataType != StringType)
@@ -152,6 +190,71 @@ object Bpe {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeLen =
       copy(left = l, right = r)
     override def prettyName: String = "graft_bpe_len"
+  }
+
+  /** `graft_bpe_len_bytes(text, merges)` — [[BpeLen]] over the BYTE-LEVEL
+    * encode: each word remaps through the public byte→unicode table before
+    * the merges apply, so the count is in real byte-level model tokens
+    * (never UNK-distorted on code/CJK/emoji text).
+    */
+  case class BpeLenBytes(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult = checkArgs(left, right, prettyName)
+
+    @transient private lazy val merges: Array[(String, String)] =
+      Bpe.parseMerges(right.eval().asInstanceOf[UTF8String].toString)
+    @transient private lazy val memo =
+      ThreadLocal.withInitial[java.util.HashMap[String, java.lang.Integer]](
+        () => new java.util.HashMap[String, java.lang.Integer](1 << 12))
+    private val MemoMax = 1 << 16
+
+    override protected def nullSafeEval(text: Any, blob: Any): Any = {
+      val words = NativeHash.tokenize(text.asInstanceOf[UTF8String])
+      val m = memo.get()
+      var total = 0
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        if (w.nonEmpty) {
+          val hit = m.get(w)
+          val n = if (hit != null) hit.intValue()
+          else {
+            val v = Bpe.encodeWordBytes(w, merges).length
+            if (m.size >= MemoMax) m.clear()
+            m.put(w, v)
+            v
+          }
+          total += n
+        }
+        i += 1
+      }
+      total
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeLenBytes =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_bpe_len_bytes"
+  }
+
+  /** `graft_bpe_tokens_bytes(word, merges)` — byte-level twin of
+    * [[BpeTokens]]: the encoded SYMBOL-string token array of one word.
+    */
+  case class BpeTokensBytes(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = checkArgs(left, right, prettyName)
+
+    @transient private lazy val merges: Array[(String, String)] =
+      Bpe.parseMerges(right.eval().asInstanceOf[UTF8String].toString)
+
+    override protected def nullSafeEval(word: Any, blob: Any): Any = {
+      val w = word.asInstanceOf[UTF8String].toString
+      new GenericArrayData(
+        Bpe.encodeWordBytes(w, merges).map(t => UTF8String.fromString(t): Any))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeTokensBytes =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_bpe_tokens_bytes"
   }
 
   /** `graft_bpe_tokens(word, merges)` — the encoded token array of ONE

@@ -832,6 +832,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Bpe.BpeTokens(args(0), args(1))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_len_bytes"),
+      new ExpressionInfo(classOf[Bpe.BpeLenBytes].getName, "graft_bpe_len_bytes"),
+      (args: Seq[Expression]) => Bpe.BpeLenBytes(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_tokens_bytes"),
+      new ExpressionInfo(classOf[Bpe.BpeTokensBytes].getName, "graft_bpe_tokens_bytes"),
+      (args: Seq[Expression]) => Bpe.BpeTokensBytes(args(0), args(1))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (args: Seq[Expression]) =>

@@ -1611,6 +1611,118 @@ object LlmQueries {
        |FROM stream LEFT JOIN v USING (token)
        |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
 
+  def bpeBytesMergesFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/bpe_merges_bytes_m48_${dataTag(dir)}.parquet").getAbsolutePath
+
+  def bpeBytesVocabFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/bpe_vocab_bytes_m48_${dataTag(dir)}.parquet").getAbsolutePath
+
+  private val bytesMergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def pinnedBpeBytesMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val fixture = bpeBytesMergesFixture(dir)
+    lastBpeDir.set(dir)
+    bytesMergesMemo.computeIfAbsent(fixture, { _ =>
+      pinFixtureOnce(() => graft.operators.Bpe.trainBytes(table(s, dir, "documents"), "text",
+        numMerges = 48), fixture, s)
+      graft.operators.Bpe.mergesOf(s.read.parquet(fixture))
+    })
+  }
+
+  private def pinnedBpeBytesVocab(s: SparkSession, dir: String): DataFrame = {
+    val fixture = bpeBytesVocabFixture(dir)
+    pinFixtureOnce(() => {
+      val merges = s.read.parquet(bpeBytesMergesFixture(dir))
+      graft.operators.Bpe.vocabBytes(s, merges)
+    }, fixture, s)
+    s.read.parquet(fixture)
+  }
+
+  /** BYTE-LEVEL token-ID encoding — the real GPT-2/LLaMA tokenizer shape:
+    * words remap through the public byte→unicode table, merges apply over
+    * byte symbols, and the vocabulary's 256-symbol base covers every
+    * possible input byte — so NO row can carry UNK = −1 (the code-point
+    * path's drift on non-Latin/code text). The oracle replays the ENTIRE
+    * chain in SQL: UTF-8 byte expansion of each code point is pure
+    * arithmetic, the byte→symbol table is one CASE, and the merge replay
+    * is the same per-rank `replace` as `q_bpe_encode` — every token id
+    * hash-gated.
+    */
+  def qBpeEncodeBytes(s: SparkSession, dir: String): DataFrame = {
+    val merges = pinnedBpeBytesMerges(s, dir)
+    val vocab = pinnedBpeBytesVocab(s, dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("word_idx"),
+        posexplode(graft.operators.Bpe.bpeTokensBytes(col("w"), merges)).as(Seq("tok_idx", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("word_idx"), col("tok_idx"), col("token"),
+        coalesce(col("token_id"), lit(-1)).cast("int").as("token_id"))
+      .orderBy("doc_id", "word_idx", "tok_idx")
+  }
+
+  def qBpeEncodeBytesSql: String =
+    s"""WITH RECURSIVE
+       |mb AS (SELECT rank, lhs, rhs FROM read_parquet('${bpeBytesMergesFixture(lastBpeDir.get)}/*.parquet')),
+       |vb AS (SELECT token, token_id FROM read_parquet('${bpeBytesVocabFixture(lastBpeDir.get)}/*.parquet')),
+       |wx AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0),
+       |uw AS (SELECT DISTINCT w FROM wx),
+       |wc AS (
+       |  SELECT w, g.i AS ci, unicode(cl[g.i]) AS cp
+       |  FROM (SELECT w, regexp_extract_all(w, '.') AS cl FROM uw),
+       |       LATERAL unnest(generate_series(1, CAST(len(cl) AS BIGINT))) AS g(i)),
+       |wby AS (
+       |  -- UTF-8 encoding as pure arithmetic on the code point
+       |  SELECT w, ci, g2.j AS bi, bl[g2.j] AS bv
+       |  FROM (SELECT w, ci,
+       |          CASE WHEN cp < 128 THEN [cp]
+       |               WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+       |               WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+       |               ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
+       |          END AS bl
+       |        FROM wc),
+       |       LATERAL unnest(generate_series(1, CAST(len(bl) AS BIGINT))) AS g2(j)),
+       |sym AS (
+       |  -- the public GPT-2 byte->unicode table: printables map to
+       |  -- themselves, the 68 excluded bytes to 256+rank in byte order
+       |  SELECT w, ci, bi,
+       |    CASE WHEN (bv BETWEEN 33 AND 126) OR (bv BETWEEN 161 AND 172) OR (bv BETWEEN 174 AND 255)
+       |           THEN chr(CAST(bv AS INT))
+       |         WHEN bv <= 32 THEN chr(CAST(256 + bv AS INT))
+       |         WHEN bv BETWEEN 127 AND 160 THEN chr(CAST(289 + bv - 127 AS INT))
+       |         ELSE chr(323) END AS s1
+       |  FROM wby),
+       |ubw AS (SELECT w, string_agg(s1, '' ORDER BY ci, bi) AS symw FROM sym GROUP BY w),
+       |encb(w, r, s) AS (
+       |  SELECT w, 0, chr(31) || array_to_string(regexp_extract_all(symw, '.'), chr(31)||chr(31)) || chr(31)
+       |  FROM ubw
+       |  UNION ALL
+       |  SELECT e.w, e.r + 1,
+       |    replace(e.s, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31), chr(31)||m.lhs||m.rhs||chr(31))
+       |  FROM encb e JOIN mb m ON m.rank = e.r + 1),
+       |toksb AS (
+       |  SELECT w, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS ts
+       |  FROM encb WHERE r = (SELECT max(rank) FROM mb)),
+       |wpos AS (
+       |  SELECT doc_id, CAST(g.i - 1 AS INT) AS word_idx, wl[g.i] AS wd
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS wl FROM documents),
+       |       LATERAL unnest(generate_series(1, CAST(len(wl) AS BIGINT))) AS g(i)
+       |  WHERE len(wl[g.i]) > 0),
+       |stream AS (
+       |  SELECT doc_id, word_idx, CAST(g2.j - 1 AS INT) AS tok_idx, ts[g2.j] AS token
+       |  FROM wpos JOIN toksb ON toksb.w = wpos.wd,
+       |       LATERAL unnest(generate_series(1, CAST(len(ts) AS BIGINT))) AS g2(j))
+       |SELECT doc_id, word_idx, tok_idx, token,
+       |  CAST(coalesce(vb.token_id, -1) AS INT) AS token_id
+       |FROM stream LEFT JOIN vb USING (token)
+       |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
+
   /** [[qTokenBudgetMix]] in MODEL tokens: the same hash-priority budget
     * draw, but n_tokens is the trained-BPE count — budgets now mean what
     * the training run means by "tokens".

@@ -127,4 +127,84 @@ class BpeSpec extends SparkSpec {
     val got = df.select(Bpe.bpeLen(col("text"), merges).as("n")).as[Int].collect().toSeq
     assert(got == Seq(0, 0, 2))
   }
+
+  test("byte symbols: the public GPT-2 table anchors, bijection, UTF-8 expansion") {
+    import graft.plans.{Bpe => P}
+    // public anchor points: space is 'Ġ' (U+0120), newline 'Ċ' (U+010A),
+    // printables map to themselves, byte 173 is the last remapped (U+0143)
+    assert(P.byteSymbolTable(32) == 'Ġ' && P.byteSymbolTable(10) == 'Ċ')
+    assert(P.byteSymbolTable('a'.toInt) == 'a' && P.byteSymbolTable(126) == '~')
+    assert(P.byteSymbolTable(173) == (256 + 67).toChar)
+    assert(P.byteSymbolTable.distinct.length == 256) // bijection
+    // multi-byte UTF-8 expands: é = 2 bytes, 東 = 3 bytes, 🙂 = 4 bytes
+    assert(P.byteSymbols("abc") == "abc")
+    assert(P.byteSymbols("é").length == 2 && P.byteSymbols("東").length == 3)
+    assert(P.byteSymbols(new String(Character.toChars(0x1F642))).length == 4)
+    // injective across distinct words
+    val ws = Seq("a", "é", "東", "ab", "a b".replace(" ", ""), "ba")
+    assert(ws.map(P.byteSymbols).distinct.length == ws.distinct.length)
+  }
+
+  test("byte-level encode: zero UNK on unseen scripts where the code-point path drifts") {
+    // train BOTH paths on a Latin-only corpus, then encode CJK text the
+    // training never saw — the exact drift case the byte fallback fixes
+    val docs = Seq("the quick fox", "the lazy dog", "the the the").toDF("text")
+    val cpMerges = Bpe.mergesOf(Bpe.train(docs, "text", numMerges = 8))
+    val byMerges = Bpe.mergesOf(Bpe.trainBytes(docs, "text", numMerges = 8))
+    val cpVocab = Bpe.vocab(docs, "text", Bpe.train(docs, "text", numMerges = 8))
+      .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    val byVocab = Bpe.vocabBytes(spark, Bpe.trainBytes(docs, "text", numMerges = 8))
+      .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    val unseen = "東京タワー züri 🙂"
+    for (w <- unseen.split(" ")) {
+      // code-point path: every unseen char is out-of-vocab → UNK
+      val cp = graft.plans.Bpe.encodeWord(w, cpMerges.toArray)
+      assert(cp.exists(t => !cpVocab.contains(t)), s"expected UNK drift on $w")
+      // byte path: every token resolves (base 256 covers all bytes)
+      val by = graft.plans.Bpe.encodeWordBytes(w, byMerges.toArray)
+      assert(by.forall(byVocab.contains), s"UNK leaked on $w: ${by.toSeq}")
+      // and the tokens reassemble the word's symbol string exactly
+      assert(by.mkString == graft.plans.Bpe.byteSymbols(w))
+    }
+    // vocabBytes layout: ids 0..255 are the byte symbols in byte order
+    assert((0 until 256).forall(b =>
+      byVocab(graft.plans.Bpe.byteSymbolTable(b).toString) == b))
+  }
+
+  test("byte-level merges learn over symbols and bpeLenBytes counts them") {
+    // 'th' is the dominant pair in this corpus at byte level too
+    val docs = Seq("the the the", "that this", "東京東京").toDF("text")
+    val merges = Bpe.mergesOf(Bpe.trainBytes(docs, "text", numMerges = 4))
+    assert(merges.head == (("t", "h")), s"got $merges")
+    // CJK words count in byte symbols compressed by learned merges — and
+    // never UNK: the count is exact whatever the input script
+    val got = docs.select(Bpe.bpeLenBytes(col("text"), merges).as("n"))
+      .as[Int].collect().toSeq
+    assert(got.forall(_ > 0), s"got $got")
+    // 東京東京 = 12 byte symbols before merges; learned merges may compress
+    val kanji = graft.plans.Bpe.encodeWordBytes("東京東京", merges.toArray)
+    assert(kanji.mkString.length == 12)
+  }
+
+  test("budgets and packing accept byte-level counts") {
+    val docs = Seq(
+      (1L, "s", "the the"), (2L, "s", "東京"), (3L, "s", "that")
+    ).toDF("id", "src", "text")
+    val merges = Bpe.mergesOf(Bpe.trainBytes(docs, "text", numMerges = 4))
+    val lens = docs.select(col("id"), Bpe.bpeLenBytes(col("text"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // budget = everything: the draw must carry the byte-level counts
+    val drawn = graft.operators.Mix.tokenBudget(docs, "id", "text", "src",
+        budgets = Map("s" -> 10000L), defaultBudget = 0L,
+        tokenCount = Some(Bpe.bpeLenBytes(col("text"), merges)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(drawn.keySet == lens.keySet)
+    drawn.foreach { case (id, n) => assert(n == lens(id).toLong, s"id $id") }
+    // packing with byte-level counts: offsets are cumulative byte-token sums
+    val packed = graft.operators.Pack.packSequences(docs, "id", "text", "src",
+        maxTokens = 1 << 20, shards = 1,
+        tokenCount = Some(Bpe.bpeLenBytes(col("text"), merges)))
+      .select("n_tokens").as[Long].collect().toSeq.sorted
+    assert(packed == lens.values.map(_.toLong).toSeq.sorted)
+  }
 }
