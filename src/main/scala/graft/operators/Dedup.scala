@@ -770,6 +770,90 @@ object Dedup {
           " ").as("text_kept"))
   }
 
+  /** VARIABLE-LENGTH exact substring dedup — the published standard for
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": remove any ≥ minTokens-token repeated
+    * substring, keeping its first occurrence). [[removeRepeatedSpans]]
+    * only sees duplicates that land on its fixed aligned grid; a repeated
+    * region at ANY offset and ANY length ≥ minTokens is invisible to it.
+    *
+    * Spark-shaped formulation (suffix arrays don't distribute; the
+    * gram-granular reduction does): a token position lies inside some
+    * repeated substring of length ≥ L **iff** it is covered by a sliding
+    * L-gram that occurs ≥ 2 times in the corpus — any repeat of length
+    * m ≥ L contains a covering L-gram for each of its positions, and a
+    * duplicated L-gram IS a length-L repeat. Keep-first: for every
+    * duplicated gram its globally FIRST occurrence (min (doc, pos))
+    * rescues the positions it covers. A position is removed iff some
+    * covering duplicated-gram occurrence is a non-first copy AND no
+    * covering duplicated gram has its first occurrence there. Guarantees
+    * (spec-pinned): only positions inside duplicated grams are ever
+    * removed; every duplicated gram's first occurrence survives intact;
+    * unique text is untouched.
+    *
+    * Plan, sized for 100 TB: gram hashing is one native pass per doc
+    * (O(|doc|·L) bytes through md5 — the honest cost of gram-granular
+    * dedup; md5 because the DuckDB oracle replays it). The winner
+    * election shuffles slim (h, id, pos) triples into a min(struct) +
+    * count aggregate with map-side combine; only DUPLICATED grams
+    * (cnt ≥ 2 — in a curated corpus a small fraction) reach the coverage
+    * explode, which is bounded by L rows per duplicated occurrence. The
+    * token stream explodes once per token — same order as the tokenize
+    * pass every text operator already pays. No per-doc state exceeds the
+    * doc's own length; reassembly is the [[removeRepeatedSpans]] payload
+    * contract.
+    *
+    * Returns (idCol, n_tokens, n_kept, text_kept) — one row per input doc
+    * (zero-token docs carry (0, 0, '')).
+    */
+  def removeRepeatedSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                               minTokens: Int = 10): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val L = minTokens
+    // slim gram occurrences; persisted — the election and the coverage
+    // probe both read it, the corpus tokenizes/hashes exactly once
+    val ex = docs.select(col(idCol).as("id"),
+        posexplode(NativeHash.tokenGramHashes(col(textCol), L)).as(Seq("pos", "h")))
+      .persist()
+    Caches.register(ex)
+    val dups = ex.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("win"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("win"))
+    // occurrences of duplicated grams, flagged first/copy; coverage then
+    // explodes L positions per occurrence and reduces per (doc, position):
+    // rescued = some covering duplicated gram is first-occurrence here
+    val cov = ex.join(dups, "h")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("i"),
+        when(col("win").getField("id") === col("id") &&
+             col("win").getField("pos") === col("pos"), 1).otherwise(0).as("w"))
+      .groupBy("id", "i")
+      .agg((max(col("w")) === 1).as("rescued"))
+    // token stream with compacted positions (empty tokens only exist for
+    // whitespace-only text, where the gram pass also sees zero tokens)
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(filter(TextFunctions.tokens(col(textCol)), t => length(t) > 0))
+          .as(Seq("i", "tok")))
+    val agg = toks.join(cov, Seq("id", "i"), "left")
+      .withColumn("kept", col("rescued").isNull || col("rescued"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("i"), col("kept"), col("tok")))),
+              s => s.getField("kept")),
+            s => s.getField("tok")),
+          " ").as("text_kept"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Exact all-pairs n-gram/word jaccard over a bounded id range (the
     * correctness baseline the LSH paths approximate).
     */

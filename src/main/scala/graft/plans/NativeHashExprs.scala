@@ -658,6 +658,56 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): TokenSpans = copy(child = newChild)
   }
 
+  /** `graft_token_grams(text, n)` — md5 hex of every SLIDING n-token gram
+    * (space-joined, shared whitespace tokenization): element j =
+    * md5(tokens[j..j+n)), array length max(0, |tokens| − n + 1), EMPTY
+    * when the document has fewer than n tokens. One native pass per doc —
+    * the candidate generator of variable-length substring dedup
+    * ([[graft.operators.Dedup.removeRepeatedSubstrings]]). md5 (not a
+    * rolling hash) because it is the cross-engine family the DuckDB
+    * oracle replays verbatim; the O(|doc|·n) bytes hashed are the
+    * documented cost of gram-granular dedup.
+    */
+  case class TokenGramHashes(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_token_grams requires a string argument")
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+      val out = new Array[AnyRef](toks.length - n + 1)
+      val md = md5s.get()
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < out.length) {
+        sb.setLength(0)
+        var k = j
+        while (k < j + n) {
+          if (k > j) sb.append(' ')
+          sb.append(toks(k))
+          k += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(b * 2) = Character.forDigit((d(b) >> 4) & 0xf, 16)
+          hex(b * 2 + 1) = Character.forDigit(d(b) & 0xf, 16)
+          b += 1
+        }
+        out(j) = UTF8String.fromString(new String(hex))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): TokenGramHashes = copy(child = newChild)
+  }
+
   /** Per-document top-n-gram frequency ratio in one pass — the shuffle-free
     * form of the Gopher repetition gate. The explode+groupBy formulation
     * shuffles every n-gram twice; this computes `(max count / total, total)`
@@ -704,6 +754,8 @@ object NativeHash {
   def shingleSet(c: Column, n: Int): Column = call_function("graft_shingle_set", c, lit(n))
 
   def tokenSpans(c: Column, w: Int): Column = call_function("graft_token_spans", c, lit(w))
+
+  def tokenGramHashes(c: Column, n: Int): Column = call_function("graft_token_grams", c, lit(n))
 
   def bandKeys(sig: Column, bands: Int, r: Int): Column =
     call_function("graft_band_keys", sig, lit(bands), lit(r))
@@ -762,6 +814,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_token_spans"),
       new ExpressionInfo(classOf[NativeHash.TokenSpans].getName, "graft_token_spans"),
       (args: Seq[Expression]) => NativeHash.TokenSpans(args.head, args(1).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_grams"),
+      new ExpressionInfo(classOf[NativeHash.TokenGramHashes].getName, "graft_token_grams"),
+      (args: Seq[Expression]) => NativeHash.TokenGramHashes(args.head, args(1).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_band_keys"),

@@ -1197,6 +1197,55 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** VARIABLE-LENGTH exact substring dedup (r8 — the r7 verdict's #3):
+    * remove every repeated substring of ≥ 10 tokens at ANY offset/length
+    * (Lee et al. 2022 semantics at gram granularity), keep-first. The
+    * oracle replays the full chain: sliding-gram md5s from list slices,
+    * the (doc, pos) first-occurrence election as a window, the coverage
+    * explode, the rescue reduction, and the reassembly.
+    */
+  def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSubstrings(table(s, dir, "documents"), "doc_id", "text",
+        minTokens = 10)
+      .orderBy("doc_id")
+
+  val qSubstrDedupSql: String =
+    """WITH wl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(g.i - 1 AS INT) AS i, l[g.i] AS tok
+      |  FROM wl, LATERAL unnest(generate_series(1, CAST(len(l) AS BIGINT))) AS g(i)),
+      |gr AS (
+      |  SELECT doc_id, CAST(g.j - 1 AS INT) AS pos,
+      |    md5(array_to_string(l[g.j:g.j+9], ' ')) AS h
+      |  FROM wl, LATERAL unnest(generate_series(1, CAST(len(l) - 10 + 1 AS BIGINT))) AS g(j)),
+      |occ AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1 AS iswin,
+      |    count(*) OVER (PARTITION BY h) AS cnt
+      |  FROM gr),
+      |cov AS (
+      |  SELECT doc_id, CAST(u.i AS INT) AS i,
+      |    max(CASE WHEN iswin THEN 1 ELSE 0 END) = 1 AS rescued
+      |  FROM (SELECT * FROM occ WHERE cnt >= 2) o,
+      |       LATERAL unnest(generate_series(o.pos, o.pos + 9)) AS u(i)
+      |  GROUP BY doc_id, u.i),
+      |keptt AS (
+      |  SELECT t.doc_id, t.i, t.tok, (c.i IS NULL OR c.rescued) AS kept
+      |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.i = t.i),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    coalesce(array_to_string(list(tok ORDER BY i) FILTER (WHERE kept), ' '), '') AS text_kept
+      |  FROM keptt GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_tokens, 0) AS n_tokens,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  coalesce(a.text_kept, '') AS text_kept
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- source-level quality gate -----------------------------------------
   /** Keep documents whose source's mean quality clears the corpus mean —
     * the domain-blocklist decision shape. Gate side is broadcast; document
