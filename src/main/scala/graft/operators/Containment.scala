@@ -100,18 +100,42 @@ object Containment {
   def probeNotContained(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 5,
                         dfCap: Long = Long.MaxValue): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    def sets(df: DataFrame) = df.select(col(idCol).as("__id"),
+    val corpusSets = buildContainmentIndex(corpus, idCol, textCol, shingleN).persist()
+    Caches.register(corpusSets)
+    probeIndexNotContained(corpusSets, batch, idCol, textCol, threshold, shingleN, dfCap)
+  }
+
+  /** The containment index: one sorted distinct-shingle set per document,
+    * (`__id`, `__gs`, `__sz`). The reusable artifact of [[probeNotContained]]
+    * — a bulk corpus build writes it once, a streaming gate
+    * ([[graft.streaming.ContainmentGate]]) appends admitted batches' rows,
+    * and every probe reads it without re-tokenizing the corpus.
+    */
+  def buildContainmentIndex(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 5): DataFrame =
+    docs.select(col(idCol).as("__id"),
         sort_array(graft.plans.NativeHash.shingleSet(col(textCol), shingleN)).as("__gs"))
       .select(col("__id"), col("__gs"), size(col("__gs")).as("__sz"))
-    val corpusSets = sets(corpus).persist()
-    Caches.register(corpusSets)
+
+  /** [[probeNotContained]] over a PREBUILT index (the gate/bulk shared code
+    * path — same semantics, the corpus tokenize already paid). When dfCap
+    * is unbounded the df aggregation over the corpus index is skipped
+    * entirely (it would filter nothing but still shuffle the whole inverted
+    * index per probe).
+    */
+  def probeIndexNotContained(corpusSets: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double, shingleN: Int = 5,
+                             dfCap: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val corpusInv = corpusSets.select(col("__id").as("__cid"), explode(col("__gs")).as("__g"))
-    val rareInv = corpusInv.join(
-      corpusInv.groupBy("__g").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= dfCap).select("__g"),
-      Seq("__g"))
-    val batchSets = sets(batch).persist()
+    val rareInv =
+      if (dfCap == Long.MaxValue) corpusInv
+      else corpusInv.join(
+        corpusInv.groupBy("__g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= dfCap).select("__g"),
+        Seq("__g"))
+    val batchSets = buildContainmentIndex(batch, idCol, textCol, shingleN).persist()
     Caches.register(batchSets)
     val batchInv = batchSets.select(col("__id").as("__bid"), explode(col("__gs")).as("__g"))
     val cands = rareInv.join(broadcast(batchInv), Seq("__g"))
