@@ -253,4 +253,46 @@ object SourceQueries {
       |    WHEN 7 THEN 'csv_sftp' WHEN 8 THEN 'rest_api' END AS handler
       |FROM supplier
       |ORDER BY supplier_id""".stripMargin
+
+  // ---- Media headers: write fixtures → binaryFile ingest → probe --------
+  /** REAL container-header parsing under the hash gate: a sparse doc-id
+    * sample becomes minimal PNG/JPEG/GIF/BMP/WAV files
+    * ([[graft.multimodal.MediaFixtures]] — dims derived arithmetically from
+    * the id), ingested through the production `binaryFile` path and probed
+    * by [[graft.multimodal.MediaHeaders]]; the oracle recomputes the
+    * arithmetic from the documents table, so any endianness/offset error in
+    * EITHER the writer or the parser breaks the match. The id collect is
+    * fixture control plane (a bounded 1/7 sample), not a data-plane loop.
+    */
+  def qMediaProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MediaFixtures, MediaHeaders}
+    val ids = table(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val fxDir = MediaFixtures.ensureDir(ids, dir)
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "m*.*") // skip the _COMPLETE pin marker
+      .load(fxDir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val id = name.substring(1, name.lastIndexOf('.')).toLong
+        val (w, h, d) = MediaHeaders.probe(bytes)
+        (id, w.toLong, h.toLong, d)
+      }
+      .toDF("media_id", "width", "height", "duration_ms")
+      .orderBy("media_id")
+  }
+
+  val qMediaProbeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 5 = 4 THEN 0 ELSE doc_id % 1897 + 16 END AS width,
+      |  CASE WHEN doc_id % 5 = 4 THEN 0 ELSE doc_id % 1013 + 16 END AS height,
+      |  CASE WHEN doc_id % 5 = 4
+      |       THEN ((doc_id % 977 + 1) * 4410 * 1000) // 176400
+      |       ELSE 0 END AS duration_ms
+      |FROM documents
+      |WHERE doc_id % 7 = 0
+      |ORDER BY doc_id""".stripMargin
 }
