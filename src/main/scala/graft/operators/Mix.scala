@@ -94,6 +94,49 @@ object Mix {
     else weights.map { case (s, w) => (s, ((BigInt(totalBudget) * w) / sumW).toLong) }.toMap
   }
 
+  /** Temperature budgets at a RATIONAL α = p/q (published recipes use
+    * α ∈ {0.2 … 0.7}, not just the 0.5 the √ path pins): budget_s ∝
+    * total_s^(p/q), integer-exact. weight_s = ⌊10⁶ · total^(p/q)⌋ computed
+    * as the integer q-th root of total^p · 10^(6q) — BigInt power and
+    * Newton-iteration root ([[iroot]]), no libm call anywhere, so the
+    * allocation is bit-identical on any engine at any α (the reason the √
+    * path refused arbitrary pow(): last-ulp drift across libms). α = 1/2
+    * agrees with [[temperatureBudgets]] to ≤ 1 micro-unit per weight (the
+    * IEEE path rounds through doubles; this path is exact) and α = 1 (p=q)
+    * degenerates to exactly-proportional allocation.
+    */
+  def temperatureBudgetsAlpha(totals: Seq[(String, Long)], totalBudget: Long,
+                              alphaP: Int, alphaQ: Int): Map[String, Long] = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    require(alphaP >= 1 && alphaQ >= alphaP, s"need 0 < p/q <= 1, got $alphaP/$alphaQ")
+    val mq = BigInt(10).pow(6 * alphaQ)
+    val weights = totals.map { case (s, t) =>
+      require(t >= 0, s"negative token total for stratum $s")
+      (s, iroot(BigInt(t).pow(alphaP) * mq, alphaQ))
+    }
+    val sumW = weights.map(_._2).sum
+    if (sumW == 0) totals.map { case (s, _) => (s, 0L) }.toMap
+    else weights.map { case (s, w) => (s, ((BigInt(totalBudget) * w) / sumW).toLong) }.toMap
+  }
+
+  /** Integer n-th root: the unique r with r^n ≤ x < (r+1)^n. Newton
+    * iteration on BigInt from an over-estimate (2^⌈bitLength/n⌉), which
+    * descends monotonically; the final two guards pin the exact floor.
+    */
+  private[graft] def iroot(x: BigInt, n: Int): BigInt = {
+    require(x >= 0 && n >= 1)
+    if (x < 2 || n == 1) return x
+    var r = BigInt(1) << (x.bitLength / n + 1)
+    var descending = true
+    while (descending) {
+      val next = ((n - 1) * r + x / r.pow(n - 1)) / n
+      if (next >= r) descending = false else r = next
+    }
+    while (r.pow(n) > x) r -= 1
+    while ((r + 1).pow(n) <= x) r += 1
+    r
+  }
+
   /** [[tokenBudget]] with the per-stratum budgets DERIVED by
     * [[temperatureBudgets]] from the strata's own token totals — one extra
     * map-side-combined aggregation to |strata| rows, collected driver-side
@@ -103,19 +146,38 @@ object Mix {
   def temperatureMix(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
                      totalBudget: Long, prioBuckets: Int = 64,
                      tokenCount: Option[Column] = None): DataFrame = {
-    // NULL strata are excluded from the derivation (they'd NPE the sort and
-    // a budget can't be keyed on null) — their docs fall to defaultBudget=0
-    // below, i.e. never drawn; a stratum whose token counts are all NULL
-    // sums to 0 via the coalesce rather than crashing the driver read
-    val totals = docs
-      .select(col(stratumCol).cast("string").as("__s"),
-        tokenCount.getOrElse(TextFunctions.tokenCountWs(col(textCol))).cast("long").as("__n"))
-      .filter(col("__s").isNotNull)
-      .groupBy("__s").agg(coalesce(sum("__n"), lit(0L)).as("__tot"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val totals = stratumTotals(docs, stratumCol, textCol, tokenCount)
     tokenBudget(docs, idCol, textCol, stratumCol,
       temperatureBudgets(totals, totalBudget), defaultBudget = 0L, prioBuckets, tokenCount)
   }
+
+  /** [[temperatureMix]] at a rational α = p/q ([[temperatureBudgetsAlpha]]);
+    * same derivation aggregation and deterministic draw.
+    */
+  def temperatureMixAlpha(docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+                          totalBudget: Long, alphaP: Int, alphaQ: Int,
+                          prioBuckets: Int = 64,
+                          tokenCount: Option[Column] = None): DataFrame = {
+    val totals = stratumTotals(docs, stratumCol, textCol, tokenCount)
+    tokenBudget(docs, idCol, textCol, stratumCol,
+      temperatureBudgetsAlpha(totals, totalBudget, alphaP, alphaQ),
+      defaultBudget = 0L, prioBuckets, tokenCount)
+  }
+
+  /** Per-stratum token totals, collected driver-side (|strata| rows —
+    * control plane). NULL strata are excluded from the derivation (they'd
+    * NPE the sort and a budget can't be keyed on null) — their docs fall to
+    * defaultBudget=0 downstream, i.e. never drawn; a stratum whose token
+    * counts are all NULL sums to 0 via the coalesce rather than crashing
+    * the driver read.
+    */
+  private def stratumTotals(docs: DataFrame, stratumCol: String, textCol: String,
+                            tokenCount: Option[Column]): Seq[(String, Long)] = docs
+    .select(col(stratumCol).cast("string").as("__s"),
+      tokenCount.getOrElse(TextFunctions.tokenCountWs(col(textCol))).cast("long").as("__n"))
+    .filter(col("__s").isNotNull)
+    .groupBy("__s").agg(coalesce(sum("__n"), lit(0L)).as("__tot"))
+    .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
 
   /** Token-budget SHARD assignment — the corpus-output layout step: order
     * the corpus by the deterministic (bucket, priority, id) total order and

@@ -703,6 +703,48 @@ object LlmQueries {
       |WHERE c.cum_tokens <= b.budget
       |ORDER BY c.doc_id""".stripMargin
 
+  /** Temperature mix at rational α = 1/4 — the integer-exact arbitrary-α
+    * path under the gate. The oracle re-derives weight = ⌊10⁶·tot^(1/4)⌋
+    * EXACTLY in SQL: a double `pow` seeds a candidate, then HUGEINT
+    * arithmetic picks the greatest k in candidate±3 with k⁴ ≤ tot·10²⁴ —
+    * the same floor the BigInt Newton root computes (double pow is within
+    * a few ulps, so the ±3 window always brackets the true root; HUGEINT
+    * verification is gate-exact to tot ≈ 1.7·10¹⁵ tokens, beyond any sf
+    * here — the Scala side is BigInt-unbounded).
+    */
+  def qTemperatureMixAlpha(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mix.temperatureMixAlpha(table(s, dir, "documents"),
+        "doc_id", "text", "source", totalBudget = 3000L, alphaP = 1, alphaQ = 4)
+      .orderBy("doc_id")
+
+  val qTemperatureMixAlphaSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 AS prio
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM t GROUP BY source),
+      |seed AS (SELECT source, tot,
+      |           CAST(floor(pow(CAST(tot AS DOUBLE), 0.25) * 1000000.0) AS HUGEINT) AS c
+      |         FROM tot),
+      |w AS (SELECT source,
+      |        list_max(list_filter([c-3, c-2, c-1, c, c+1, c+2, c+3],
+      |          k -> k >= 0 AND k*k*k*k <=
+      |               CAST(tot AS HUGEINT) * CAST('1000000000000000000000000' AS HUGEINT))) AS w
+      |      FROM seed),
+      |b AS (SELECT source,
+      |        CAST(CAST(3000 AS HUGEINT) * w // (SELECT SUM(w) FROM w) AS BIGINT) AS budget
+      |      FROM w),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio % 64, prio, doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t)
+      |SELECT c.doc_id, c.source, c.n_tokens, CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c JOIN b USING (source)
+      |WHERE c.cum_tokens <= b.budget
+      |ORDER BY c.doc_id""".stripMargin
+
   // ---- epoch mixing (up-sampling) -----------------------------------------
   /** Up-sampling mix: src0's 4000-token budget ≈ 2.8 epochs of its ~1435
     * tokens (2 full repeats + a hash-priority partial), src1's 800 is a

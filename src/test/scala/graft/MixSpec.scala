@@ -206,4 +206,60 @@ class MixSpec extends SparkSpec {
     // nothing, so cum <= budget holds, the documented tokenBudget contract
     assert(out == Seq(1L, 2L, 4L), s"drawn $out")
   }
+
+  test("iroot: exact floor n-th root across random BigInts and perfect powers") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 500) {
+      val x = BigInt(rnd.nextInt(200) + 1, rnd)
+      val n = rnd.nextInt(9) + 2
+      val r = Mix.iroot(x, n)
+      assert(r.pow(n) <= x && (r + 1).pow(n) > x, s"x=$x n=$n r=$r")
+    }
+    assert(Mix.iroot(BigInt(0), 5) == BigInt(0) && Mix.iroot(BigInt(1), 7) == BigInt(1))
+    assert(Mix.iroot(BigInt(10).pow(24), 4) == BigInt(10).pow(6)) // perfect power lands exactly
+    assert(Mix.iroot(BigInt(10).pow(24) - 1, 4) == BigInt(10).pow(6) - 1) // one below floors down
+  }
+
+  test("temperature alpha: p=q exactly proportional, alpha=1/2 tracks the sqrt path, smaller alpha compresses") {
+    val tot = Seq("a" -> 100L, "b" -> 400L, "c" -> 0L)
+    assert(Mix.temperatureBudgetsAlpha(tot, 500L, 1, 1) ==
+      Map("a" -> 100L, "b" -> 400L, "c" -> 0L))
+    // α = 1/2: the exact BigInt root vs the IEEE double path — sqrt is
+    // exactly-rounded and the products stay ≪ the double mantissa's reach,
+    // so weights differ ≤ 1 micro-unit and floor budgets by ≤ 1 token
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val ts = (0 until 5).map(i => (s"s$i", math.abs(rnd.nextLong()) % 1000000000L)).toSeq
+      val exact = Mix.temperatureBudgetsAlpha(ts, 1000000L, 1, 2)
+      val ieee = Mix.temperatureBudgets(ts, 1000000L)
+      ts.foreach { case (s, _) =>
+        assert(math.abs(exact(s) - ieee(s)) <= 1L, s"$s: ${exact(s)} vs ${ieee(s)} on $ts")
+      }
+      assert(exact.values.sum <= 1000000L) // floor remainders stay unallocated
+    }
+    // published-recipe territory: smaller α narrows the big:small budget gap
+    val skew = Seq("big" -> 10000L, "small" -> 100L)
+    val half = Mix.temperatureBudgetsAlpha(skew, 10000L, 1, 2)
+    val quarter = Mix.temperatureBudgetsAlpha(skew, 10000L, 1, 4)
+    assert(half("big").toDouble / half("small") > quarter("big").toDouble / quarter("small"))
+    assert(quarter("big") > quarter("small")) // still monotone in totals
+  }
+
+  test("temperature mix alpha draws within derived budgets and matches the manual map") {
+    import spark.implicits._
+    val docs = (0 until 200).toSeq.map { i =>
+      val src = if (i % 4 == 0) "big" else "small"
+      (i.toLong, src, Seq.fill(5)(s"w$i").mkString(" "))
+    }.toDF("id", "src", "text")
+    val auto = Mix.temperatureMixAlpha(docs, "id", "text", "src",
+        totalBudget = 300L, alphaP = 1, alphaQ = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    val totals = docs.groupBy("src")
+      .agg(sum(graft.functions.TextFunctions.tokenCountWs(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val budgets = Mix.temperatureBudgetsAlpha(totals, 300L, 1, 4)
+    val manual = Mix.tokenBudget(docs, "id", "text", "src", budgets, defaultBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(auto == manual && auto.nonEmpty)
+  }
 }
