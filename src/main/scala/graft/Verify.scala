@@ -17,7 +17,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset knob for fast oracle iteration; the driver never sets
+    // it, so the contract dump is unchanged
+    val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

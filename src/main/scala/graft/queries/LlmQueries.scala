@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftSession.table
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Ann, Curation, Dedup}
+import graft.operators.{Ann, Curation, Dedup, Winnow}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1287,6 +1287,84 @@ object LlmQueries {
       |  coalesce(a.text_kept, '') AS text_kept
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  // ---- winnowing fingerprints (MOSS) -------------------------------------
+  /** Winnowing selection (Schleimer et al. 2003): every w=4 window of k=4
+    * token-gram md5s keeps its rightmost minimum; the distinct selected
+    * (pos, hash) set is the document fingerprint. The oracle replays gram
+    * hashing, the per-window min, the rightmost tie-break, and the distinct
+    * projection in SQL.
+    */
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    Winnow.fingerprints(table(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+      .orderBy("doc_id", "pos")
+
+  val qWinnowSql: String =
+    """WITH wl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, CAST(g.j - 1 AS INT) AS pos,
+      |    md5(array_to_string(l[g.j:g.j+3], ' ')) AS h
+      |  FROM wl, LATERAL unnest(generate_series(1, CAST(len(l) - 4 + 1 AS BIGINT))) AS g(j)),
+      |n AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+      |wins AS (
+      |  SELECT doc_id, CAST(s.s AS INT) AS s
+      |  FROM n, LATERAL unnest(generate_series(0, CAST(greatest(n - 4, 0) AS BIGINT))) AS s(s)),
+      |cand AS (
+      |  SELECT w.doc_id, w.s, g.pos, g.h
+      |  FROM wins w JOIN gr g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3),
+      |mins AS (SELECT doc_id, s, min(h) AS mh FROM cand GROUP BY doc_id, s),
+      |sel AS (
+      |  SELECT c.doc_id, max(c.pos) AS pos
+      |  FROM cand c JOIN mins m ON m.doc_id = c.doc_id AND m.s = c.s AND c.h = m.mh
+      |  GROUP BY c.doc_id, c.s),
+      |fp AS (SELECT DISTINCT doc_id, pos FROM sel)
+      |SELECT f.doc_id, f.pos, g.h AS gram_hash
+      |FROM fp f JOIN gr g ON g.doc_id = f.doc_id AND g.pos = f.pos
+      |ORDER BY f.doc_id, f.pos""".stripMargin
+
+  /** Winnowing-index candidate pairs: documents sharing ≥ 2 distinct
+    * selected fingerprint hashes, boilerplate hashes (df > 1000) dropped
+    * before pairing. The guarantee makes this the bounded-work candidate
+    * set for ≥ w+k−1-token overlap detection.
+    */
+  def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Winnow.candidatePairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4, dfCap = 1000, minShared = 2)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  val qWinnowPairsSql: String =
+    """WITH wl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, CAST(g.j - 1 AS INT) AS pos,
+      |    md5(array_to_string(l[g.j:g.j+3], ' ')) AS h
+      |  FROM wl, LATERAL unnest(generate_series(1, CAST(len(l) - 4 + 1 AS BIGINT))) AS g(j)),
+      |n AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+      |wins AS (
+      |  SELECT doc_id, CAST(s.s AS INT) AS s
+      |  FROM n, LATERAL unnest(generate_series(0, CAST(greatest(n - 4, 0) AS BIGINT))) AS s(s)),
+      |cand AS (
+      |  SELECT w.doc_id, w.s, g.pos, g.h
+      |  FROM wins w JOIN gr g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3),
+      |mins AS (SELECT doc_id, s, min(h) AS mh FROM cand GROUP BY doc_id, s),
+      |sel AS (
+      |  SELECT c.doc_id, max(c.pos) AS pos
+      |  FROM cand c JOIN mins m ON m.doc_id = c.doc_id AND m.s = c.s AND c.h = m.mh
+      |  GROUP BY c.doc_id, c.s),
+      |fph AS (
+      |  SELECT DISTINCT f.doc_id, g.h
+      |  FROM (SELECT DISTINCT doc_id, pos FROM sel) f
+      |  JOIN gr g ON g.doc_id = f.doc_id AND g.pos = f.pos),
+      |kept AS (SELECT h FROM fph GROUP BY h HAVING count(*) <= 1000)
+      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM fph a JOIN kept k ON k.h = a.h
+      |JOIN fph b ON b.h = a.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   // ---- source-level quality gate -----------------------------------------
   /** Keep documents whose source's mean quality clears the corpus mean —
