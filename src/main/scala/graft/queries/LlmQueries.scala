@@ -1648,6 +1648,83 @@ object LlmQueries {
       |FROM e GROUP BY grp, pos
       |ORDER BY grp, pos""".stripMargin
 
+  // ---- distributed exact-integer k-means ----------------------------------
+  /** Shared CTE prefix: micro-unit quantization, exploded cells, the k=8
+    * lowest-id seeds, and TWO full Lloyd rounds (assign by integer L2² with
+    * lowest-cid ties, floor-mean update, empty cells keep the old
+    * coordinate) — every arithmetic step integer-exact on both engines.
+    */
+  private val kmeansPrefixSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |qe AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, v[u.i] AS qv
+      |  FROM q, LATERAL unnest(generate_series(1, CAST(len(v) AS BIGINT))) AS u(i)),
+      |seed AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      |  FROM q ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT s.cid, e.pos, e.qv FROM seed s JOIN qe e USING (vec_id)),
+      |d1 AS (
+      |  SELECT e.vec_id, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d1) t WHERE rn = 1),
+      |s1 AS (
+      |  SELECT a.cid, e.pos, CAST(sum(e.qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM a1 a JOIN qe e USING (vec_id) GROUP BY a.cid, e.pos),
+      |c1 AS (
+      |  SELECT c0.cid, c0.pos,
+      |    coalesce(CAST((s.s - ((s.s % s.c + s.c) % s.c)) / s.c AS BIGINT), c0.qv) AS qv
+      |  FROM c0 LEFT JOIN s1 s ON s.cid = c0.cid AND s.pos = c0.pos),
+      |d2t AS (
+      |  SELECT e.vec_id, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d2t) t WHERE rn = 1),
+      |s2 AS (
+      |  SELECT a.cid, e.pos, CAST(sum(e.qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM a2 a JOIN qe e USING (vec_id) GROUP BY a.cid, e.pos),
+      |c2 AS (
+      |  SELECT c1.cid, c1.pos,
+      |    coalesce(CAST((s.s - ((s.s % s.c + s.c) % s.c)) / s.c AS BIGINT), c1.qv) AS qv
+      |  FROM c1 LEFT JOIN s2 s ON s.cid = c1.cid AND s.pos = c1.pos)""".stripMargin
+
+  /** Full-corpus deterministic k-means: final assignment (vec_id, cid, d2)
+    * after two Lloyd rounds at k=8. The oracle replays quantization, both
+    * assign/update rounds, and the final argmin in pure integer SQL.
+    */
+  def qKmeansAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.cluster(table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  val qKmeansAssignSql: String = kmeansPrefixSql +
+    """,
+      |d3 AS (
+      |  SELECT e.vec_id, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN c2 c USING (pos) GROUP BY e.vec_id, c.cid)
+      |SELECT vec_id, cid, d2 FROM (
+      |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d3) t WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
+  /** The trained centroids themselves, exploded to (cid, pos, qval) scalar
+    * cells so every coordinate sits under the hash gate.
+    */
+  def qKmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.centroidTable(table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .orderBy("cid", "pos")
+
+  val qKmeansCentroidsSql: String = kmeansPrefixSql +
+    """
+      |SELECT cid, pos, qv AS qval FROM c2 ORDER BY cid, pos""".stripMargin
+
   // ---- trained-merges BPE tokenization ------------------------------------
 
   /** Absolute path of the pinned BPE merge-table fixture for `dir`.
