@@ -477,4 +477,60 @@ object AnalyticsQueries {
     """SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  // ---- graph centrality: fixed-point PageRank ----------------------------
+  /** Customer↔supplier authority over the order-flow bipartite graph:
+    * distinct (custkey, suppkey) trade edges symmetrized, 3 exact-integer
+    * PageRank rounds ([[graft.operators.Graph.pageRank]]). The oracle
+    * replays edge derivation, degrees, and every floor-division round in
+    * SQL — `rank` values hash bit-exact.
+    */
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = table(s, dir, "orders").join(table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("ss"))
+      .distinct()
+    val sym = edges.select(col("c").as("src"), col("ss").as("dst"))
+      .union(edges.select(col("ss").as("src"), col("c").as("dst")))
+    graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
+      .orderBy("node")
+  }
+
+  val qPageRankSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+      |                  's' || CAST(l_suppkey AS VARCHAR) AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |eb AS (SELECT c AS src, s AS dst FROM e UNION ALL SELECT s, c FROM e),
+      |nodes AS (SELECT DISTINCT src AS node FROM eb),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eb GROUP BY src),
+      |k AS (
+      |  SELECT n, 1000000000000 // n AS init,
+      |         (150 * (1000000000000 // n)) // 1000 AS base
+      |  FROM nn),
+      |r0 AS (SELECT node, (SELECT init FROM k) AS rank FROM nodes),
+      |c1 AS (
+      |  SELECT eb.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS i
+      |  FROM eb JOIN r0 r ON r.node = eb.src JOIN deg d ON d.src = eb.src
+      |  GROUP BY eb.dst),
+      |r1 AS (
+      |  SELECT n.node, (SELECT base FROM k) + (850 * coalesce(c1.i, 0)) // 1000 AS rank
+      |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+      |c2 AS (
+      |  SELECT eb.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS i
+      |  FROM eb JOIN r1 r ON r.node = eb.src JOIN deg d ON d.src = eb.src
+      |  GROUP BY eb.dst),
+      |r2 AS (
+      |  SELECT n.node, (SELECT base FROM k) + (850 * coalesce(c2.i, 0)) // 1000 AS rank
+      |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+      |c3 AS (
+      |  SELECT eb.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS i
+      |  FROM eb JOIN r2 r ON r.node = eb.src JOIN deg d ON d.src = eb.src
+      |  GROUP BY eb.dst),
+      |r3 AS (
+      |  SELECT n.node, (SELECT base FROM k) + (850 * coalesce(c3.i, 0)) // 1000 AS rank
+      |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+      |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
 }
