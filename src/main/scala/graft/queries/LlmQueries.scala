@@ -1648,6 +1648,66 @@ object LlmQueries {
       |FROM e GROUP BY grp, pos
       |ORDER BY grp, pos""".stripMargin
 
+  // ---- content-defined chunking --------------------------------------------
+  /** Shared CTE body: position-local CDC cuts (md5 of the 8-char window
+    * prefixed '00' ⇒ expected ~256-char chunks), chunk reassembly via a
+    * lag window + final-tail union, empty chunks dropped.
+    */
+  private val cdcChunksSql: String =
+    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, CAST(u.i AS INT) AS cut
+      |  FROM d, LATERAL unnest(generate_series(8, n)) AS u(i)
+      |  WHERE substr(md5(substr(text, CAST(u.i AS INT) - 7, 8)), 1, 2) = '00'),
+      |mx AS (SELECT doc_id, max(cut) AS mc FROM cuts GROUP BY doc_id),
+      |ch AS (
+      |  SELECT doc_id,
+      |    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS s,
+      |    cut AS e
+      |  FROM cuts
+      |  UNION ALL
+      |  SELECT d.doc_id, coalesce(mx.mc, 0) + 1 AS s, d.n AS e
+      |  FROM d LEFT JOIN mx USING (doc_id)),
+      |idx AS (
+      |  SELECT doc_id, s, e,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_idx
+      |  FROM ch WHERE e >= s),
+      |chunks AS (
+      |  SELECT i.doc_id, i.chunk_idx, CAST(i.s AS INT) AS start,
+      |    CAST(i.e - i.s + 1 AS INT) AS chunk_len,
+      |    md5(substr(d.text, i.s, i.e - i.s + 1)) AS chunk_hash
+      |  FROM idx i JOIN d USING (doc_id))""".stripMargin
+
+  /** Content-defined chunking of every document — the chunk index rows
+    * themselves (id, idx, start, len, hash), all boundary decisions under
+    * the hash gate.
+    */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.chunks(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
+  val qCdcChunksSql: String = cdcChunksSql +
+    """
+      |SELECT doc_id, chunk_idx, start, chunk_len, chunk_hash FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Corpus chunk-dedup accounting: total vs distinct chunks and chars —
+    * the "what does chunk-level dedup save on this corpus" report.
+    */
+  def qCdcStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.dedupStats(table(s, dir, "documents"), "doc_id", "text")
+
+  val qCdcStatsSql: String = cdcChunksSql +
+    """,
+      |g AS (
+      |  SELECT chunk_hash, max(chunk_len) AS len, CAST(count(*) AS BIGINT) AS copies
+      |  FROM chunks GROUP BY chunk_hash)
+      |SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+      |  CAST(sum(len * copies) AS BIGINT) AS chars_total,
+      |  CAST(sum(len) AS BIGINT) AS chars_distinct
+      |FROM g""".stripMargin
+
   // ---- distributed exact-integer k-means ----------------------------------
   /** Shared CTE prefix: micro-unit quantization, exploded cells, the k=8
     * lowest-id seeds, and TWO full Lloyd rounds (assign by integer L2² with
