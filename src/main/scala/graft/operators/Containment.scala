@@ -46,6 +46,27 @@ object Containment {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleN: Int = 5,
                        dfCap: Long = Long.MaxValue): DataFrame = {
+    val verified = verifiedPairs(docs, idCol, textCol, threshold, shingleN, dfCap)
+    val aToB = verified
+      .filter(col("__isect").cast("double") >= col("__sza").cast("double") * threshold)
+      .select(col("__a").as("src"), col("__b").as("dst"),
+        col("__sza").as("n_src"), col("__szb").as("n_dst"), col("__isect").as("isect"))
+    val bToA = verified
+      .filter(col("__isect").cast("double") >= col("__szb").cast("double") * threshold)
+      .select(col("__b").as("src"), col("__a").as("dst"),
+        col("__szb").as("n_src"), col("__sza").as("n_dst"), col("__isect").as("isect"))
+    aToB.unionByName(bToA)
+      .withColumn("containment",
+        col("isect").cast("double") / col("n_src").cast("double"))
+  }
+
+  /** Shared candidate+verify pipeline: one (__a < __b) row per verified
+    * candidate pair with both set sizes and the exact intersection — each
+    * orientation's containment test divides the SAME `__isect`.
+    */
+  private def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, shingleN: Int,
+                            dfCap: Long): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val sets = docs
       .select(col(idCol).as("__id"),
@@ -63,22 +84,11 @@ object Containment {
       .filter(col("__a") < col("__b"))
       .select("__a", "__b")
       .distinct()
-    val verified = cands
+    cands
       .join(sets.select(col("__id").as("__a"), col("__gs").as("__ga"), col("__sz").as("__sza")), Seq("__a"))
       .join(sets.select(col("__id").as("__b"), col("__gs").as("__gb"), col("__sz").as("__szb")), Seq("__b"))
       .select(col("__a"), col("__b"), col("__sza"), col("__szb"),
         graft.plans.NativeHash.sortedIntersectSize(col("__ga"), col("__gb")).as("__isect"))
-    val aToB = verified
-      .filter(col("__isect").cast("double") >= col("__sza").cast("double") * threshold)
-      .select(col("__a").as("src"), col("__b").as("dst"),
-        col("__sza").as("n_src"), col("__szb").as("n_dst"), col("__isect").as("isect"))
-    val bToA = verified
-      .filter(col("__isect").cast("double") >= col("__szb").cast("double") * threshold)
-      .select(col("__b").as("src"), col("__a").as("dst"),
-        col("__szb").as("n_src"), col("__sza").as("n_dst"), col("__isect").as("isect"))
-    aToB.unionByName(bToA)
-      .withColumn("containment",
-        col("isect").cast("double") / col("n_src").cast("double"))
   }
 
   /** INCREMENTAL containment — the shape a production ingest runs: batch
@@ -163,11 +173,22 @@ object Containment {
   def dropContained(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double, shingleN: Int = 5,
                     dfCap: Long = Long.MaxValue): DataFrame = {
-    val pairs = containmentPairs(docs, idCol, textCol, threshold, shingleN, dfCap)
-    val losers = pairs
-      .filter(col("n_dst") > col("n_src") ||
-        (col("n_dst") === col("n_src") && col("dst") < col("src")))
-      .select(col("src").as(idCol))
+    // ONE pass over the verified (__a < __b) pairs — materializing both
+    // orientations via containmentPairs would re-execute the whole
+    // candidate+verify subtree once per union branch (Spark reuses
+    // exchanges, not the post-shuffle merge-scan intersect work). With
+    // __a < __b the beats-order makes the loser UNIQUE per pair: __b beats
+    // __a only by size (szb > sza); __a beats __b on size or the id tie
+    // (sza >= szb) — mutually exclusive, so one CASE projection suffices.
+    val verified = verifiedPairs(docs, idCol, textCol, threshold, shingleN, dfCap)
+    val losers = verified
+      .select(
+        when(col("__isect").cast("double") >= col("__sza").cast("double") * threshold &&
+             col("__szb") > col("__sza"), col("__a"))
+        .when(col("__isect").cast("double") >= col("__szb").cast("double") * threshold &&
+              col("__sza") >= col("__szb"), col("__b"))
+        .as(idCol))
+      .filter(col(idCol).isNotNull)
       .distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }
