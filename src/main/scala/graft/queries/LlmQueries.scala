@@ -1785,6 +1785,38 @@ object LlmQueries {
     """
       |SELECT cid, pos, qv AS qval FROM c2 ORDER BY cid, pos""".stripMargin
 
+  /** Cluster-BALANCED sampling — the use-case full-corpus k-means exists
+    * for: assign every vector to its trained cluster, then cap each cluster
+    * at 30 via the md5-priority uniform rule ([[Curation.capPerGroup]], the
+    * domain-cap machinery pointed at topic cells). Dominant topics shrink
+    * to the cap, rare topics keep everything. Oracle = the full k-means
+    * replay + the same deterministic cap.
+    */
+  def qClusterBalance(s: SparkSession, dir: String): DataFrame =
+    Curation.capPerGroup(
+        graft.operators.KMeans.cluster(table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2),
+        "vec_id", "cid", cap = 30)
+      .select("vec_id", "cid")
+      .orderBy("vec_id")
+
+  val qClusterBalanceSql: String = kmeansPrefixSql +
+    """,
+      |d3 AS (
+      |  SELECT e.vec_id, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN c2 c USING (pos) GROUP BY e.vec_id, c.cid),
+      |fin AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d3) t WHERE rn = 1)
+      |SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY cid
+      |                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn
+      |  FROM fin) t
+      |WHERE crn <= 30
+      |ORDER BY vec_id""".stripMargin
+
   // ---- trained-merges BPE tokenization ------------------------------------
 
   /** Absolute path of the pinned BPE merge-table fixture for `dir`.
