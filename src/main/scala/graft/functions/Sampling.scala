@@ -41,6 +41,19 @@ object Sampling {
   /** Deterministic pct% sample predicate. */
   def sampled(key: Column, pct: Int): Column = md5Bucket(key, 100) < pct
 
+  /** Deterministic WEIGHTED Bernoulli keep: row kept iff its salted hash
+    * point u ∈ [0,1) falls below the per-row probability `prob` — the
+    * CCNet-style importance-sampling shape (keep ∝ quality) without RNG:
+    * reproducible across runs/partitionings, and MONOTONE in prob (u is
+    * fixed per key, so raising a row's probability can only add it, never
+    * swap the sample). u = 32 low-order hash bits, compared in exact
+    * doubles; the salt decorrelates the draw from [[split]]'s buckets,
+    * which hash the unsalted key.
+    */
+  def weightedSampled(key: Column, prob: Column, salt: String = "ws"): Column =
+    pmod(md5Lower(concat(lit(salt + ":"), key.cast("string"))), lit(4294967296L))
+      .cast("double") < prob * lit(4294967296.0)
+
   /** Stratified deterministic sample predicate: per-stratum keep
     * percentages (rebalancing a skewed corpus — keep 10% of the dominant
     * language, 100% of the rare ones). Same hash-bucket mechanics as

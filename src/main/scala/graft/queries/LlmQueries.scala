@@ -222,6 +222,33 @@ object LlmQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted downsampling (CCNet shape): each doc kept with
+    * probability = its quality score, via the deterministic salted-hash
+    * draw ([[graft.functions.Sampling.weightedSampled]]) — expected output
+    * fraction = corpus mean quality, no RNG anywhere.
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .filter(graft.functions.Sampling.weightedSampled(col("doc_id"), col("quality")))
+      .orderBy("doc_id")
+
+  val qWeightedSampleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    greatest(least(
+      |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+      |      + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+      |              / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+      |      - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+      |    1.0), 0.0) AS quality
+      |  FROM documents)
+      |SELECT doc_id, quality FROM s
+      |WHERE CAST(md5_number_lower('ws:' || CAST(doc_id AS VARCHAR)) % 4294967296 AS DOUBLE)
+      |      < quality * 4294967296.0
+      |ORDER BY doc_id""".stripMargin
+
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id"),

@@ -84,6 +84,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(counts("train") - 1600) < 100 && math.abs(counts("val") - 200) < 60)
   }
 
+  test("weighted sample: edge probs, monotone in prob, keep rate tracks mean prob") {
+    import graft.functions.Sampling.weightedSampled
+    val ids = (1L to 4000L).toDF("id")
+    assert(ids.filter(weightedSampled(col("id"), lit(0.0))).count() === 0L)
+    assert(ids.filter(weightedSampled(col("id"), lit(1.0))).count() === 4000L)
+    // u is fixed per key → kept(p) must be a SUBSET of kept(p') for p < p'
+    val k30 = ids.filter(weightedSampled(col("id"), lit(0.3))).collect().map(_.getLong(0)).toSet
+    val k60 = ids.filter(weightedSampled(col("id"), lit(0.6))).collect().map(_.getLong(0)).toSet
+    assert(k30.subsetOf(k60))
+    assert(math.abs(k30.size - 1200) < 120 && math.abs(k60.size - 2400) < 150)
+    // per-row probability: p = (id % 2) keeps ~half, exactly the odd rows it keeps at p=1
+    val varP = ids.filter(weightedSampled(col("id"), (col("id") % 2).cast("double")))
+      .collect().map(_.getLong(0)).toSet
+    assert(varP.forall(_ % 2 == 1) && math.abs(varP.size - 2000) < 100)
+    // the draw is decorrelated from the split hash (different salt stream)
+    val unsalted = ids.filter(graft.functions.Sampling.sampled(col("id"), 30))
+      .collect().map(_.getLong(0)).toSet
+    assert((k30 diff unsalted).nonEmpty && (unsalted diff k30).nonEmpty)
+  }
+
   test("rolling hash is order-sensitive, fingerprint is not whitespace-sensitive") {
     val df = Seq("a b c", "c b a", "a  b  c").toDF("text")
     val rh = df.select(TF.rollingHash(col("text"))).collect().map(_.getLong(0))
