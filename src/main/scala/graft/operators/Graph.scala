@@ -33,6 +33,69 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Connected components over an undirected edge set — the general
+    * per-node form of the cluster-materialization step every pairwise
+    * dedup family ends in (near-dup pairs → components → keep one per
+    * component; [[graft.operators.Dedup]]'s `ccMinWinners` is the
+    * winners-only sibling and this operator follows its distributed
+    * route exactly). Returns (node, comp) for every node incident to an
+    * edge, comp = the component's MINIMUM node id — the true transitive
+    * closure, a pure function of the edge set. Edges are symmetrized
+    * here; direction is ignored.
+    *
+    * Each round does (1) a neighbor-min — m(v) = min(l(v), min over
+    * neighbors' labels) — and (2) pointer halving — adopt the label OF
+    * the adopted label (labels are always node ids, so the lookup always
+    * hits). Plain propagation needs O(diameter) rounds; the halving step
+    * collapses label chains geometrically, the pointer-jumping O(log
+    * diameter) bound. Rounds run until a fixed point (changed == 0 — one
+    * control-plane scalar per round), so the output is the exact
+    * components, and the SQL oracle replays the measured round count for
+    * its corpus.
+    *
+    * At 100 TB: per round one equi-join of the slim symmetric edge frame
+    * (persisted once) against the (node, label) frame, one map-side-
+    * combined min, and one label-keyed self-join — all shuffle on node
+    * keys and AQE-coalesce. Each round `localCheckpoint`s the label
+    * frame: lineage stays constant-depth (an unbounded iterative plan
+    * tree is both an optimizer-time and a stack-depth bomb) and
+    * superseded blocks are released by the ContextCleaner. Nothing
+    * graph-sized ever reaches the driver.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    Caches.register(e)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val byNbr = e
+        .join(labels.select(col("node").as("src"), col("comp").as("slbl")), "src")
+        .groupBy("dst").agg(min(col("slbl")).as("nlbl"))
+        .withColumnRenamed("dst", "node")
+      val step1 = labels.join(byNbr, Seq("node"), "left")
+        .select(col("node"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nlbl"), col("comp"))).as("l1"))
+      val step2 = step1
+        .join(labels.select(col("node").as("ln"), col("comp").as("llbl")),
+          step1("l1") === col("ln"), "left")
+        .select(col("node"), col("old"),
+          least(col("l1"), coalesce(col("llbl"), col("l1"))).as("comp"))
+        .localCheckpoint()
+      changed = step2.filter(col("comp") =!= col("old")).count()
+      labels = step2.select("node", "comp")
+      rounds += 1
+    }
+    require(changed == 0,
+      s"connectedComponents: min-label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** Fixed-point PageRank: returns (node, rank) after `iters` rounds, rank
     * in units of `scale` total initial mass, damping = `dampingMillis`/1000.
     */

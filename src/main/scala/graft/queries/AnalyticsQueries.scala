@@ -533,4 +533,53 @@ object AnalyticsQueries {
       |  SELECT n.node, (SELECT base FROM k) + (850 * coalesce(c3.i, 0)) // 1000 AS rank
       |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+
+  // ---- graph clustering: connected components ----------------------------
+  /** Trade communities over the SPARSIFIED customer↔supplier graph (edges
+    * = pairs whose summed order quantity ≥ 80 — high-volume relationships
+    * only), labeled by [[graft.operators.Graph.connectedComponents]]
+    * (converged true components; the spec proves them == driver
+    * union-find on the real table). `csize` is each node's component
+    * population. The oracle replays edge derivation and 6 unrolled
+    * neighbor-min + pointer-halving rounds — the measured fixed point at
+    * sf0.01 AND sf0.1 — so labels hash bit-exact.
+    */
+  def qConcomp(s: SparkSession, dir: String): DataFrame = {
+    val edges = table(s, dir, "orders").join(table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .filter(col("q") >= 80)
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val labels = graft.operators.Graph.connectedComponents(edges, "src", "dst")
+    labels.join(labels.groupBy("comp").agg(count(lit(1)).as("csize")), "comp")
+      .select(col("node"), col("comp"), col("csize"))
+      .orderBy("node")
+  }
+
+  val qConcompSql: String = {
+    val rounds = (1 to 6).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""m$r AS MATERIALIZED (
+         |  SELECT node, min(comp) AS comp FROM (
+         |    SELECT eb.dst AS node, p.comp FROM eb JOIN $prev p ON p.node = eb.src
+         |    UNION ALL SELECT node, comp FROM $prev) GROUP BY node),
+         |l$r AS MATERIALIZED (
+         |  SELECT a.node, least(a.comp, coalesce(b.comp, a.comp)) AS comp
+         |  FROM m$r a LEFT JOIN $prev b ON a.comp = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey, l_suppkey HAVING sum(l_quantity) >= 80),
+       |eb AS MATERIALIZED (SELECT src, dst FROM e0 UNION
+       |       SELECT dst AS src, src AS dst FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM eb),
+       |$rounds,
+       |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize FROM l6 GROUP BY comp)
+       |SELECT l6.node, l6.comp, sz.csize FROM l6 JOIN sz ON sz.comp = l6.comp
+       |ORDER BY node""".stripMargin
+  }
 }

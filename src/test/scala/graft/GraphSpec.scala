@@ -75,4 +75,65 @@ class GraphSpec extends SparkSpec {
     assert(r === prRef(g, 2))
     assert(run(g, 3).values.sum < run(g, 1).values.sum)
   }
+
+  // ---- connected components ----------------------------------------------
+
+  /** Ground truth: transitive closure by union-find. */
+  private def ccTrue(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private def runCc(edges: Seq[(String, String)], maxRounds: Int = 50): Map[String, String] = {
+    val out = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst", maxRounds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    graft.operators.Caches.release()
+    out
+  }
+
+  test("cc operator computes the true components on every fixture") {
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val twoComps = Seq("a" -> "b", "b" -> "c", "x" -> "y")
+    val dups = twoComps ++ twoComps
+    val directedOnly = Seq("b" -> "a", "c" -> "b") // symmetrization must connect
+    val selfLoop = Seq("a" -> "a", "b" -> "c")
+    for (g <- Seq(chain, twoComps, dups, directedOnly, selfLoop))
+      assert(runCc(g) === ccTrue(g), s"graph=$g")
+  }
+
+  test("cc pointer halving converges geometrically, not linearly") {
+    // a 14-node path (diameter 13): plain 1-hop propagation needs 13
+    // rounds; with pointer halving the label chain collapses in 5
+    val path = (0 until 13).map(i => f"n$i%02d" -> f"n${i + 1}%02d")
+    assert(runCc(path, maxRounds = 5) === ccTrue(path))
+    // two far-apart components never merge
+    val g = path ++ Seq("z1" -> "z2", "z2" -> "z3")
+    val labels = runCc(g)
+    assert(labels === ccTrue(g))
+    assert(labels("z3") === "z1" && labels("n13") === "n00")
+  }
+
+  test("cc on the real trade graph equals driver union-find (the registry edge rule)") {
+    val e = GraftSession.table(spark, "/root/testdata/sf0.01", "orders")
+      .join(GraftSession.table(spark, "/root/testdata/sf0.01", "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q")).filter(col("q") >= 80)
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val pairs = e.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val got = Graph.connectedComponents(e, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    graft.operators.Caches.release()
+    assert(got === ccTrue(pairs))
+    assert(got.nonEmpty)
+  }
 }
