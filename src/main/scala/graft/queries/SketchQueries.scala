@@ -137,4 +137,75 @@ object SketchQueries {
        |  CAST(CAST(sum(p_micro) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS DOUBLE) AS fluency
        |FROM s GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ---- HLL set algebra: intersection by inclusion-exclusion --------------
+  /** Distinct-set OVERLAP from sketches alone — the "how many part keys
+    * appear in BOTH corpus slices" question answered without ever
+    * shuffling a distinct set: est(A∩B) = est(A) + est(B) − est(A∪B),
+    * where the union sketch is [[Sketch.hllMerge]]'s per-bucket register
+    * max (associative, so slices merge in any order — the per-shard
+    * sketch posture at 100 TB). Slices are the scale-free key residues
+    * pk%5≤2 and pk%5≥2: a genuine 20%-of-keyspace overlap at every SF.
+    *
+    * p = 8 (m = 256) keeps every estimate ≥ ~4·m, far above the 2.5·m
+    * linear-counting cutover, so all three estimates take the raw
+    * harmonic-mean branch — whose only floating ops are IEEE-exact
+    * multiplies and one division over an exact-BIGINT harmonic sum. The
+    * oracle replays registers, merge, both estimator branches, and the
+    * inclusion-exclusion arithmetic — all four doubles hash bit-exact.
+    */
+  def qHllIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+    val a = li.filter(col("l_partkey") % 5 <= 2).select(col("l_partkey").as("pk"))
+    val b = li.filter(col("l_partkey") % 5 >= 2).select(col("l_partkey").as("pk"))
+    val ra = Sketch.hllRegisters(a, "pk", p = 8)
+    val rb = Sketch.hllRegisters(b, "pk", p = 8)
+    val ru = Sketch.hllMerge(ra, rb)
+    val (ea, eb, eu) =
+      (Sketch.hllEstimate(ra, 8), Sketch.hllEstimate(rb, 8), Sketch.hllEstimate(ru, 8))
+    Seq((ea, eb, eu, ea + eb - eu))
+      .toDF("est_a", "est_b", "est_union", "est_intersect")
+  }
+
+  val qHllIntersectSql: String = {
+    // register CTE per slice: bucket/rho draws from the md5 family,
+    // exactly hllRegisters' projection at p = 8
+    def regs(name: String, pred: String) =
+      s"""h_$name AS (
+         |  SELECT CAST(md5_number_lower(CAST(l_partkey AS VARCHAR)) % 256 AS INT) AS bucket,
+         |         md5_number_lower('r:' || CAST(l_partkey AS VARCHAR)) % 281474976710656 AS w
+         |  FROM lineitem WHERE $pred),
+         |r_$name AS (
+         |  SELECT bucket, max(CAST(CASE WHEN w = 0 THEN 49
+         |                              ELSE 49 - length(bin(w)) END AS INT)) AS rho
+         |  FROM h_$name GROUP BY bucket)""".stripMargin
+    // the estimator: exact-BIGINT harmonic sum, then hllEstimate's double
+    // arithmetic in the same operation order, both branches replayed
+    def est(name: String) =
+      s"""s_$name AS (
+         |  SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT)
+         |           + (256 - count(*)) * (CAST(1 AS BIGINT) << 49) AS s,
+         |         256 - count(*) AS v
+         |  FROM r_$name),
+         |e_$name AS (
+         |  SELECT CASE WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256)
+         |                   * 562949953421312.0 / CAST(s AS DOUBLE) <= 2.5 * 256
+         |              AND v > 0
+         |              THEN 256 * ln(256.0 / v)
+         |              ELSE ((0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256)
+         |                   * 562949953421312.0 / CAST(s AS DOUBLE) END AS e
+         |  FROM s_$name)""".stripMargin
+    s"""WITH ${regs("a", "l_partkey % 5 <= 2")},
+       |${regs("b", "l_partkey % 5 >= 2")},
+       |r_u AS (
+       |  SELECT bucket, max(rho) AS rho
+       |  FROM (SELECT * FROM r_a UNION ALL SELECT * FROM r_b) GROUP BY bucket),
+       |${est("a")},
+       |${est("b")},
+       |${est("u")}
+       |SELECT e_a.e AS est_a, e_b.e AS est_b, e_u.e AS est_union,
+       |       e_a.e + e_b.e - e_u.e AS est_intersect
+       |FROM e_a, e_b, e_u""".stripMargin
+  }
 }

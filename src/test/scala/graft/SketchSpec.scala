@@ -23,6 +23,20 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 100) / 100.0 < 0.05, s"est=$est")
   }
 
+  test("HLL inclusion-exclusion recovers a planted overlap within sketch error") {
+    // A = 0..5999, B = 4000..9999 → |A∩B| = 2000; p=10 (m=1024, ~3.3% σ)
+    val ra = Sketch.hllRegisters(ids(0, 6000), "v", p = 10)
+    val rb = Sketch.hllRegisters(ids(4000, 10000), "v", p = 10)
+    val ru = Sketch.hllMerge(ra, rb)
+    val (ea, eb, eu) = (Sketch.hllEstimate(ra, 10), Sketch.hllEstimate(rb, 10),
+      Sketch.hllEstimate(ru, 10))
+    val inter = ea + eb - eu
+    // intersect variance compounds three estimates — allow 4σ of each
+    assert(math.abs(inter - 2000) < 0.13 * 6000, s"est=$inter")
+    // union is monotone: merged sketch can never estimate below a part
+    assert(eu >= math.max(ea, eb) * 0.97, s"eu=$eu ea=$ea eb=$eb")
+  }
+
   test("duplicates never move the registers: sketch(x3 copies) == sketch") {
     val once = Sketch.hllRegisters(ids(0, 5000), "v")
     val tripled = Sketch.hllRegisters(
