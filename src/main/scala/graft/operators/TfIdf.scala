@@ -79,4 +79,64 @@ object TfIdf {
         sum(when(col("df") <= dfMax, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_terms"))
   }
+
+  /** BM25 retrieval scores for every document against a fixed query term
+    * set — the ranked-retrieval sibling of [[topKTerms]] (the reference's
+    * keyword-match feed filters are boolean; BM25 is the published
+    * graded-relevance upgrade: Robertson & Spärck Jones probabilistic
+    * relevance framework, the k1/b formulation of Robertson et al.,
+    * TREC-3). Returns (idCol, n_hits, score_micro): number of distinct
+    * query terms present and the BM25 score.
+    *
+    * HASH-EXACT CONTRACT: every per-(doc, term) contribution
+    * `idf_ratio · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` is computed
+    * as doubles in ONE pinned association (each *, /, + exactly rounded,
+    * so any engine computing the same op tree bit-matches), then floored
+    * to integer MICRO-UNITS; the per-document score is an integer SUM of
+    * those micro-contributions — associative, partitioning-independent.
+    * idf uses the +0.5-smoothed RATIO (N−df+0.5)/(df+0.5), not its log:
+    * ln is not exactly rounded and engines disagree in the last ulp,
+    * which a floor() then amplifies to an off-by-one micro-unit. Ranking
+    * differs from log-BM25 only where a document trades a rare term for
+    * several common ones; the contract is documented, deterministic, and
+    * replayable in SQL.
+    *
+    * Scale shape: the term filter (`array_contains` on a literal array)
+    * prunes the exploded token stream INSIDE the scan stage, so only
+    * query-term occurrences — a vanishing fraction of the corpus —
+    * shuffle into the tf aggregation. dl is a doc-local `size()` (no
+    * shuffle); avgdl and N ride in as a broadcast 1-row frame; df (≤
+    * |query| rows) broadcasts. One map-side-combined sum per document.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qlit = array(queryTerms.distinct.sorted.map(lit): _*)
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("dl"), explode(col("__t")).as("term"))
+      .filter(array_contains(qlit, col("term")))
+    // tf carries dl along (constant per doc) — saves a join back to a
+    // doc-length frame; persisted because df re-aggregates it
+    val tf = toks.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf")).persist()
+    Caches.register(tf)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("__t"))).as("tot_tokens"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf_r",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("denom",
+        col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+      .withColumn("contrib_micro",
+        floor(lit(1e6) * (col("idf_r") * (col("tf").cast("double") * lit(k1 + 1.0)) / col("denom")))
+          .cast("long"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"), sum("contrib_micro").as("score_micro"))
+  }
 }

@@ -582,4 +582,52 @@ object AnalyticsQueries {
        |SELECT l6.node, l6.comp, sz.csize FROM l6 JOIN sz ON sz.comp = l6.comp
        |ORDER BY node""".stripMargin
   }
+
+  // ---- triangle counts over the part co-order graph ----------------------
+  /** Per-part triangle counts on the co-purchase graph: parts are linked
+    * when some order contains both, with the edge set thinned to a
+    * DETERMINISTIC 30% md5 sample (the co-order graph's density is an
+    * artifact of the synthetic catalog's size; a real 100 TB catalog is
+    * sparse, and the sample keeps the benchmarked wedge work at the
+    * real-graph shape while exercising the same plan). The operator runs
+    * the degree-ordered wedge enumeration ([[graft.operators.Graph
+    * .triangleCounts]] — Σ d_out² ≤ m^1.5 wedge bound); the oracle replays
+    * the result with the naive a<b<c three-way join, which is the
+    * RESULT-equality proof that orientation only reshapes the work.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val sl = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val a = sl.select(col("ok"), col("pk").as("p1"))
+    val b = sl.select(col("ok").as("ok2"), col("pk").as("p2"))
+    val edges = a.join(b, col("ok") === col("ok2"))
+      .filter(col("p1") < col("p2"))
+      .select("p1", "p2").distinct()
+      .filter(graft.functions.Sampling.md5Bucket(
+        concat(col("p1").cast("string"), lit(":"), col("p2").cast("string")), 10) < 3)
+    graft.operators.Graph.triangleCounts(edges, "p1", "p2")
+      .orderBy("node")
+  }
+
+  val qTrianglesSql: String =
+    """WITH sl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM sl a JOIN sl b ON a.ok = b.ok AND a.pk < b.pk),
+      |es AS (
+      |  SELECT u, v FROM e
+      |  WHERE md5_number_lower(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) % 10 < 3),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM es UNION ALL SELECT v FROM es) GROUP BY node),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM es e1 JOIN es e2 ON e2.u = e1.v JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pn AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) GROUP BY node)
+      |SELECT deg.node, deg.deg, coalesce(pn.n_tri, 0) AS n_tri
+      |FROM deg LEFT JOIN pn ON pn.node = deg.node
+      |ORDER BY deg.node""".stripMargin
 }

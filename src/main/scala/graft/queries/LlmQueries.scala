@@ -2146,4 +2146,123 @@ object LlmQueries {
        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---- BM25 ranked retrieval ----------------------------------------------
+  /** BM25 scores for a fixed 4-term query over the corpus — the graded
+    * upgrade of the reference's boolean keyword filters (see
+    * [[graft.operators.TfIdf.bm25]] for the micro-quantized hash-exact
+    * contract and the scan-stage term pruning).
+    */
+  private val bm25Terms = Seq("spark", "window", "merge", "hash")
+
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.bm25(table(s, dir, "documents"), "doc_id", "text",
+        bm25Terms)
+      .orderBy("doc_id")
+
+  val qBm25Sql: String = {
+    val qlist = bm25Terms.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE term IN ($qlist) GROUP BY 1, 2, 3),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+       |      AS tot_tokens
+       |  FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(FLOOR(1000000.0 * (
+       |      ((CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+       |                                 / (CAST(st.tot_tokens AS DOUBLE) / st.n_docs))))
+       |    )) AS BIGINT) AS contrib
+       |  FROM tf JOIN df USING (term) CROSS JOIN st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(sum(contrib) AS BIGINT) AS score_micro
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- PMI collocations ---------------------------------------------------
+  /** Top-40 adjacent-pair collocations by PMI ratio (pairs seen ≥ 5 times)
+    * — see [[graft.operators.Cooccur.topPmiPairs]] for the pinned-division
+    * determinism contract and the vocabulary-sized join shape.
+    */
+  def qCooccurPmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cooccur.topPmiPairs(table(s, dir, "documents"), "text",
+        minCount = 5, k = 40)
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+
+  val qCooccurPmiSql: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+      |bi AS (
+      |  SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM (
+      |    SELECT unnest(list_transform(range(0, len(t) - 1),
+      |                                 i -> [t[i+1], t[i+2]])) AS p
+      |    FROM t WHERE len(t) >= 2)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |tot AS (
+      |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS m_tokens,
+      |         (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) FROM t)
+      |           AS n_bigrams)
+      |SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2,
+      |  CAST(bi.c12 AS DOUBLE) / tot.n_bigrams / u1.c * tot.m_tokens
+      |    / u2.c * tot.m_tokens AS pmi_ratio
+      |FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+      |CROSS JOIN tot
+      |ORDER BY pmi_ratio DESC, w1, w2
+      |LIMIT 40""".stripMargin
+
+  // ---- hashed-feature importance score (the DSIR shape) -------------------
+  /** Importance score of every document against the English slice as the
+    * target distribution — the data-selection gate of Xie et al. 2023 over
+    * the cross-engine md5 feature hash (see [[graft.operators.Importance]]
+    * for the micro-quantized ratio contract replacing the log-LR).
+    */
+  def qImportanceScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.score(table(s, dir, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en", buckets = 512)
+      .orderBy("doc_id")
+
+  val qImportanceScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    CAST(md5_number_lower(unnest(string_split_regex(lower(trim(text)), '\s+')))
+      |         % 512 AS INT) AS b
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT b,
+      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+      |    CAST(count(*) AS BIGINT) AS c_b
+      |  FROM tok GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
+      |    CAST(count(*) AS BIGINT) AS c_tot
+      |  FROM tok),
+      |w AS (
+      |  SELECT b,
+      |    CAST(FLOOR(1000000.0 * (
+      |      ((CAST(t_b AS DOUBLE) + 1.0) / (CAST(t_tot AS DOUBLE) + 512.0))
+      |      / ((CAST(c_b AS DOUBLE) + 1.0) / (CAST(c_tot AS DOUBLE) + 512.0))
+      |    )) AS BIGINT) AS w_micro
+      |  FROM cnt CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(w_micro) AS BIGINT) AS score_micro,
+      |  CAST(sum(w_micro) AS DOUBLE) / count(*) AS per_token_micro
+      |FROM tok JOIN w USING (b)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }
