@@ -60,4 +60,31 @@ object Cooccur {
       .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Top-k word n-grams PER GROUP by raw count — the boilerplate report
+    * (per-source repeated headers/footers/license blocks surface as the
+    * dominant n-grams; C4/RefinedWeb-style pipelines cut lines matching
+    * them). Returns (groupCol, gram, cnt, gram_rank), ties broken by gram.
+    *
+    * Scale shape: grams are a doc-local explode; counting is one
+    * map-side-combined aggregation to the slim (group, gram) vocabulary;
+    * the per-group top-k window is the `row_number() <= k` shape
+    * TopKRewriteRule rewrites into bounded k-heap partials — the shuffle
+    * carries k rows per group per task, never a group's whole vocabulary.
+    * Docs shorter than n tokens contribute nothing (wordShingles'
+    * whole-doc fallback is excluded by the pre-filter).
+    */
+  def topNgramsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
+    docs
+      .filter(size(TextFunctions.tokens(col(textCol))) >= n)
+      .select(col(groupCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy(groupCol, "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("gram_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+          .orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("gram_rank") <= k)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -235,5 +236,101 @@ object Curation {
         .as(s"p${math.round(p * 100)}")
     }
     cum.groupBy(col(srcCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Robust per-group outlier gate: median/MAD instead of mean/stddev —
+    * the Hampel identifier. A curation corpus's length/score distributions
+    * are heavy-tailed, and mean±k·σ moves WITH the outliers it should
+    * flag; the median and the median-absolute-deviation are 50%-breakdown
+    * estimators, so one garbage slice cannot drag the gate. Flags rows
+    * with |value − median| > k·MAD. Returns (idCol, groupCol, value, med,
+    * mad, is_outlier) for every row.
+    *
+    * All-integer: both medians come from [[lengthPercentiles]]' lossless
+    * histogram CDF (discrete, no interpolation — a mean-based rule would
+    * hinge on an unpinned stddev sqrt), so the verdict is a pure function
+    * of the data, replayable in SQL. MAD = 0 (over half the group
+    * identical) flags every value ≠ median — the documented Hampel edge.
+    *
+    * Scale shape: two histogram aggregations (each ~|groups × distinct
+    * values| rows, map-side-combined) + two broadcast joins of |groups|-
+    * row frames back onto the stream. Row bodies never shuffle; no
+    * value-buffering percentile aggregate anywhere.
+    */
+  def robustOutliers(docs: DataFrame, idCol: String, groupCol: String,
+                     valueCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val slim = docs.select(col(idCol), col(groupCol),
+      col(valueCol).cast("long").as("value"))
+    val med = lengthPercentiles(slim, groupCol, "value", Seq(0.5))
+      .select(col(groupCol), col("p50").as("med"))
+    val dev = slim.join(broadcast(med), groupCol)
+      .withColumn("__adev", abs(col("value") - col("med")))
+    val mad = lengthPercentiles(dev, groupCol, "__adev", Seq(0.5))
+      .select(col(groupCol), col("p50").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .select(col(idCol), col(groupCol), col("value"), col("med"), col("mad"),
+        (col("__adev") > lit(k.toLong) * col("mad")).as("is_outlier"))
+  }
+
+  /** Per-group vocabulary CONCENTRATION — the Simpson index Σp² of the
+    * unigram distribution (and its Gini-impurity complement 1−Σp²): the
+    * "is this slice all one template?" diagnostic. A boilerplate-dominated
+    * source concentrates its token mass on few types (Σp² → 1); diverse
+    * prose spreads it (Σp² → 1/vocab). Shannon entropy is the textbook
+    * statistic, but `ln` is not exactly rounded cross-engine — Simpson is
+    * the same diagnostic as ONE pinned division (Σc² / M²), so the whole
+    * row sits under the hash gate. Returns (groupCol, m_tokens, n_vocab,
+    * sum_c2, simpson, gini).
+    *
+    * Scale shape: one doc-local explode, one map-side-combined count to
+    * the slim (group, token) vocabulary, one map-side-combined reduction
+    * to |groups| rows. Long Σc² holds to ~3·10⁹ occurrences of a single
+    * type; past that widen to decimal(38,0) — the documented trade.
+    */
+  def vocabConcentration(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(groupCol, "w").agg(count(lit(1)).as("c"))
+    counts.groupBy(groupCol)
+      .agg(sum("c").as("m_tokens"), count(lit(1)).as("n_vocab"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .withColumn("simpson",
+        col("sum_c2").cast("double") / (col("m_tokens") * col("m_tokens")))
+      .withColumn("gini", lit(1.0) - col("simpson"))
+  }
+
+  /** Vocabulary GROWTH curve (the Heaps'-law table): distinct token types
+    * seen within the first N documents, for a checkpoint list of N — the
+    * "is this corpus still giving us new vocabulary?" saturation signal
+    * that decides when more of a source stops paying. "First N" is by the
+    * id order, so the curve is a pure function of the corpus, not of
+    * partitioning. Returns (n_docs, total_tokens, vocab) per checkpoint.
+    *
+    * Scale shape: a token's first appearance is one map-side-combined
+    * `min(id)` to the slim vocabulary frame; each checkpoint is then a
+    * conditional count over vocabulary-sized (not corpus-sized) data —
+    * the checkpoint list broadcasts and the comparison runs inside the
+    * aggregation, so the corpus tokenizes ONCE for the whole curve.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "checkpoints must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.distinct.sorted.toDF("n_docs")
+    val toks = docs.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val firsts = toks.select(col("__id"), explode(col("__t")).as("w"))
+      .groupBy("w").agg(min("__id").as("first_id"))
+    val vocab = firsts.crossJoin(broadcast(cps))
+      .groupBy("n_docs")
+      .agg(sum(when(col("first_id") < col("n_docs"), 1L).otherwise(0L)).as("vocab"))
+    val totals = toks.select(col("__id"), size(col("__t")).cast("long").as("__n"))
+      .crossJoin(broadcast(cps))
+      .groupBy("n_docs")
+      .agg(sum(when(col("__id") < col("n_docs"), col("__n")).otherwise(0L))
+        .as("total_tokens"))
+    totals.join(vocab, "n_docs").select("n_docs", "total_tokens", "vocab")
   }
 }

@@ -172,6 +172,33 @@ object AnalyticsQueries {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---- cube: the full grouping-sets lattice ------------------------------
+  /** CUBE over (returnflag, linestatus, ship year) — every subtotal slice
+    * of the rollup family at once (the OLAP report the reference's
+    * aggregate consumers build by re-running per dimension; one Expand
+    * pass here). Same plan shape as [[qRollup]]: Expand multiplies rows by
+    * the 8 grouping sets BEFORE the aggregation, partial aggregation
+    * combines map-side, and the output is lattice-sized (|flags|·|status|·
+    * |years| upper bound), never corpus-sized.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .cube("l_returnflag", "l_linestatus", "ship_year")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+        col("ship_year").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS ship_year,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+      |  ship_year ASC NULLS FIRST""".stripMargin
+
   // ---- anti join: customers with no orders ------------------------------
   /** Left-anti join — the "orphans" audit every feed pipeline needs
     * (customers with no orders in the first half of 1995).

@@ -2226,6 +2226,179 @@ object LlmQueries {
       |ORDER BY pmi_ratio DESC, w1, w2
       |LIMIT 40""".stripMargin
 
+  // ---- per-source boilerplate n-grams -------------------------------------
+  /** Top-5 word 3-grams per source by count — the boilerplate report (see
+    * [[graft.operators.Cooccur.topNgramsPerGroup]]; the top-k window is the
+    * TopKRewriteRule heap shape).
+    */
+  def qTopNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cooccur.topNgramsPerGroup(table(s, dir, "documents"),
+        "source", "text", n = 3, k = 5)
+      .orderBy("source", "gram_rank")
+
+  val qTopNgramsSql: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, unnest(list_transform(range(0, len(t) - 2),
+      |                                       i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+      |  FROM t WHERE len(t) >= 3),
+      |c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, gram, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rnk
+      |  FROM c)
+      |SELECT source, gram, cnt, CAST(rnk AS INT) AS gram_rank
+      |FROM r WHERE rnk <= 5
+      |ORDER BY source, gram_rank""".stripMargin
+
+  // ---- robust per-source outlier gate -------------------------------------
+  /** Hampel outliers on document length per source: |n_chars − median| >
+    * 3·MAD (see [[graft.operators.Curation.robustOutliers]] for the
+    * 50%-breakdown rationale and the histogram-CDF integer contract).
+    */
+  def qRobustOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.robustOutliers(table(s, dir, "documents"),
+        "doc_id", "source", "n_chars", k = 3)
+      .orderBy("doc_id")
+
+  val qRobustOutliersSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS value FROM documents),
+      |h1 AS (SELECT source, value AS v, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM s GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT source, v,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM h1),
+      |med AS (
+      |  SELECT source, CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS BIGINT) AS med
+      |  FROM c1 GROUP BY source),
+      |d AS (
+      |  SELECT s.doc_id, s.source, s.value, m.med, abs(s.value - m.med) AS adev
+      |  FROM s JOIN med m USING (source)),
+      |h2 AS (SELECT source, adev AS v, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM d GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT source, v,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY source) AS n
+      |  FROM h2),
+      |mad AS (
+      |  SELECT source, CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS BIGINT) AS mad
+      |  FROM c2 GROUP BY source)
+      |SELECT d.doc_id, d.source, d.value, d.med, ma.mad,
+      |  d.adev > 3 * ma.mad AS is_outlier
+      |FROM d JOIN mad ma USING (source)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- vocabulary concentration + growth ----------------------------------
+  /** Per-source Simpson/Gini vocabulary concentration — see
+    * [[graft.operators.Curation.vocabConcentration]] for why Simpson
+    * replaces Shannon entropy under the hash gate.
+    */
+  def qVocabGini(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.vocabConcentration(table(s, dir, "documents"),
+        "source", "text")
+      .orderBy("source")
+
+  val qVocabGiniSql: String =
+    """WITH c AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS m_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_vocab,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+      |  FROM c GROUP BY source)
+      |SELECT source, m_tokens, n_vocab, sum_c2,
+      |  CAST(sum_c2 AS DOUBLE) / (m_tokens * m_tokens) AS simpson,
+      |  1.0 - CAST(sum_c2 AS DOUBLE) / (m_tokens * m_tokens) AS gini
+      |FROM a ORDER BY source""".stripMargin
+
+  /** Vocabulary growth at doc-count checkpoints — see
+    * [[graft.operators.Curation.vocabGrowth]] (Heaps'-law saturation
+    * signal; one tokenize pass for the whole curve).
+    */
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.vocabGrowth(table(s, dir, "documents"),
+        "doc_id", "text", checkpoints = Seq(64L, 256L, 1024L, 4096L))
+      .orderBy("n_docs")
+
+  val qVocabGrowthSql: String =
+    """WITH cps AS (SELECT unnest([64, 256, 1024, 4096]) AS n_docs),
+      |t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |firsts AS (
+      |  SELECT w, CAST(min(doc_id) AS BIGINT) AS first_id
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM t) GROUP BY w),
+      |vocab AS (
+      |  SELECT cps.n_docs,
+      |    CAST(sum(CASE WHEN f.first_id < cps.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vocab
+      |  FROM firsts f CROSS JOIN cps GROUP BY 1),
+      |tot AS (
+      |  SELECT cps.n_docs,
+      |    CAST(sum(CASE WHEN t.doc_id < cps.n_docs THEN len(t.t) ELSE 0 END) AS BIGINT)
+      |      AS total_tokens
+      |  FROM t CROSS JOIN cps GROUP BY 1)
+      |SELECT CAST(tot.n_docs AS BIGINT) AS n_docs, tot.total_tokens, vocab.vocab
+      |FROM tot JOIN vocab USING (n_docs)
+      |ORDER BY n_docs""".stripMargin
+
+  // ---- leading principal direction (integer power iteration) --------------
+  /** Projection of every embedding onto the corpus's leading variance axis
+    * — exact-integer power iteration (see [[graft.operators.Pca]]): the
+    * dim² moment matrix and 6 driver-side BigInt rounds replay fully in
+    * SQL, so every projection is hash-gated.
+    */
+  def qPcaProject(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.project(table(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 6)
+      .orderBy("vec_id")
+
+  val qPcaProjectSql: String = {
+    val rounds = (1 to 6).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""u$r AS (
+         |  SELECT c.i, sum(c.cv * v.vj) AS u
+         |  FROM cov c JOIN $prev v ON v.i = c.j GROUP BY c.i),
+         |m$r AS (SELECT max(abs(u)) AS m FROM u$r),
+         |v$r AS (
+         |  SELECT u.i,
+         |    CASE WHEN u.u < 0 THEN -(((-u.u) * 1000000) // m.m)
+         |         ELSE (u.u * 1000000) // m.m END AS vj
+         |  FROM u$r u CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |qe AS (
+       |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, v[u.i] AS qv
+       |  FROM q, LATERAL unnest(generate_series(1, CAST(len(v) AS BIGINT))) AS u(i)),
+       |mu AS (
+       |  SELECT pos, (s - ((s % n + n) % n)) // n AS m
+       |  FROM (SELECT pos, CAST(sum(qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |        FROM qe GROUP BY pos)),
+       |ctr AS (
+       |  SELECT e.vec_id, e.pos, e.qv - m.m AS d FROM qe e JOIN mu m USING (pos)),
+       |cov AS (
+       |  SELECT a.pos AS i, b.pos AS j, CAST(sum(CAST(a.d AS HUGEINT) * b.d) AS HUGEINT) AS cv
+       |  FROM ctr a JOIN ctr b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT pos AS i, CAST(1000000 AS HUGEINT) AS vj FROM qe),
+       |$rounds
+       |SELECT c.vec_id, CAST(sum(c.d * CAST(v.vj AS BIGINT)) AS BIGINT) AS proj_micro
+       |FROM ctr c JOIN v6 v ON v.i = c.pos
+       |GROUP BY c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   // ---- hashed-feature importance score (the DSIR shape) -------------------
   /** Importance score of every document against the English slice as the
     * target distribution — the data-selection gate of Xie et al. 2023 over

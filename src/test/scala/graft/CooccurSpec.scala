@@ -53,4 +53,30 @@ class CooccurSpec extends SparkSpec {
     // dropping minCount to 1 admits them, still model-exact
     assert(run(corpus, 1, 100) === ref(corpus, 1, 100))
   }
+
+  test("topNgramsPerGroup: per-group boilerplate surfaces; short docs excluded") {
+    val docs = Seq(
+      ("s1", "all rights reserved footer text one"),
+      ("s1", "all rights reserved footer text two"),
+      ("s1", "all rights reserved something else here"),
+      ("s1", "unique words only in this doc"),
+      ("s2", "cookie policy accepted by the user"),
+      ("s2", "cookie policy accepted again today now"),
+      ("s2", "hi"), // < 3 tokens: no grams
+      ("s2", "ok go")).toDF("src", "text")
+    val got = Cooccur.topNgramsPerGroup(docs, "src", "text", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got.exists { case (s, g, c, r) => s == "s1" && g == "all rights reserved" && c == 3 && r == 1 })
+    assert(got.exists { case (s, g, c, r) => s == "s2" && g == "cookie policy accepted" && c == 2 && r == 1 })
+    // exactly k rows per group, rank 1..k, counts non-increasing by rank
+    val byGroup = got.groupBy(_._1)
+    assert(byGroup.forall(_._2.size == 2))
+    assert(byGroup.values.forall { rows =>
+      val sorted = rows.toSeq.sortBy(_._4)
+      sorted.map(_._4) == Seq(1, 2) && sorted(0)._3 >= sorted(1)._3
+    })
+    // nothing from the short docs
+    assert(!got.exists(_._2.contains("hi")))
+  }
 }
