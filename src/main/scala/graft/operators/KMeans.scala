@@ -69,9 +69,15 @@ object KMeans {
       .select("qv").as[Array[Long]].collect()
     require(cents.nonEmpty, "k-means: empty input")
     for (_ <- 0 until iters) {
-      // one scan: literal-centroid argmin, then slim integer cell sums
-      val next = q.select(bestOf(col("qv"), cents).getField("cid").as("cid"),
-          posexplode(col("qv")).as(Seq("pos", "v")))
+      // one scan: literal-centroid argmin, then slim integer cell sums.
+      // cid MUST be projected in its own select BELOW the explode: fused
+      // into the generator's projection, Catalyst evaluates the argmin
+      // struct per EXPLODED row (dim× re-evaluation of an interpreted HOF
+      // tree — measured 7.7 s vs 0.65 s per iteration at sf0.1)
+      val withCid = q.select(bestOf(col("qv"), cents).getField("cid").as("cid"),
+        col("qv"))
+      val next = withCid
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("c"))
         // floor mean in PURE long arithmetic (`div`, not `/` — double
@@ -113,3 +119,4 @@ object KMeans {
               k: Int, iters: Int): DataFrame =
     assign(vectors, idCol, vecCol, train(vectors, idCol, vecCol, k, iters))
 }
+
