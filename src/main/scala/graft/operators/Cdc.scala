@@ -36,11 +36,13 @@ object Cdc {
       s"maskHex must be lowercase hex, got '$maskHex'")
     val t = col("t")
     val n = length(t)
-    // cut positions: window [i-k+1, i] hashes into the mask
-    val cuts = filter(sequence(lit(k), greatest(n, lit(k))),
-      i => i <= n &&
-        substring(md5(encode(t.substr(i - lit(k - 1), lit(k)), "UTF-8")), 1, maskHex.length)
-          === lit(maskHex))
+    // cut positions: window [i-k+1, i] hashes into the mask. ONE native
+    // pass (graft_cdc_cuts) — the declarative filter(sequence(...),
+    // md5(substr(...))) is result-identical but pays an interpreted
+    // md5+substr+encode chain per CHARACTER (~8× slower measured); the
+    // SQL oracle still replays that declarative form, which is the
+    // equality proof for the native expression
+    val cuts = graft.plans.NativeHash.cdcCuts(t, k, maskHex)
     val starts = concat(array(lit(1)), transform(col("cuts"), c => c + 1))
     val ends = concat(col("cuts"), array(n))
     docs.select(col(idCol).as("id"), col(textCol).as("t"))

@@ -708,6 +708,60 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): TokenGramHashes = copy(child = newChild)
   }
 
+  /** `graft_cdc_cuts(text, k, maskHex)` — 1-based char positions i where
+    * md5 of the k-char window ending at i starts with `maskHex`: the CDC
+    * boundary rule ([[graft.operators.Cdc]]) in ONE native pass. The
+    * declarative `filter(sequence(...), md5(substr(...)))` formulation is
+    * result-identical but pays an interpreted md5+substr+encode chain per
+    * CHARACTER (measured ~8× this expression); here the code-point array
+    * decodes once and a thread-local digest is reused per window. Windows
+    * are CODE POINTS (Spark `substr` semantics), so the replay contract
+    * with the SQL oracle is unchanged byte for byte.
+    */
+  case class CdcCuts(child: Expression, k: Int, maskHex: String)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, s"window must be >= 1, got $k")
+    require(maskHex.nonEmpty && maskHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"maskHex must be lowercase hex, got '$maskHex'")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_cdc_cuts requires a string argument")
+    override protected def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val n = cps.length
+      if (n < k) return new GenericArrayData(Array.empty[Int])
+      val md = md5s.get()
+      val out = new java.util.ArrayList[Integer]()
+      val nibbles = maskHex.length
+      val maskBytes = new Array[Int](nibbles)
+      var m = 0
+      while (m < nibbles) { m += 1; maskBytes(m - 1) = Character.digit(maskHex(m - 1), 16) }
+      var i = k
+      while (i <= n) {
+        val w = new String(cps, i - k, k)
+        md.reset()
+        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var ok = true
+        var b = 0
+        while (ok && b < nibbles) {
+          val nib = if (b % 2 == 0) (d(b / 2) >> 4) & 0xf else d(b / 2) & 0xf
+          ok = nib == maskBytes(b)
+          b += 1
+        }
+        if (ok) out.add(i)
+        i += 1
+      }
+      val arr = new Array[Int](out.size)
+      var j = 0
+      while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(newChild: Expression): CdcCuts = copy(child = newChild)
+  }
+
   /** Per-document top-n-gram frequency ratio in one pass — the shuffle-free
     * form of the Gopher repetition gate. The explode+groupBy formulation
     * shuffles every n-gram twice; this computes `(max count / total, total)`
@@ -774,6 +828,9 @@ object NativeHash {
     call_function("graft_lsh_keys", v, lit(nTables), lit(k))
 
   def md5Mod(c: Column, m: Long): Column = call_function("graft_md5_mod", c, lit(m))
+
+  def cdcCuts(c: Column, k: Int, maskHex: String): Column =
+    call_function("graft_cdc_cuts", c, lit(k), lit(maskHex))
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -819,6 +876,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_token_grams"),
       new ExpressionInfo(classOf[NativeHash.TokenGramHashes].getName, "graft_token_grams"),
       (args: Seq[Expression]) => NativeHash.TokenGramHashes(args.head, args(1).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[NativeHash.CdcCuts].getName, "graft_cdc_cuts"),
+      (args: Seq[Expression]) => NativeHash.CdcCuts(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().toString)
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_band_keys"),
