@@ -462,7 +462,15 @@ object Dedup {
   def incrementalSurvivors(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
                            threshold: Double, bands: Int = 20, r: Int = 2,
                            shingleN: Int = 1, batchBroadcastThreshold: Long = 65536L): DataFrame = {
-    val index = buildNearDupIndex(corpus, idCol, textCol, bands, r, shingleN)
+    // persisted: the banded probe route reads the index TWICE (slim band
+    // keys for candidates, word arrays for the verify join-back) — without
+    // the barrier the whole index build (the corpus minhash pass, the
+    // dominant cost) re-executes per read. A production loop materializes
+    // the index to storage anyway ([[probeSurvivors]] on the parquet frame
+    // — the q_dedup_probe bench shape); this persist gives the one-shot
+    // build+probe composition the same single-build guarantee.
+    val index = buildNearDupIndex(corpus, idCol, textCol, bands, r, shingleN).persist()
+    Caches.register(index)
     probeSurvivors(index, batch, idCol, textCol, threshold, bands, r, shingleN,
       batchBroadcastThreshold)
   }
@@ -520,8 +528,36 @@ object Dedup {
 
     val contaminated =
       if (bReps.count() <= batchBroadcastThreshold) {
-        verified(index.join(broadcast(bReps),
-          sizePrune(col("sz"), col("__bsz")) && arrays_overlap(col("bks"), col("__bbks"))))
+        // The streamed index MUST be persisted (deserialized) for this
+        // route: the per-pair condition reads the stream row's arrays
+        // through JoinedRow, and from a parquet scan every access
+        // re-materializes UnsafeArrayData element by element — measured
+        // 75 s vs 7 s at the ×10 corpus for the SAME work off an
+        // in-memory (object-array) index. Corpus-sized persist is the
+        // documented price of the nested-loop route; the banded branch
+        // below is the spill-free alternative for large batches.
+        // REPARTITION the streamed index to full parallelism before the
+        // loop: the nested loop's work is |index| × |batch reps| CONDITION
+        // evaluATIONS and it runs WHERE THE STREAM PARTITIONS ARE — a
+        // single-file parquet index (the materialized-index ingest shape)
+        // scans as ONE partition, so the whole quadratic loop lands on one
+        // core (measured: a 21-minute single task at the ×10 corpus; 32-way
+        // repartition of the same 30k-row index → seconds). The repartition
+        // itself is one linear pass over the slim projection.
+        val width = index.sparkSession.sparkContext.defaultParallelism
+        val slim = index.select(col("words"), col("sz"), col("bks"))
+          .repartition(width).persist()
+        Caches.register(slim)
+        // condition order (And short-circuits left-to-right): scalar size
+        // prune first, then band overlap (20-long arrays), then the full
+        // jaccard merge-scan on the survivors — overlap only downgrades
+        // jacc-passing pairs that never band-collide, keeping this route's
+        // predicate identical to the banded branch
+        slim.join(broadcast(bReps),
+            sizePrune(col("sz"), col("__bsz")) &&
+              arrays_overlap(col("bks"), col("__bbks")) &&
+              NativeHash.jaccardGe(col("words"), col("__bwords"), threshold))
+          .select("__bkey").distinct()
       } else {
         val bKeys = bReps.select(col("__bkey"), col("__bsz"), explode(col("__bbks")).as("__bk"))
         val cKeys = index.select(col("set_key"), col("sz"), explode(col("bks")).as("__bk"))
