@@ -98,11 +98,15 @@ class PlanContractSpec extends SparkSpec {
       // (index row × batch rep) pair tested once, index streamed not shuffled
       assert(s.contains("BroadcastNestedLoopJoin"), s"condition-inline probe missing:\n$s")
       assert(!s.contains("SortMergeJoin"), "probe shuffled a side it should broadcast")
-      // the cached index is scanned exactly once (band keys + words
-      // together); attr name matched exactly — __bbks is the BATCH side
+      // the index is read ONCE linearly into the repartitioned slim cache
+      // (the r8 fix: the nested loop runs where the stream partitions are,
+      // and a one-file index otherwise pins the whole quadratic loop to one
+      // core), and the LOOP streams only that cache: ≤ 2 bks-bearing scans,
+      // and the loop's input must be the repartitioned copy
       val idxScans = s.linesIterator.count(l =>
         l.contains("InMemoryTableScan") && "[\\[, ]bks#".r.findFirstIn(l).isDefined)
-      assert(idxScans == 1, s"expected 1 index scan, got $idxScans:\n$s")
+      assert(idxScans <= 2, s"expected ≤2 index scans (linear repartition read + loop stream), got $idxScans:\n$s")
+      assert(s.contains("REPARTITION_BY_NUM"), s"probe stream not width-repartitioned:\n$s")
     } finally { idx.unpersist(); graft.operators.Caches.release() }
   }
 
