@@ -34,6 +34,8 @@ object Cdc {
     require(k >= 1, s"window must be >= 1, got $k")
     require(maskHex.nonEmpty && maskHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       s"maskHex must be lowercase hex, got '$maskHex'")
+    require(maskHex.length <= 32,
+      s"maskHex longer than an md5 digest (32 hex chars): '$maskHex'")
     val t = col("t")
     val n = length(t)
     // cut positions: window [i-k+1, i] hashes into the mask. ONE native

@@ -34,7 +34,11 @@ object Cooccur {
   def topPmiPairs(docs: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    // persisted: three consumers read the tokenized stream (unigram counts,
+    // bigram counts, the n_bigrams total) — without the barrier the full
+    // corpus re-tokenizes once per pass
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__t")).persist()
+    Caches.register(toks)
     val uni = toks.select(explode(col("__t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c")).persist()
     Caches.register(uni)

@@ -468,7 +468,11 @@ object Dedup {
     // dominant cost) re-executes per read. A production loop materializes
     // the index to storage anyway ([[probeSurvivors]] on the parquet frame
     // — the q_dedup_probe bench shape); this persist gives the one-shot
-    // build+probe composition the same single-build guarantee.
+    // build+probe composition the same single-build guarantee. On the
+    // nested-loop route (small batches) probeSurvivors RELEASES this cache
+    // after deriving its slim repartitioned copy — that route reads the
+    // index once, so the common incremental path never holds two
+    // corpus-sized caches.
     val index = buildNearDupIndex(corpus, idCol, textCol, bands, r, shingleN).persist()
     Caches.register(index)
     probeSurvivors(index, batch, idCol, textCol, threshold, bands, r, shingleN,
@@ -544,6 +548,13 @@ object Dedup {
         // core (measured: a 21-minute single task at the ×10 corpus; 32-way
         // repartition of the same 30k-row index → seconds). The repartition
         // itself is one linear pass over the slim projection.
+        // this route reads the incoming index exactly ONCE — to build the
+        // slim repartitioned copy below. A caller-side persist (the
+        // incrementalSurvivors composition) only pays off on the banded
+        // route, which reads the index twice; release it here so the common
+        // incremental path holds ONE corpus-sized cache, not two.
+        if (index.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          index.unpersist(blocking = false)
         val width = index.sparkSession.sparkContext.defaultParallelism
         val slim = index.select(col("words"), col("sz"), col("bks"))
           .repartition(width).persist()

@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * Dangling nodes (out-degree 0) never appear as a source here: callers
   * pass directed edges and the operator ranks only nodes incident to an
   * edge; a node with in-edges but no out-edges keeps receiving mass but
-  * contributes none (its mass leaks, the "dropped dangling mass" PageRank
-  * variant). Symmetrize edges upstream when degree-flow centrality over an
+  * contributes none — by default its mass leaks (the "dropped dangling
+  * mass" PageRank variant); `redistributeDangling = true` selects the
+  * standard uniform-redistribution variant (mass conserved up to floor
+  * residue). Symmetrize edges upstream when degree-flow centrality over an
   * undirected graph is wanted.
   */
 object Graph {
@@ -98,10 +100,28 @@ object Graph {
 
   /** Fixed-point PageRank: returns (node, rank) after `iters` rounds, rank
     * in units of `scale` total initial mass, damping = `dampingMillis`/1000.
+    *
+    * Dangling nodes (in-edges but no out-edges): by default their received
+    * mass LEAKS each round (the "dropped dangling mass" variant — the
+    * documented published semantics of this operator's default).
+    * `redistributeDangling = true` selects the standard textbook variant
+    * instead: each round the dangling nodes' total mass is divided
+    * uniformly (floor) across all nodes inside the damping term —
+    * next(v) = base + d·(in(v) + D div n) div 1000 — so total mass is
+    * conserved up to floor residue. The dangling total is one slim
+    * anti-join + sum per round (a control-plane scalar, like the node
+    * count).
+    *
+    * Each round `localCheckpoint`s the rank frame: lineage stays
+    * constant-depth (a 50-round persist-only loop grows the logical plan
+    * linearly — optimizer time and stack depth both pay per round) and
+    * superseded blocks are released by the ContextCleaner — the
+    * [[connectedComponents]] contract.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
                dampingMillis: Int = 850,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingMillis >= 0 && dampingMillis <= 1000,
       s"dampingMillis must be in [0, 1000], got $dampingMillis")
@@ -118,18 +138,24 @@ object Graph {
     if (n == 0) return nodes.withColumn("rank", lit(0L))
     val init = scale / n
     val base = ((1000L - dampingMillis) * init) / 1000L
-    var ranks = nodes.withColumn("rank", lit(init))
+    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
     for (_ <- 0 until iters) {
+      // per-node share of the dangling mass this round (0 when leaking):
+      // dangling = nodes with no out-edge = ranks minus deg's src set
+      val share =
+        if (!redistributeDangling) 0L
+        else Math.floorDiv(
+          ranks.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0L))).head.getLong(0), n)
       val contribs = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum("c").as("in"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"($dampingMillis * coalesce(in, 0L)) div 1000"))
+          (lit(base) +
+            expr(s"($dampingMillis * (coalesce(in, 0L) + $share)) div 1000"))
             .as("rank"))
-        .persist()
-      Caches.register(next)
-      ranks = next
+        .localCheckpoint()
     }
     ranks
   }
@@ -194,8 +220,12 @@ object Graph {
       col("a") === col("a2") &&
         (col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c"))))
       .select(col("a"), col("b"), col("c"))
+    // persisted: the three-way role union below reads the closed triangles
+    // once per role — without the barrier the wedge-closing join (the
+    // dominant m^1.5 stage) would re-execute up to 3×
     val tris = wedges.join(oriented.select(col("a").as("b"), col("b").as("c")),
-      Seq("b", "c"))
+      Seq("b", "c")).persist()
+    Caches.register(tris)
     val perNode = tris.select(col("a").as("node"))
       .union(tris.select(col("b").as("node")))
       .union(tris.select(col("c").as("node")))

@@ -27,10 +27,10 @@ import org.apache.spark.sql.functions._
   * dim 64) regardless of corpus size — the classic outer-product trick; the
   * iteration touches only that table (driver, control plane); projection is
   * a doc-local `zip_with`/`aggregate` fold inside the scan stage. Nothing
-  * corpus-sized shuffles or reaches the driver. Long moment cells hold to
-  * ~10⁶ micro-unit vectors × 10⁴ rows with 10³ headroom (≈10¹⁸ at |q|≤2·10⁶,
-  * dim-independent); past that, scale the quantization down or widen the
-  * cell to decimal(38,0) — the documented trade.
+  * corpus-sized shuffles or reaches the driver. Moment cells sum as
+  * decimal(38,0) (the oracle's HUGEINT): exact to ~10³⁸ — ≳10²⁵ rows at
+  * |q| ≤ 2·10⁶ micro-units, far past any corpus — where a Long cell
+  * silently wraps at ~10¹⁸.
   */
 object Pca {
 
@@ -55,11 +55,15 @@ object Pca {
     sums.foreach { case (p, s, n) => mean(p) = Math.floorDiv(s, n) }
     val centered = q.select(
       zip_with(col("qv"), typedLit(mean.toSeq), (a, b) => a - b).as("d"))
+    // cells sum as decimal(38,0) — matching the oracle's HUGEINT — so the
+    // moment matrix stays exact far past the ~1e18 point where a Long sum
+    // would silently wrap and the engines diverge without an error; each
+    // PRODUCT still fits a long (|q| ≤ 2·10⁶ micro-units ⇒ ≤ 4·10¹²)
     val cells = centered
       .select(col("d"), posexplode(col("d")).as(Seq("i", "di")))
       .select(col("i"), col("di"), posexplode(col("d")).as(Seq("j", "dj")))
-      .groupBy("i", "j").agg(sum(col("di") * col("dj")).as("c"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getLong(2)))).toMap
+      .groupBy("i", "j").agg(sum((col("di") * col("dj")).cast("decimal(38,0)")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getDecimal(2).toBigInteger))).toMap
     def cov(i: Int, j: Int): BigInt = cells.getOrElse((i, j), BigInt(0))
     var v = Array.fill(dim)(BigInt(Scale))
     for (_ <- 0 until iters) {

@@ -723,6 +723,10 @@ object NativeHash {
     require(k >= 1, s"window must be >= 1, got $k")
     require(maskHex.nonEmpty && maskHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       s"maskHex must be lowercase hex, got '$maskHex'")
+    // an md5 digest is 32 nibbles — a longer mask would index past the
+    // 16-byte digest at eval time (the declarative form just never cut)
+    require(maskHex.length <= 32,
+      s"maskHex longer than an md5 digest (32 hex chars): '$maskHex'")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       if (child.dataType == StringType)

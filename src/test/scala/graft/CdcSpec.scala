@@ -69,6 +69,18 @@ class CdcSpec extends SparkSpec {
     assert(fixedShared.isEmpty)
   }
 
+  test("a mask longer than an md5 digest is rejected at construction") {
+    // 33 nibbles would index past the 16-byte digest at eval time — the
+    // native expression must refuse it up front, like the hex-char check
+    val bad = "0" * 33
+    intercept[IllegalArgumentException] {
+      Cdc.chunks(Seq(1L -> "abc").toDF("doc_id", "text"), "doc_id", "text", K, bad)
+    }
+    // 32 nibbles (a full digest) is the legal maximum and must construct
+    Cdc.chunks(Seq(1L -> "abcdefghij").toDF("doc_id", "text"), "doc_id", "text",
+      K, "0" * 32).collect()
+  }
+
   test("dedupStats: duplicated corpus saves chars; accounting is consistent") {
     val a = noise(1, 4000); val b = noise(2, 4000)
     val corpus = Seq(1L -> a, 2L -> b, 3L -> a, 4L -> (a + b))

@@ -14,7 +14,7 @@ class GraphSpec extends SparkSpec {
 
   /** Reference model of the documented integer rule. */
   private def prRef(edges: Seq[(String, String)], iters: Int,
-                    damp: Long = 850L): Map[String, Long] = {
+                    damp: Long = 850L, redistribute: Boolean = false): Map[String, Long] = {
     val e = edges.distinct
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
     val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
@@ -22,16 +22,22 @@ class GraphSpec extends SparkSpec {
     val base = ((1000L - damp) * init) / 1000L
     var r = nodes.map(_ -> init).toMap
     for (_ <- 0 until iters) {
+      val share =
+        if (!redistribute) 0L
+        else Math.floorDiv(
+          nodes.filterNot(deg.contains).map(r).sum, nodes.size.toLong)
       val in = e.groupBy(_._2).map { case (d, es) =>
         d -> es.map(x => r(x._1) / deg(x._1)).sum
       }
-      r = nodes.map(n => n -> (base + (damp * in.getOrElse(n, 0L)) / 1000L)).toMap
+      r = nodes.map(n => n -> (base + (damp * (in.getOrElse(n, 0L) + share)) / 1000L)).toMap
     }
     r
   }
 
-  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
-    val out = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+  private def run(edges: Seq[(String, String)], iters: Int,
+                  redistribute: Boolean = false): Map[String, Long] = {
+    val out = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters,
+        redistributeDangling = redistribute)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     graft.operators.Caches.release()
     out
@@ -74,6 +80,35 @@ class GraphSpec extends SparkSpec {
     assert(r.keySet === Set("a", "b", "c"))
     assert(r === prRef(g, 2))
     assert(run(g, 3).values.sum < run(g, 1).values.sum)
+  }
+
+  test("dangling redistribution matches the reference model and conserves mass") {
+    // b is dangling (in-edges only); d hangs off the cycle
+    val g = Seq("a" -> "b", "c" -> "b", "a" -> "c", "c" -> "a", "a" -> "d", "d" -> "a")
+    for (it <- 0 to 3)
+      assert(run(g, it, redistribute = true) === prRef(g, it, redistribute = true),
+        s"iters=$it")
+    // leak variant loses b's whole received mass per round; redistribution
+    // keeps the total within floor residue of the budget: per round at most
+    // (n for init) + n (share floors) + edges (contrib floors) + n (damping
+    // floors) units — a constant, not a fraction of scale
+    val n = 4
+    val rounds = 4
+    val mass = run(g, rounds, redistribute = true).values.sum
+    val bound = n + rounds * (2 * n + g.size).toLong
+    assert(Scale - mass <= bound, s"mass=$mass leak=${Scale - mass} bound=$bound")
+    assert(run(g, rounds).values.sum < mass, "leak variant should fall below")
+  }
+
+  test("50-round pageRank stays constant-depth (localCheckpoint lineage)") {
+    val g = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val t0 = System.nanoTime()
+    val r = run(g, 50)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r === prRef(g, 50))
+    // with per-round persist-only lineage the optimizer re-walks a plan
+    // tree that grows linearly in rounds; checkpointed rounds stay flat
+    assert(secs < 120.0, s"50 rounds took ${secs}s — lineage likely growing")
   }
 
   // ---- connected components ----------------------------------------------
