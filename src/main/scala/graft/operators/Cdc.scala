@@ -73,4 +73,34 @@ object Cdc {
         count(lit(1)).as("n_distinct_chunks"),
         sum(col("len") * col("copies")).as("chars_total"),
         sum(col("len")).as("chars_distinct"))
+
+  /** CROSS-SNAPSHOT delta accounting — the versioning use-case CDC exists
+    * for: chunk snapshot t+1 against snapshot t's chunk-hash store and
+    * report how much of the re-crawl is genuinely new. One row:
+    * (n_chunks, n_reused, n_new, chars_total, chars_new) over the NEW
+    * snapshot's chunks. Reuse is CONTENT-addressed — a chunk that moved to
+    * a different document or offset still reuses (that is the resync
+    * property paying off); `chars_new` is the delta-storage estimate: what
+    * a chunk store must add to hold t+1 given it already holds t.
+    *
+    * Scale: both chunkings are doc-local expression trees (no shuffle);
+    * the old side reduces to its DISTINCT hash set (slim, map-side-
+    * combined); membership is one hash-keyed join of slim (hash, len)
+    * rows; the report is a single 5-cell aggregation. Nothing doc-sized
+    * shuffles.
+    */
+  def deltaStats(oldDocs: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, maskHex: String = "00"): DataFrame = {
+    val oldH = chunks(oldDocs, idCol, textCol, k, maskHex)
+      .select(col("chunk_hash")).distinct().withColumn("__seen", lit(1))
+    chunks(newDocs, idCol, textCol, k, maskHex)
+      .join(oldH, Seq("chunk_hash"), "left")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_reused"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(col("chunk_len").cast("long")).as("chars_total"),
+        sum(when(col("__seen").isNull, col("chunk_len").cast("long")).otherwise(lit(0L)))
+          .as("chars_new"))
+  }
 }

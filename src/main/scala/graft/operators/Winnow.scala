@@ -92,4 +92,57 @@ object Winnow {
       .select(col("id_a").as(s"${idCol}_a"), col("id_b").as(s"${idCol}_b"),
         col("n_shared"))
   }
+
+  /** The winnowing CLOSED LOOP — the materializer the candidate index
+    * exists for (the plagiarism/excerpt dedup use the paper targets):
+    * [[candidatePairs]] proposes, an EXACT full-gram-set check verifies,
+    * verified pairs cluster, one document per cluster (minimum id)
+    * survives. Returns the surviving rows of `docs`.
+    *
+    * Verify measure: |G_a ∩ G_b| ≥ threshold · min(|G_a|, |G_b|) over the
+    * DISTINCT k-gram hash sets — the overlap coefficient, directional like
+    * [[Containment]]: an excerpt wholly inside a larger host scores 1.0
+    * however large the host, where symmetric jaccard is capped at
+    * |A|/|B|. The locality guarantee COMPOSES: any pair sharing a
+    * ≥ w+k−1-token run shares a selected fingerprint, so it is always a
+    * candidate (at minShared = 1); verification then grades the pair on
+    * its full gram sets, not the winnowed ~2/(w+1) sample.
+    *
+    * Scale shape: candidates are dfCap-bounded (work ∝ Σ df²); the
+    * corpus-sized gram-set frame joins the slim candidate pairs by id (at
+    * 100 TB the pair side is candidate-sized and broadcast-eligible, and
+    * only candidate docs' arrays survive the join); clustering runs on
+    * verified pairs through the shared [[Dedup.ccMinWinners]] engine
+    * (byte-aware driver union-find small, pointer-halving label
+    * propagation at scale). Document bodies move once, into the winners
+    * join.
+    */
+  def keepAfterVerify(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 4, w: Int = 4, dfCap: Int = 1000,
+                      minShared: Int = 2, threshold: Double = 0.5,
+                      maxRounds: Int = 50,
+                      collectEdgeThreshold: Long = 1L << 22): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cand = candidatePairs(docs, idCol, textCol, k, w, dfCap, minShared)
+      .select(col(s"${idCol}_a").as("__ia"), col(s"${idCol}_b").as("__ib"))
+    // distinct sorted gram-hash set per doc — candidates always have ≥ 1
+    // gram (fingerprint selection requires it), so min-size is never 0
+    val grams = docs.select(col(idCol).as("__gid"),
+      sort_array(array_distinct(NativeHash.tokenGramHashes(col(textCol), k))).as("__g"))
+    val e0 = cand
+      .join(grams.select(col("__gid").as("__ia"), col("__g").as("__set_a")), "__ia")
+      .join(grams.select(col("__gid").as("__ib"), col("__g").as("__set_b")), "__ib")
+      .filter(NativeHash.sortedIntersectSize(col("__set_a"), col("__set_b")).cast("double") >=
+        lit(threshold) * least(size(col("__set_a")), size(col("__set_b"))).cast("double"))
+      .select(col("__ia").as("ga"), col("__ib").as("gb"))
+      .persist() // consumed by count + CC + the untouched-survivor anti-join
+    Caches.register(e0)
+    val winners = Dedup.ccMinWinners(e0, idCol, maxRounds, collectEdgeThreshold)
+    val touched = e0.select(col("ga").as(idCol))
+      .unionByName(e0.select(col("gb").as(idCol))).distinct()
+    val all = winners.unionByName(
+      docs.select(col(idCol)).join(touched, Seq(idCol), "left_anti"))
+    docs.join(all, idCol)
+  }
 }

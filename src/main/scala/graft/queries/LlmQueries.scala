@@ -430,6 +430,54 @@ object LlmQueries {
         threshold = 0.3, nTables = 32, planesPerTable = 2)
       .orderBy("id_a", "id_b")
 
+  /** The PRODUCTION embed-LSH posture — 8 tables × 16 planes, the config
+    * every scale run ships (`EmbedScaleProbe`: 2¹⁶ buckets/table keeps
+    * bucket occupancy — and with it per-task candidate work — O(corpus/
+    * buckets); recall ≈ 0.97 on cosine-0.98 planted twins, measured ≥ 0.95).
+    * Unlike the oracle-forced 32×2 twin above (4 buckets/table ⇒ (n/4)²
+    * in-bucket pairs per table — quadratic BY CONSTRUCTION, kept only
+    * because it saturates recall on this corpus's adversarially weak
+    * 0.30–0.51-cosine pairs and so sits under the brute-force gate), this
+    * entry IS the plan a 100 TB run executes. Its oracle replays the SAME
+    * machinery in SQL — every table key (16 md5-plane sign bits packed
+    * under the table id), the candidate equi-join, the exact-cosine verify
+    * — so the production posture is hash-gated end to end, not just
+    * recall-sampled. On this corpus the 8×16 keys admit only the strongest
+    * pairs (by design — weak pairs are what 32×2 exists for), and the
+    * oracle proves the surviving set exactly.
+    */
+  def qDedupEmbedLshProd(s: SparkSession, dir: String): DataFrame =
+    Dedup.embedNearDupPairsLsh(table(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nTables = 8, planesPerTable = 16)
+      .orderBy("id_a", "id_b")
+
+  val qDedupEmbedLshProdSql: String = {
+    // global plane index g = t*16 + p; component = md5-derived [-0.5, 0.5)
+    // — the same cross-engine plane family as every other LSH oracle
+    val projSql =
+      """list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))), z ->
+        |  CAST(z[1] AS DOUBLE) * ((md5_number_lower(CAST(t*16 + p AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)) % 1000) / 1000.0 - 0.5)),
+        |  (acc, x) -> acc + x)""".stripMargin
+    val keySql =
+      s"""(CAST(t AS BIGINT) << 16) | list_reduce(list_transform(range(0, 16), p ->
+         |  CASE WHEN $projSql > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
+         |  (acc, b) -> acc | b)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT vec_id, unnest(list_transform(range(0, 8), t -> $keySql)) AS bk
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    $dotSql / (${normSql("q")} * ${normSql("c")}) AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.id_a
+       |  JOIN embeddings c ON c.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- deterministic hash split/sample -----------------------------------
   def qHashSplit(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -1361,8 +1409,12 @@ object LlmQueries {
         k = 4, w = 4, dfCap = 1000, minShared = 2)
       .orderBy("doc_id_a", "doc_id_b")
 
-  val qWinnowPairsSql: String =
-    """WITH wl AS (
+  /** Shared winnowing-index CTE chain (tokenize → gram md5s → per-window
+    * rightmost-min selection → distinct selected (doc, hash) postings →
+    * df-capped hash set) — the common prefix of the pairs and keep oracles.
+    */
+  private val winnowIndexCtes: String =
+    """wl AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS l
       |  FROM documents),
       |gr AS (
@@ -1385,13 +1437,56 @@ object LlmQueries {
       |  SELECT DISTINCT f.doc_id, g.h
       |  FROM (SELECT DISTINCT doc_id, pos FROM sel) f
       |  JOIN gr g ON g.doc_id = f.doc_id AND g.pos = f.pos),
-      |kept AS (SELECT h FROM fph GROUP BY h HAVING count(*) <= 1000)
+      |kept AS (SELECT h FROM fph GROUP BY h HAVING count(*) <= 1000)""".stripMargin
+
+  val qWinnowPairsSql: String =
+    s"""WITH $winnowIndexCtes
       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
       |  CAST(count(*) AS BIGINT) AS n_shared
       |FROM fph a JOIN kept k ON k.h = a.h
       |JOIN fph b ON b.h = a.h AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** The winnowing CLOSED LOOP under the oracle: candidate pairs from the
+    * selected-fingerprint index, exact full-gram-set overlap-coefficient
+    * verify (≥ 0.5 of the smaller set), connected-component closure,
+    * cluster-min survivor per component. The SQL replays selection,
+    * candidate generation, the verify measure, and the recursive-CTE
+    * transitive closure end to end.
+    */
+  def qWinnowKeep(s: SparkSession, dir: String): DataFrame =
+    Winnow.keepAfterVerify(table(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4, dfCap = 1000, minShared = 2, threshold = 0.5)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val qWinnowKeepSql: String =
+    s"""WITH RECURSIVE $winnowIndexCtes,
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fph a JOIN kept k ON k.h = a.h
+      |  JOIN fph b ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |gsets AS (SELECT doc_id, list(DISTINCT h) AS g FROM gr GROUP BY doc_id),
+      |ver AS (
+      |  SELECT p.id_a, p.id_b
+      |  FROM pairs p
+      |  JOIN gsets a ON a.doc_id = p.id_a
+      |  JOIN gsets b ON b.doc_id = p.id_b
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) >=
+      |        0.5 * CAST(least(len(a.g), len(b.g)) AS DOUBLE)),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM ver
+      |      UNION ALL SELECT id_b AS src, id_a AS dst FROM ver),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+      |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d JOIN cl USING (doc_id)
+      |WHERE d.doc_id = cl.cluster_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---- source-level quality gate -----------------------------------------
   /** Keep documents whose source's mean quality clears the corpus mean —
@@ -1676,34 +1771,38 @@ object LlmQueries {
       |ORDER BY grp, pos""".stripMargin
 
   // ---- content-defined chunking --------------------------------------------
-  /** Shared CTE body: position-local CDC cuts (md5 of the 8-char window
-    * prefixed '00' ⇒ expected ~256-char chunks), chunk reassembly via a
-    * lag window + final-tail union, empty chunks dropped.
+  /** CTE chain chunking snapshot `src`: position-local CDC cuts (md5 of
+    * the 8-char window prefixed '00' ⇒ expected ~256-char chunks), chunk
+    * reassembly via a lag window + final-tail union, empty chunks dropped.
+    * CTE names carry prefix `p` so the delta oracle can run the chain once
+    * per snapshot in a single WITH.
     */
-  private val cdcChunksSql: String =
-    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM documents),
-      |cuts AS (
+  private def cdcChunkCtes(src: String, p: String): String =
+    s"""${p}d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS n FROM $src),
+      |${p}cuts AS (
       |  SELECT doc_id, CAST(u.i AS INT) AS cut
-      |  FROM d, LATERAL unnest(generate_series(8, n)) AS u(i)
+      |  FROM ${p}d, LATERAL unnest(generate_series(8, n)) AS u(i)
       |  WHERE substr(md5(substr(text, CAST(u.i AS INT) - 7, 8)), 1, 2) = '00'),
-      |mx AS (SELECT doc_id, max(cut) AS mc FROM cuts GROUP BY doc_id),
-      |ch AS (
+      |${p}mx AS (SELECT doc_id, max(cut) AS mc FROM ${p}cuts GROUP BY doc_id),
+      |${p}ch AS (
       |  SELECT doc_id,
       |    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS s,
       |    cut AS e
-      |  FROM cuts
+      |  FROM ${p}cuts
       |  UNION ALL
       |  SELECT d.doc_id, coalesce(mx.mc, 0) + 1 AS s, d.n AS e
-      |  FROM d LEFT JOIN mx USING (doc_id)),
-      |idx AS (
+      |  FROM ${p}d d LEFT JOIN ${p}mx mx USING (doc_id)),
+      |${p}idx AS (
       |  SELECT doc_id, s, e,
       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_idx
-      |  FROM ch WHERE e >= s),
-      |chunks AS (
+      |  FROM ${p}ch WHERE e >= s),
+      |${p}chunks AS (
       |  SELECT i.doc_id, i.chunk_idx, CAST(i.s AS INT) AS start,
       |    CAST(i.e - i.s + 1 AS INT) AS chunk_len,
       |    md5(substr(d.text, i.s, i.e - i.s + 1)) AS chunk_hash
-      |  FROM idx i JOIN d USING (doc_id))""".stripMargin
+      |  FROM ${p}idx i JOIN ${p}d d USING (doc_id))""".stripMargin
+
+  private val cdcChunksSql: String = "WITH " + cdcChunkCtes("documents", "")
 
   /** Content-defined chunking of every document — the chunk index rows
     * themselves (id, idx, start, len, hash), all boundary decisions under
@@ -1734,6 +1833,46 @@ object LlmQueries {
       |  CAST(sum(len * copies) AS BIGINT) AS chars_total,
       |  CAST(sum(len) AS BIGINT) AS chars_distinct
       |FROM g""".stripMargin
+
+  /** CROSS-SNAPSHOT CDC delta — the versioning query the chunk index
+    * exists for: snapshot t is the documents table; snapshot t+1 is
+    * derived IN-QUERY with deterministic planted churn both engines replay
+    * identically — deletions (doc_id % 13), prefix edits (doc_id % 7 →
+    * 'EDITQ ' + text, the resync case: all but the first ~2 chunks
+    * re-align and reuse), and inserts (doc_id % 11 spawns id+10⁷ with
+    * upper(text) — all-new chunk content). The report prices storing t+1
+    * against t's chunk store.
+    */
+  def qCdcDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val next = docs
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("EDITQ "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          upper(col("text")).as("text")))
+    graft.operators.Cdc.deltaStats(docs, next, "doc_id", "text")
+  }
+
+  val qCdcDeltaSql: String =
+    s"""WITH snap_new AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'EDITQ ' || text ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, upper(text) AS text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |${cdcChunkCtes("documents", "o")},
+      |${cdcChunkCtes("snap_new", "nw")},
+      |oldh AS (SELECT DISTINCT chunk_hash FROM ochunks)
+      |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN o.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+      |  CAST(sum(CASE WHEN o.chunk_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(c.chunk_len) AS BIGINT) AS chars_total,
+      |  CAST(sum(CASE WHEN o.chunk_hash IS NULL THEN c.chunk_len ELSE 0 END) AS BIGINT) AS chars_new
+      |FROM nwchunks c LEFT JOIN oldh o ON o.chunk_hash = c.chunk_hash""".stripMargin
 
   // ---- distributed exact-integer k-means ----------------------------------
   /** Shared CTE prefix: micro-unit quantization, exploded cells, the k=8

@@ -69,6 +69,33 @@ class CdcSpec extends SparkSpec {
     assert(fixedShared.isEmpty)
   }
 
+  test("deltaStats: planted edit/insert/delete/move accounting matches the model exactly") {
+    val a = noise(11, 5000); val b = noise(12, 5000)
+    val old = Seq(1L -> a, 2L -> b, 3L -> noise(13, 5000))
+    // t+1: doc 1 prefix-edited (resync case), doc 2 unchanged, doc 3
+    // DELETED, doc 4 INSERTED (all-new content), doc 5 = doc 2's content
+    // under a new id (the moved case — content addressing must reuse it)
+    val next = Seq(1L -> (noise(14, 13) + a), 2L -> b, 4L -> noise(15, 5000), 5L -> b)
+    val r = Cdc.deltaStats(old.toDF("doc_id", "text"), next.toDF("doc_id", "text"),
+      "doc_id", "text", K, Mask).head()
+    val (nc, nr, nn, ct, cn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // exact expectation from the reference chunker
+    val oldHashes = old.flatMap { case (_, t) => cdcRef(t).map(_._3) }.toSet
+    val newChunks = next.flatMap { case (_, t) => cdcRef(t) }
+    val wantReused = newChunks.count(c => oldHashes(c._3)).toLong
+    assert(nc === newChunks.size.toLong)
+    assert(nr === wantReused && nn === nc - wantReused)
+    assert(ct === next.map(_._2.length.toLong).sum)
+    assert(cn === newChunks.filterNot(c => oldHashes(c._3)).map(_._2.toLong).sum)
+    // the structure the report exists to show: the edit disturbs at most 2
+    // of doc 1's chunks, the move reuses everything, the insert is new
+    val d1new = cdcRef(next.head._2).count(c => !oldHashes(c._3))
+    assert(d1new <= 2, s"resync failed: $d1new new chunks after a prefix edit")
+    assert(cdcRef(b).forall(c => oldHashes(c._3)))
+    assert(nn >= cdcRef(next(2)._2).size.toLong, "inserted doc must be new mass")
+  }
+
   test("a mask longer than an md5 digest is rejected at construction") {
     // 33 nibbles would index past the 16-byte digest at eval time — the
     // native expression must refuse it up front, like the hex-char check

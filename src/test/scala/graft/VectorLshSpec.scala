@@ -104,6 +104,26 @@ class VectorLshSpec extends SparkSpec {
     assert(margins.min >= 2)
   }
 
+  test("registered production posture (8x16) on the real corpus: verified subset of brute force, nonempty") {
+    // the r9 registry entry q_dedup_embed_lsh_prod: the benched artifact IS
+    // the scale path. On this adversarially weak corpus (true pairs at
+    // cosine 0.30-0.51) the 16-plane tables admit only the strongest pairs
+    // — a deterministic, hash-gated subset of the brute-force truth; the
+    // recall story for real (0.98-cosine) near-dups is the scale-probe
+    // test below.
+    // sf0.01 — the driver's gate corpus (at sf0.001 the 16-plane keys may
+    // legitimately admit nothing, which would make nonEmpty vacuous)
+    val emb = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val brute = Dedup.embedNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val prod = Dedup.embedNearDupPairsLsh(emb, "vec_id", "embedding", 0.3,
+        nTables = 8, planesPerTable = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(prod.subsetOf(brute), s"non-true pair leaked past the verify: ${prod -- brute}")
+    assert(prod.nonEmpty, "the registered gate must decide something at sf0.01")
+    graft.operators.Caches.release()
+  }
+
   test("scale-probe corpus: production 8x16 config recovers planted pairs, background prunes to zero") {
     // the EmbedScaleProbe corpus at CI size — pins the corpus shape the
     // sf1 scale evidence stands on: planted near-dups (cos ≈ 0.98) are

@@ -101,6 +101,61 @@ class WinnowSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("keepAfterVerify: planted excerpts dedup through the closed loop, unique docs survive") {
+    val host = words("h", 40)
+    val run20 = host.split(" ").slice(5, 25).mkString(" ") // 20-token run of the host
+    val docs = Seq(
+      1L -> host,
+      2L -> run20,                            // pure excerpt → overlap 1.0
+      3L -> words("u", 50),                   // unique
+      4L -> words("v", 50),                   // unique
+      5L -> (words("x", 3) + " " + run20))    // excerpt behind a short prefix
+    val kept = Winnow.keepAfterVerify(docs.toDF("doc_id", "text"), "doc_id", "text",
+        K, W, dfCap = 1000, minShared = 1, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.operators.Caches.release()
+    // the locality guarantee survives composition: both excerpts share a
+    // ≥ w+k−1 run with the host, so they are candidates; the full-gram
+    // overlap coefficient (1.0 and 17/20) clears 0.5; cluster-min wins
+    assert(kept === Set(1L, 3L, 4L), s"kept=$kept")
+  }
+
+  test("keepAfterVerify matches a driver-side reference model on the real table") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // reference: selection → df-capped postings → ≥2-shared pairs →
+    // full-gram overlap-coefficient verify → union-find min winners
+    val fps = rows.map { case (id, t) => id -> winnowRef(t).map(_._2).toSet }.toMap
+    val df = fps.values.flatten.groupBy(identity).map { case (h, hs) => h -> hs.size }
+    val keptH = df.filter(_._2 <= 1000).keySet
+    val gsets = rows.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      id -> (0 to toks.length - K).map(j => md5hex(toks.slice(j, j + K).mkString(" "))).toSet
+    }.toMap
+    val ids = rows.map(_._1).sorted
+    val pairs = for {
+      i <- ids; j <- ids
+      if i < j && (fps(i) intersect fps(j)).count(keptH) >= 2 &&
+        (gsets(i) intersect gsets(j)).size.toDouble >=
+          0.5 * math.min(gsets(i).size, gsets(j).size)
+    } yield (i, j)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = ids.filter(id => find(id) == id).toSet
+    val got = Winnow.keepAfterVerify(rows.toDF("doc_id", "text"), "doc_id", "text",
+        K, W, dfCap = 1000, minShared = 2, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.operators.Caches.release()
+    assert(got === want)
+  }
+
   test("operator matches the reference model on the real documents table") {
     val rows = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
