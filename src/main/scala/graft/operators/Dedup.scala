@@ -461,7 +461,8 @@ object Dedup {
     */
   def incrementalSurvivors(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
                            threshold: Double, bands: Int = 20, r: Int = 2,
-                           shingleN: Int = 1, batchBroadcastThreshold: Long = 65536L): DataFrame = {
+                           shingleN: Int = 1, batchBroadcastThreshold: Long = 65536L,
+                           nestedLoopWorkBudget: Long = 1L << 30): DataFrame = {
     // persisted: the banded probe route reads the index TWICE (slim band
     // keys for candidates, word arrays for the verify join-back) — without
     // the barrier the whole index build (the corpus minhash pass, the
@@ -476,34 +477,56 @@ object Dedup {
     val index = buildNearDupIndex(corpus, idCol, textCol, bands, r, shingleN).persist()
     Caches.register(index)
     probeSurvivors(index, batch, idCol, textCol, threshold, bands, r, shingleN,
-      batchBroadcastThreshold)
+      batchBroadcastThreshold, nestedLoopWorkBudget)
   }
+
+  /** Which probe route the last [[probeSurvivors]] call took ("nested" |
+    * "banded") — test/probe observability for the planner; never read it
+    * concurrently with running jobs.
+    */
+  @volatile private[graft] var lastProbeRoute: String = ""
 
   /** Probe a prebuilt [[buildNearDupIndex]] frame with a new batch; returns
     * the surviving batch rows. See [[incrementalSurvivors]].
     *
     * Two candidate routes evaluating the SAME predicate ("∃ agreeing band
-    * key" ∩ size-compatible), chosen by distinct-batch-set count like
-    * [[setGraph]]'s planner split — results never depend on the route:
+    * key" ∩ size-compatible) — results never depend on the route. The
+    * planner keys on BOTH dimensions (r9 — batch size alone let a huge
+    * index pay |index|·|batch| predicate evaluations plus a corpus-sized
+    * deserialized persist for a 10-doc batch):
     *
-    *  - **batch reps ≤ `batchBroadcastThreshold`** (the normal incremental
-    *    regime): ONE streamed pass over the index, batch reps broadcast,
-    *    band overlap + size prune + jaccard verify all inside the join —
-    *    each (index row × batch rep) pair is tested exactly once, nothing
-    *    explodes, nothing shuffles but the final tiny contaminated-key
-    *    distinct. (The banded explode route degenerates on short-doc /
-    *    high-similarity corpora: every true near-dup pair collides on ~all
-    *    bands, multiplying the collision stream by bands × cluster size —
-    *    measured 23M collision rows for 3.2M pairs, 20 s of distinct +
-    *    re-join at sf0.1 vs sub-second for this route.)
-    *  - **larger batches**: banded equi-join on exploded keys (per-pair
-    *    work O(colliding bands), not O(batch reps)), size-pruned on the
-    *    slim streams, distinct pairs BEFORE word arrays join back for the
-    *    verify.
+    *  - **nested loop** (batch reps ≤ `batchBroadcastThreshold` AND
+    *    |index| · |batch reps| ≤ `nestedLoopWorkBudget` — the normal
+    *    incremental regime): ONE streamed pass over the index, batch reps
+    *    broadcast, band overlap + size prune + jaccard verify all inside
+    *    the join — each (index row × batch rep) pair is tested exactly
+    *    once, nothing explodes, nothing shuffles but the final tiny
+    *    contaminated-key distinct. (The banded explode route degenerates
+    *    on short-doc / high-similarity corpora: every true near-dup pair
+    *    collides on ~all bands, multiplying the collision stream by
+    *    bands × cluster size — measured 23M collision rows for 3.2M
+    *    pairs, 20 s of distinct + re-join at sf0.1 vs sub-second for this
+    *    route.)
+    *  - **banded** (larger batches, or an index too large for the
+    *    work budget): equi-join on exploded keys (per-pair work
+    *    O(colliding bands), not O(batch reps)), size-pruned on the slim
+    *    streams, distinct pairs BEFORE word arrays join back for the
+    *    verify. This route never persists the index deserialized — the
+    *    spill-free path when the index dwarfs executor memory.
+    *
+    * `nestedLoopWorkBudget` default is the measured local[32] crossover
+    * region (ProbeRouteCrossover, PLANS.md r9): below ~10⁹ index×batch
+    * cell evaluations the nested loop's zero-shuffle scan wins; above it
+    * the banded route's collision-bounded work dominates. |index| counts
+    * cheaply where the production shape needs it (a parquet-backed index
+    * answers from footer metadata; the incremental composition's derived
+    * index is persisted, so its count materializes work every route reads
+    * anyway).
     */
   def probeSurvivors(index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
                      threshold: Double, bands: Int = 20, r: Int = 2,
-                     shingleN: Int = 1, batchBroadcastThreshold: Long = 65536L): DataFrame = {
+                     shingleN: Int = 1, batchBroadcastThreshold: Long = 65536L,
+                     nestedLoopWorkBudget: Long = 1L << 30): DataFrame = {
     val units = setUnits(shingleN)
     // one batch pass → slim (id, set_key); canonical batch duplicates probe once
     val keyed = batch.select(
@@ -530,8 +553,12 @@ object Dedup {
       .filter(NativeHash.jaccardGe(col("words"), col("__bwords"), threshold))
       .select("__bkey").distinct()
 
+    val nB = bReps.count()
+    val useNested = nB <= batchBroadcastThreshold &&
+      index.count() <= nestedLoopWorkBudget / math.max(nB, 1L)
+    lastProbeRoute = if (useNested) "nested" else "banded"
     val contaminated =
-      if (bReps.count() <= batchBroadcastThreshold) {
+      if (useNested) {
         // The streamed index MUST be persisted (deserialized) for this
         // route: the per-pair condition reads the stream row's arrays
         // through JoinedRow, and from a parquet scan every access

@@ -100,6 +100,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(bcast == banded && bcast.size == 2 * n)
   }
 
+  test("route planner keys on BOTH |index| and |batch|; routes stay result-identical") {
+    val idx = Dedup.buildNearDupIndex(corpus(), "id", "text")
+    // small batch + generous budget → nested loop
+    val a = Dedup.probeSurvivors(idx, batch(), "id", "text", threshold = 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(Dedup.lastProbeRoute == "nested")
+    Caches.release()
+    // same small batch, but a work budget the index exceeds → the planner
+    // must refuse the |index|·|batch| scan and take the banded route
+    val b = Dedup.probeSurvivors(idx, batch(), "id", "text", threshold = 0.8,
+        nestedLoopWorkBudget = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(Dedup.lastProbeRoute == "banded")
+    Caches.release()
+    assert(a == b && a.size == 2 * n)
+  }
+
   test("result is stable under repartitioning both sides") {
     val a = Dedup.incrementalSurvivors(corpus().repartition(7), batch().repartition(3),
       "id", "text", threshold = 0.8).select("id").collect().map(_.getLong(0)).toSet
