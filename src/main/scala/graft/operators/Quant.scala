@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INT8 embedding quantization — the production memory trick for a 100 TB
+  * embedding store (the scalar-quantization half of the PQ/SQ family every
+  * vector database ships): per-dimension affine codes cut the store 4×
+  * (1 byte vs 4 per element) and turn similarity scans into integer
+  * arithmetic, at a bounded reconstruction error the spec pins.
+  *
+  * EXACT-REPLAY CONTRACT (the repo posture): the per-dimension (min, max)
+  * ranges come from one map-side-combined aggregation; the code is
+  * `round((x − mn) · (254 / (mx − mn))) − 127 ∈ [−127, 127]` — every op
+  * (subtract, divide-once-per-dim, multiply, round-half-up on a
+  * non-negative value) is IEEE-exactly-rounded and written in the same
+  * association on both engines, so codes — and everything computed from
+  * them — are bit-identical cross-engine and partitioning-independent.
+  * Constant dimensions (mx = mn) code to 0. Quantized similarity is a
+  * pure INTEGER dot product (≤ dim · 127² — fits int at any realistic
+  * dim), so ranking needs no float at all.
+  *
+  * Scale shape: range extraction is ONE slim aggregation to dim rows
+  * (control plane, collected like [[Pca]]'s mean); encoding is a DOC-LOCAL
+  * `transform` against literal range arrays — zero joins, zero shuffle,
+  * stays in the scan stage; the quantized ANN mirrors [[Ann.topK]]'s
+  * broadcast × stream shape with the 4×-smaller code arrays riding the
+  * broadcast.
+  */
+object Quant {
+
+  /** Per-dimension (mn, mx) of the corpus as driver arrays — dim doubles,
+    * control-plane sized. Floats widen to double exactly, so min/max are
+    * the same bits any engine computes.
+    */
+  def dimRanges(vecs: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = vecs.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .collect()
+    require(rows.nonEmpty, "quantize: empty input")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    rows.foreach { r => mn(r.getInt(0)) = r.getDouble(1); mx(r.getInt(0)) = r.getDouble(2) }
+    (mn, mx)
+  }
+
+  /** Doc-local int8 code array against literal ranges: element i codes to
+    * `round((x − mn_i) · (254 / (mx_i − mn_i))) − 127`, constant dims to 0.
+    */
+  def codes(vecCol: Column, mn: Array[Double], mx: Array[Double]): Column = {
+    val mnL = typedLit(mn.toSeq)
+    val mxL = typedLit(mx.toSeq)
+    transform(vecCol, (x, i) => {
+      val lo = element_at(mnL, i + 1)
+      val hi = element_at(mxL, i + 1)
+      when(hi === lo, lit(0).cast("tinyint"))
+        .otherwise((round((x.cast("double") - lo) * (lit(254.0) / (hi - lo))) - 127)
+          .cast("tinyint"))
+    })
+  }
+
+  /** (idCol, pos, code) — the quantized store, exploded (1 byte of payload
+    * per cell where the float store pays 4).
+    */
+  def quantized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (mn, mx) = dimRanges(vecs, vecCol)
+    vecs.select(col(idCol), posexplode(codes(col(vecCol), mn, mx)).as(Seq("pos", "code")))
+  }
+
+  /** Exact integer dot product of two code arrays — ≤ dim · 127², no
+    * overflow at any realistic dim; strictly left-to-right like every
+    * vector fold in the repo.
+    */
+  def dotCodes(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0), (acc, v) => acc + v)
+
+  /** Top-k neighbors per query by QUANTIZED similarity: rank on the
+    * integer code dot product (descending, neighbor-id tie-break) — the
+    * scan a code-only store can run without touching a single float.
+    * Returns (query_id, neighbor_id, dotq, rank). The broadcast side
+    * carries 1-byte cells; the stream side encodes in its own scan stage.
+    * Ranking fidelity vs float cosine is the documented scalar-quant
+    * trade, measured in QuantSpec on planted structure.
+    */
+  def annTopKQuantized(queries: DataFrame, vecs: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (mn, mx) = dimRanges(vecs, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), codes(col(vecCol), mn, mx).as("qc"))
+    val c = vecs.select(col(idCol).as("neighbor_id"), codes(col(vecCol), mn, mx).as("cc"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dotCodes(col("qc"), col("cc")).as("dotq"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dotq").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1156,6 +1156,62 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- int8 scalar quantization -------------------------------------------
+  /** The quantized embedding STORE: per-dimension affine int8 codes (1 byte
+    * per cell vs 4 — the 100 TB memory trade every vector store ships).
+    * Ranges come from the corpus itself; every code is one pinned IEEE
+    * chain (subtract, one divide per dim, multiply, half-up round on a
+    * non-negative value), so the whole store replays bit-exact in SQL.
+    */
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quant.quantized(table(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
+  val qEmbedQuantSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i)),
+      |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos)
+      |SELECT e.vec_id, e.pos,
+      |  CASE WHEN r.mx = r.mn THEN CAST(0 AS TINYINT)
+      |       ELSE CAST(round((e.x - r.mn) * (254.0 / (r.mx - r.mn))) - 127 AS TINYINT) END AS code
+      |FROM ex e JOIN rg r USING (pos)
+      |ORDER BY vec_id, pos""".stripMargin
+
+  /** ANN over the QUANTIZED store: rank by the exact integer code dot
+    * product — the scan a code-only store runs without touching a float.
+    * The oracle replays range extraction, every code, the integer dot,
+    * and the ranking; fidelity vs float cosine is measured in QuantSpec.
+    */
+  def qAnnQuant(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    graft.operators.Quant.annTopKQuantized(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnQuantSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i)),
+      |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+      |cd AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN r.mx = r.mn THEN 0
+      |         ELSE CAST(round((e.x - r.mn) * (254.0 / (r.mx - r.mn))) - 127 AS INT) END AS code
+      |  FROM ex e JOIN rg r USING (pos)),
+      |cl AS (SELECT vec_id, list(code ORDER BY pos) AS c FROM cd GROUP BY vec_id),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(list_zip(q.c, n.c), z -> z[1] * z[2]), (acc, v) -> acc + v) AS dotq
+      |  FROM cl q JOIN cl n ON n.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5)
+      |SELECT query_id, neighbor_id, CAST(dotq AS INT) AS dotq, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dotq DESC, neighbor_id) AS INT) AS rank
+      |  FROM s) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val fixture = ivfCentroidFixture(dir)
