@@ -1212,6 +1212,103 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- product quantization -----------------------------------------------
+  /** Shared CTE prefix for the PQ oracle: micro-unit quantization, exploded
+    * cells, the ksub=16 lowest-id seeds sliced into m=4 subspaces of 16
+    * dims, and TWO per-subspace Lloyd rounds (integer L2² argmin with
+    * lowest-cid ties PER SUBSPACE, floor-mean update, empty cells keep the
+    * old coordinate) — the [[kmeansPrefixSql]] shape with a `sub` dimension
+    * threaded through, so the ENTIRE train → encode → search chain sits
+    * under the hash gate with no pinned fixture.
+    */
+  private val pqPrefixSql: String = {
+    val sub = 16 // dims per subspace (dim 64 / m 4)
+    def round(din: String, cin: String, a: String, s: String, cout: String): String =
+      s"""$din AS (
+         |  SELECT e.vec_id, c.sub, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+         |  FROM qe e JOIN $cin c ON c.pos = e.pos GROUP BY e.vec_id, c.sub, c.cid),
+         |$a AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM $din) t WHERE rn = 1),
+         |$s AS (
+         |  SELECT a.sub, a.cid, e.pos, CAST(sum(e.qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |  FROM $a a JOIN qe e ON e.vec_id = a.vec_id AND CAST(e.pos // $sub AS INT) = a.sub
+         |  GROUP BY a.sub, a.cid, e.pos),
+         |$cout AS (
+         |  SELECT p.sub, p.cid, p.pos,
+         |    coalesce(CAST((s.s - ((s.s % s.c + s.c) % s.c)) / s.c AS BIGINT), p.qv) AS qv
+         |  FROM $cin p LEFT JOIN $s s ON s.sub = p.sub AND s.cid = p.cid AND s.pos = p.pos)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |qe AS (
+       |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, v[u.i] AS qv
+       |  FROM q, LATERAL unnest(generate_series(1, CAST(len(v) AS BIGINT))) AS u(i)),
+       |seed AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+       |  FROM q ORDER BY vec_id LIMIT 16),
+       |c0 AS (
+       |  SELECT s.cid, CAST(e.pos // $sub AS INT) AS sub, e.pos, e.qv
+       |  FROM seed s JOIN qe e USING (vec_id)),
+       |${round("d1", "c0", "a1", "s1", "c1")},
+       |${round("d2r", "c1", "a2", "s2", "c2")},
+       |d3 AS (
+       |  SELECT e.vec_id, c.sub, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+       |  FROM qe e JOIN c2 c ON c.pos = e.pos GROUP BY e.vec_id, c.sub, c.cid),
+       |pqcodes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM d3) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** The PQ code store: each vector as m=4 one-byte codes (64× smaller
+    * than the float store at dim 64) after two co-trained Lloyd rounds
+    * per subspace. The oracle replays training, encoding, and the argmin
+    * ties in pure integer SQL.
+    */
+  def qPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val books = graft.operators.Pq.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+    graft.operators.Pq.codes(emb, "vec_id", "embedding", books)
+      .orderBy("vec_id", "sub")
+  }
+
+  val qPqCodesSql: String = pqPrefixSql +
+    """
+      |SELECT vec_id, sub, code FROM pqcodes ORDER BY vec_id, sub""".stripMargin
+
+  /** ANN by asymmetric distance computation over the PQ store: exact
+    * integer L2² between the RAW query micro-units and each candidate's
+    * reconstructed centroids — the scan that touches only m-byte codes on
+    * the stream side. Recall fidelity vs exact search is measured in
+    * PqSpec on planted structure.
+    */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val books = graft.operators.Pq.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+    graft.operators.Pq.annTopKAdc(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", books, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnPqSql: String = pqPrefixSql +
+    """,
+      |rec AS (
+      |  SELECT co.vec_id AS neighbor_id, c.pos, c.qv
+      |  FROM pqcodes co JOIN c2 c ON c.sub = co.sub AND c.cid = co.code),
+      |sc AS (
+      |  SELECT q.vec_id AS query_id, r.neighbor_id,
+      |    CAST(sum((q.qv - r.qv) * (q.qv - r.qv)) AS BIGINT) AS d2
+      |  FROM qe q JOIN rec r ON r.pos = q.pos
+      |  WHERE q.vec_id < 5 AND r.neighbor_id <> q.vec_id
+      |  GROUP BY q.vec_id, r.neighbor_id)
+      |SELECT query_id, neighbor_id, d2, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT) AS rank
+      |  FROM sc) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val fixture = ivfCentroidFixture(dir)
