@@ -77,6 +77,65 @@ object Quant {
     aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
       lit(0), (acc, v) => acc + v)
 
+  /** Per-dimension midrange thresholds, (mn+mx)/2: both addends are exact
+    * corpus statistics and the two IEEE ops (add, halve) are exactly
+    * deterministic, so every engine computes the same threshold bits.
+    */
+  def midranges(vecs: DataFrame, vecCol: String): Array[Double] = {
+    val (mn, mx) = dimRanges(vecs, vecCol)
+    mn.indices.map(i => (mn(i) + mx(i)) / 2.0).toArray
+  }
+
+  /** 1-bit sign codes (the third rung of the quantization ladder: fp32 →
+    * int8 → PQ bytes → 1 bit/dim), packed 32 dims per word by a left fold
+    * `acc·2 + bit` over ascending positions — the SQL-replayable packing,
+    * and 32 keeps the fold's intermediate `acc·2` far from Long overflow.
+    * Bit = (x > midrange); a constant dimension codes to 0.
+    * Returns an array of ceil(dim/32) longs — at dim 64, TWO words where
+    * the float store pays 256 bytes.
+    */
+  def signWords(vecCol: Column, mid: Array[Double]): Column = {
+    val nWords = (mid.length + 31) / 32
+    array((0 until nWords).map { w =>
+      val lo = w * 32
+      val len = math.min(32, mid.length - lo)
+      aggregate(zip_with(slice(vecCol, lo + 1, len), typedLit(mid.slice(lo, lo + len).toSeq),
+        (x, t) => when(x.cast("double") > t, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * lit(2L) + b)
+    }: _*)
+  }
+
+  /** The binarized store, exploded to (idCol, widx, word) scalar cells. */
+  def binarized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mid = midranges(vecs, vecCol)
+    vecs.select(col(idCol), posexplode(signWords(col(vecCol), mid)).as(Seq("widx", "word")))
+  }
+
+  /** Exact Hamming distance between two packed-word arrays: popcount of
+    * the per-word XOR, summed — pure integer, codegen-friendly.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (acc, v) => acc + v)
+
+  /** Top-k neighbors per query by Hamming distance over the 1-bit store
+    * (ascending, neighbor-id tie-break) — the cheapest scan in the family:
+    * two longs per candidate at dim 64, XOR+popcount per comparison.
+    * Returns (query_id, neighbor_id, hamming, rank).
+    */
+  def annTopKHamming(queries: DataFrame, vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val mid = midranges(vecs, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), signWords(col(vecCol), mid).as("qw"))
+    val c = vecs.select(col(idCol).as("neighbor_id"), signWords(col(vecCol), mid).as("cw"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), hammingDist(col("qw"), col("cw")).as("hamming"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-k neighbors per query by QUANTIZED similarity: rank on the
     * integer code dot product (descending, neighbor-id tie-break) — the
     * scan a code-only store can run without touching a single float.

@@ -1212,6 +1212,63 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** The 1-bit sign store (the third rung of the quantization ladder):
+    * bit j = (x_j > midrange_j), packed 32 dims per word by the
+    * SQL-replayable `acc·2 + bit` fold — two longs per vector at dim 64
+    * where the float store pays 256 bytes.
+    */
+  def qEmbedBinary(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quant.binarized(table(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id", "widx")
+
+  /** Shared binarization CTEs: midrange thresholds from per-dim min/max
+    * ((mn+mx)/2 — two exactly-deterministic IEEE ops), strict-greater sign
+    * bits, and the identical acc·2+bit fold per 32-dim word.
+    */
+  private val binaryWordsSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i)),
+      |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+      |bt AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN e.x > (r.mn + r.mx) / 2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM ex e JOIN rg r USING (pos)),
+      |w AS (
+      |  SELECT vec_id, CAST(pos // 32 AS INT) AS widx,
+      |    list_reduce(list(bit ORDER BY pos), (acc, v) -> acc * 2 + v) AS word
+      |  FROM bt GROUP BY vec_id, CAST(pos // 32 AS INT))""".stripMargin
+
+  val qEmbedBinarySql: String = binaryWordsSql +
+    """
+      |SELECT vec_id, widx, word FROM w ORDER BY vec_id, widx""".stripMargin
+
+  /** ANN by exact Hamming distance over the 1-bit store — XOR + popcount
+    * per comparison, the cheapest scan in the quantization family. The
+    * oracle replays thresholds, every packed word, and the ranking.
+    */
+  def qAnnHamming(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    graft.operators.Quant.annTopKHamming(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnHammingSql: String = binaryWordsSql +
+    """,
+      |wl AS (SELECT vec_id, list(word ORDER BY widx) AS ws FROM w GROUP BY vec_id),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    CAST(list_reduce(list_transform(list_zip(q.ws, n.ws),
+      |      z -> CAST(bit_count(xor(z[1], z[2])) AS INT)), (acc, v) -> acc + v) AS INT) AS hamming
+      |  FROM wl q JOIN wl n ON n.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5)
+      |SELECT query_id, neighbor_id, hamming, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS INT) AS rank
+      |  FROM s) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---- product quantization -----------------------------------------------
   /** Shared CTE prefix for the PQ oracle: micro-unit quantization, exploded
     * cells, the ksub=16 lowest-id seeds sliced into m=4 subspaces of 16

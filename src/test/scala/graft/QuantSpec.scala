@@ -67,6 +67,75 @@ class QuantSpec extends SparkSpec {
     assert(runQuant(rows) === modelCodes(rows))
   }
 
+  // ---- 1-bit sign quantization --------------------------------------------
+
+  /** Driver reference: midrange thresholds then the acc·2+bit fold per
+    * 32-dim word — the exact contract `signWords` pins.
+    */
+  private def modelWords(vs: Seq[(Long, Seq[Float])]): Map[Long, Seq[Long]] = {
+    val dim = vs.head._2.length
+    val mid = (0 until dim).map { j =>
+      val col = vs.map(_._2(j).toDouble)
+      (col.min + col.max) / 2.0
+    }
+    val nWords = (dim + 31) / 32
+    vs.map { case (id, v) =>
+      id -> (0 until nWords).map { w =>
+        val hi = math.min((w + 1) * 32, dim)
+        (w * 32 until hi).foldLeft(0L)((acc, j) =>
+          acc * 2 + (if (v(j).toDouble > mid(j)) 1L else 0L))
+      }
+    }.toMap
+  }
+
+  private def runBinary(vs: Seq[(Long, Seq[Float])]): Map[Long, Seq[Long]] =
+    Quant.binarized(vs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+
+  test("sign words match the reference fold; constant dims bit to 0; partial last word") {
+    // dim 40: one full 32-bit word + one 8-bit tail word per vector
+    val vs = (0L until 25L).map(i =>
+      i -> (0 until 40).map(j =>
+        if (j == 7) 0.5f else (math.cos(i * 1.3 + j * 0.41) * (j % 4 + 1)).toFloat).toSeq)
+    val got = runBinary(vs)
+    assert(got === modelWords(vs))
+    assert(got.values.forall(_.length == 2))
+    // constant dim 7 codes to bit 0 in every vector: mask bit (31-7) of word 0
+    assert(got.values.forall(w => ((w(0) >> (31 - 7)) & 1L) == 0L))
+    // tail word uses only 8 bits
+    assert(got.values.forall(w => w(1) >= 0L && w(1) < 256L))
+  }
+
+  test("sign words match the reference model on the real embeddings table") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    assert(runBinary(rows) === modelWords(rows))
+  }
+
+  test("Hamming ANN recovers planted twins through the 1-bit codes") {
+    def mdVal(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 15
+      while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+      java.lang.Long.remainderUnsigned(v, 2000L) / 1000.0 - 1.0
+    }
+    val dim = 64
+    val base = Array.tabulate(60, dim)((i, j) => mdVal(s"vec$i:$j").toFloat)
+    val twin = Array.tabulate(30, dim)((i, j) => (base(i)(j) + 0.05 * mdVal(s"noise$i:$j")).toFloat)
+    val all = (base ++ twin).zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("vec_id", "embedding")
+    val top1 = Quant.annTopKHamming(all.filter(col("vec_id") >= 60), all,
+        "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 30).count(i => top1(60L + i) == i.toLong)
+    assert(hits >= 24, s"Hamming top-1 recall too low: $hits/30")
+  }
+
   test("quantized ANN recovers planted twins; integer dot ranking is deterministic") {
     // the VectorLshSpec planted corpus shape: 60 base + 30 twins at 5%
     // noise (cosine ≈ 0.998); background pairs far apart
