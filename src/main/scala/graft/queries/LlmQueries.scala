@@ -1269,6 +1269,52 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- line-grain dedup (the C4/CCNet boilerplate pass) -------------------
+  /** Line-level first-occurrence dedup over a multi-line corpus derived
+    * IN-QUERY (the [[qCdcDelta]] precedent): each document becomes
+    * navbar? + body + footer? + subscribe? lines, with the boilerplate
+    * planted on deterministic id strides so both engines derive the same
+    * crawl shape. The exact-duplicate doc bodies already present in the
+    * documents table dedup too — the winner is the lowest (doc_id, line).
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val lined = docs.select(col("doc_id"), concat_ws("\n",
+        when(col("doc_id") % 3 === 0, lit("NAVBAR HOME ABOUT CONTACT SEARCH LOGIN")),
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("COPYRIGHT ALL RIGHTS RESERVED SITE FOOTER")),
+        when(col("doc_id") % 7 === 0, lit("SUBSCRIBE TO OUR NEWSLETTER FOR WEEKLY UPDATES"))
+      ).as("text"))
+    graft.operators.LineDedup.dedupLines(lined, "doc_id", "text", minLen = 10)
+      .orderBy("doc_id")
+  }
+
+  val qLineDedupSql: String =
+    """WITH lined AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    CASE WHEN doc_id % 3 = 0 THEN 'NAVBAR HOME ABOUT CONTACT SEARCH LOGIN' END,
+      |    text,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'COPYRIGHT ALL RIGHTS RESERVED SITE FOOTER' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER FOR WEEKLY UPDATES' END) AS text
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ll FROM lined),
+      |l AS (
+      |  SELECT doc_id, CAST(u.i - 1 AS INT) AS line_idx, ll[u.i] AS line, trim(ll[u.i]) AS tl
+      |  FROM ls, LATERAL unnest(generate_series(1, CAST(len(ll) AS BIGINT))) AS u(i)),
+      |wi AS (
+      |  SELECT tl, doc_id AS wid, line_idx AS widx FROM (
+      |    SELECT tl, doc_id, line_idx, row_number() OVER (PARTITION BY tl ORDER BY doc_id, line_idx) AS rn
+      |    FROM l WHERE len(tl) >= 10) t WHERE rn = 1),
+      |k AS (
+      |  SELECT l.doc_id, l.line_idx, l.line,
+      |    (w.wid IS NULL OR (w.wid = l.doc_id AND w.widx = l.line_idx)) AS keep
+      |  FROM l LEFT JOIN wi w ON w.tl = l.tl)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_idx), '') AS text,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_dropped
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- product quantization -----------------------------------------------
   /** Shared CTE prefix for the PQ oracle: micro-unit quantization, exploded
     * cells, the ksub=16 lowest-id seeds sliced into m=4 subspaces of 16
