@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF-PQ — the production vector-store layout (the FAISS `IVFPQ` shape,
+  * from Jégou et al.'s product-quantization paper): a coarse k-means
+  * quantizer routes every vector to one of `kc` inverted lists, and the
+  * RESIDUAL (vector − its coarse centroid) is product-quantized to m
+  * one-byte codes. A query probes only its `np` nearest cells, so the
+  * scan touches `np/kc` of the corpus, and each candidate costs an m-code
+  * ADC lookup instead of a float vector read. This composes [[KMeans]]
+  * (coarse) and [[Pq]] (residual codebooks) — both exact-integer, so the
+  * ENTIRE train → assign → encode → probe → search chain is
+  * partitioning-independent and replays in pure SQL.
+  *
+  * Scale shape: training is the [[KMeans]]/[[Pq]] story (one scan per
+  * Lloyd round, slim integer cell aggregations, kc·dim + ksub·dim driver
+  * longs of control plane). The store is (cell, m codes) per vector; the
+  * search join keys on the probed cell — at 100 TB the store is
+  * PARTITIONED BY cell, so a probe reads np partitions, never the corpus.
+  * Queries ride the broadcast with their raw micro-units.
+  */
+object IvfPq {
+
+  /** Trained model: `coarse(c)` = cell centroid (micro-units);
+    * `books(s)(c)` = residual codebook of subspace s — driver control
+    * plane, (kc + ksub)·dim longs.
+    */
+  final case class Model(coarse: Array[Array[Long]], books: Array[Array[Array[Long]]])
+
+  private def coarseLitSlice(coarse: Array[Array[Long]], s: Int, subDim: Int): Column =
+    typedLit(coarse.map(_.slice(s * subDim, (s + 1) * subDim).toSeq).toSeq)
+
+  /** (id, cid, rv): coarse cell + micro-unit residual, doc-local against
+    * literal centroids — zero shuffle, stays in the scan stage.
+    */
+  private def residuals(quantized: DataFrame, coarse: Array[Array[Long]]): DataFrame =
+    quantized
+      .select(col("id"), KMeans.bestOf(col("qv"), coarse).getField("cid").as("cid"), col("qv"))
+      .select(col("id"), col("cid"),
+        zip_with(col("qv"), element_at(typedLit(coarse.map(_.toSeq).toSeq), col("cid") + 1),
+          (a, b) => a - b).as("rv"))
+
+  /** Train the coarse quantizer on the corpus, then the m residual
+    * codebooks on the coarse residuals (seeds: lowest-id residuals —
+    * the same [[Pq]] contract).
+    */
+  def train(vectors: DataFrame, idCol: String, vecCol: String,
+            kc: Int, m: Int, ksub: Int, itersCoarse: Int, itersPq: Int): Model = {
+    val coarse = KMeans.train(vectors, idCol, vecCol, kc, itersCoarse)
+    val q = vectors.select(col(idCol).as("id"), KMeans.quantize(col(vecCol)).as("qv"))
+    val re = residuals(q, coarse).select(col("id"), col("rv").as("qv"))
+    Model(coarse, Pq.trainQuantized(re, m, ksub, itersPq))
+  }
+
+  /** The inverted store: (idCol, cid, sub, code) — each vector's cell plus
+    * its m residual codes, all doc-local projections.
+    */
+  def store(vectors: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val subDim = model.books(0)(0).length
+    val q = vectors.select(col(idCol).as("id"), KMeans.quantize(col(vecCol)).as("qv"))
+    residuals(q, model.coarse)
+      .select(col("id"), col("cid"), Pq.cidArray(col("rv"), subDim, model.books).as("codes"))
+      .select(col("id").as(idCol), col("cid"), posexplode(col("codes")).as(Seq("sub", "code")))
+  }
+
+  /** Top-k neighbors per query: probe the `np` nearest cells by integer
+    * L2² (ascending, lowest-cid ties), then ADC within the probed cells —
+    * exact integer L2² between the query's PER-CELL residual and each
+    * candidate's reconstructed residual. Returns
+    * (query_id, neighbor_id, d2, rank), d2 ascending with neighbor-id
+    * tie-break. The search join keys on the probed cell; candidates carry
+    * (cell, m codes) only.
+    */
+  def annTopK(queries: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
+              model: Model, np: Int, k: Int): DataFrame = {
+    require(np >= 1, s"np must be >= 1, got $np")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = model.books.length
+    val subDim = model.books(0)(0).length
+    val cand = residuals(
+        vectors.select(col(idCol).as("id"), KMeans.quantize(col(vecCol)).as("qv")), model.coarse)
+      .select(col("id").as("neighbor_id"), col("cid"),
+        Pq.cidArray(col("rv"), subDim, model.books).as("codes"))
+    // query side: probes = np lowest-L2² cells (struct sort: d2 then cid)
+    val probes = slice(array_sort(array(model.coarse.zipWithIndex.map { case (cv, ci) =>
+      struct(KMeans.l2sq(col("qqv"), cv.toSeq).as("d2"), lit(ci).as("cid"))
+    }: _*).cast("array<struct<d2:bigint,cid:int>>")), 1, np)
+    val q = queries.select(col(idCol).as("query_id"), KMeans.quantize(col(vecCol)).as("qqv"))
+      .select(col("query_id"), col("qqv"), probes.as("pr"))
+      .select(col("query_id"), col("qqv"), explode(col("pr")).as("p"))
+      .select(col("query_id"), col("qqv"), col("p").getField("cid").as("cid"))
+    val d2 = (0 until m).map { s =>
+      // query residual vs THIS cell, minus the candidate's reconstructed
+      // residual — nested zip_with keeps it one codegen'd projection
+      val qres = zip_with(slice(col("qqv"), s * subDim + 1, subDim),
+        element_at(coarseLitSlice(model.coarse, s, subDim), col("cid") + 1), (a, b) => a - b)
+      val rec = element_at(typedLit(model.books(s).map(_.toSeq).toSeq),
+        (element_at(col("codes"), s + 1) + 1).cast("int"))
+      aggregate(zip_with(qres, rec, (d, r) => (d - r) * (d - r)), lit(0L), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    cand.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

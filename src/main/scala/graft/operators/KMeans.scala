@@ -40,7 +40,7 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  private def l2sq(qv: Column, cent: Seq[Long]): Column =
+  private[operators] def l2sq(qv: Column, cent: Seq[Long]): Column =
     aggregate(zip_with(qv, typedLit(cent), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
@@ -48,7 +48,7 @@ object KMeans {
     * The cast re-names the struct fields — `array()` normalizes its element
     * structs to positional col1/col2 names.
     */
-  private def bestOf(qv: Column, cents: Array[Array[Long]]): Column =
+  private[operators] def bestOf(qv: Column, cents: Array[Array[Long]]): Column =
     array_min(array(cents.zipWithIndex.map { case (cv, ci) =>
       struct(l2sq(qv, cv.toSeq).as("d2"), lit(ci).as("cid"))
     }: _*)).cast("struct<d2:bigint,cid:int>")

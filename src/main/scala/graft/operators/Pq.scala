@@ -46,7 +46,7 @@ object Pq {
     }: _*)).cast("struct<d2:bigint,cid:int>").getField("cid")
 
   /** Per-row array of the `m` subspace codes against literal codebooks. */
-  private def cidArray(qv: Column, subDim: Int, books: Array[Array[Array[Long]]]): Column =
+  private[operators] def cidArray(qv: Column, subDim: Int, books: Array[Array[Array[Long]]]): Column =
     array(books.indices.map(s => cidOf(qv, s, subDim, books(s))): _*)
 
   /** Train `iters` Lloyd rounds per subspace; returns
@@ -54,14 +54,20 @@ object Pq {
     * (dim/m longs) — driver-side control plane, ksub·dim longs total.
     */
   def train(vectors: DataFrame, idCol: String, vecCol: String,
-            m: Int, ksub: Int, iters: Int): Array[Array[Array[Long]]] = {
+            m: Int, ksub: Int, iters: Int): Array[Array[Array[Long]]] =
+    trainQuantized(vectors.select(col(idCol).as("id"), KMeans.quantize(col(vecCol)).as("qv")),
+      m, ksub, iters)
+
+  /** [[train]] over an ALREADY micro-unit-quantized (id, qv) frame — the
+    * entry point [[IvfPq]] uses to train codebooks on residual vectors.
+    */
+  def trainQuantized(quantized: DataFrame, m: Int, ksub: Int, iters: Int): Array[Array[Array[Long]]] = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(ksub >= 1, s"ksub must be >= 1, got $ksub")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val spark = vectors.sparkSession
+    val spark = quantized.sparkSession
     import spark.implicits._
-    val q = vectors.select(col(idCol).as("id"), KMeans.quantize(col(vecCol)).as("qv"))
-      .persist()
+    val q = quantized.select(col("id"), col("qv")).persist()
     Caches.register(q)
     val seeds: Array[Array[Long]] = q.orderBy("id").limit(ksub)
       .select("qv").as[Array[Long]].collect()

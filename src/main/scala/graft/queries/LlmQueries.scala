@@ -1412,6 +1412,132 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- IVF-PQ -------------------------------------------------------------
+  /** Shared CTE prefix for the IVF-PQ oracle: ONE coarse Lloyd round at
+    * kc=8 over the corpus, final cell assignment + integer residuals, then
+    * ONE per-subspace Lloyd round at ksub=16 over the residuals and the
+    * final residual codes — the [[kmeansPrefixSql]] and [[pqPrefixSql]]
+    * shapes composed, every step integer-exact.
+    */
+  private val ivfpqPrefixSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |qe AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, v[u.i] AS qv
+      |  FROM q, LATERAL unnest(generate_series(1, CAST(len(v) AS BIGINT))) AS u(i)),
+      |cseed AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      |  FROM q ORDER BY vec_id LIMIT 8),
+      |cc0 AS (SELECT s.cid, e.pos, e.qv FROM cseed s JOIN qe e USING (vec_id)),
+      |cd1 AS (
+      |  SELECT e.vec_id, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN cc0 c ON c.pos = e.pos GROUP BY e.vec_id, c.cid),
+      |ca1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM cd1) t WHERE rn = 1),
+      |cs1 AS (
+      |  SELECT a.cid, e.pos, CAST(sum(e.qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM ca1 a JOIN qe e USING (vec_id) GROUP BY a.cid, e.pos),
+      |cc1 AS (
+      |  SELECT p.cid, p.pos,
+      |    coalesce(CAST((s.s - ((s.s % s.c + s.c) % s.c)) / s.c AS BIGINT), p.qv) AS qv
+      |  FROM cc0 p LEFT JOIN cs1 s ON s.cid = p.cid AND s.pos = p.pos),
+      |fd AS (
+      |  SELECT e.vec_id, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN cc1 c ON c.pos = e.pos GROUP BY e.vec_id, c.cid),
+      |fa AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM fd) t WHERE rn = 1),
+      |re AS (
+      |  SELECT e.vec_id, e.pos, e.qv - c.qv AS rv
+      |  FROM qe e JOIN fa a USING (vec_id) JOIN cc1 c ON c.cid = a.cid AND c.pos = e.pos),
+      |pseed AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      |  FROM q ORDER BY vec_id LIMIT 16),
+      |p0 AS (SELECT s.cid, CAST(r.pos // 16 AS INT) AS sub, r.pos, r.rv AS qv FROM pseed s JOIN re r USING (vec_id)),
+      |pd1 AS (
+      |  SELECT r.vec_id, p.sub, p.cid, CAST(sum((r.rv - p.qv) * (r.rv - p.qv)) AS BIGINT) AS d2
+      |  FROM re r JOIN p0 p ON p.pos = r.pos GROUP BY r.vec_id, p.sub, p.cid),
+      |pa1 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+      |    FROM pd1) t WHERE rn = 1),
+      |ps1 AS (
+      |  SELECT a.sub, a.cid, r.pos, CAST(sum(r.rv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM pa1 a JOIN re r ON r.vec_id = a.vec_id AND CAST(r.pos // 16 AS INT) = a.sub
+      |  GROUP BY a.cid, a.sub, r.pos),
+      |p1 AS (
+      |  SELECT p.sub, p.cid, p.pos,
+      |    coalesce(CAST((s.s - ((s.s % s.c + s.c) % s.c)) / s.c AS BIGINT), p.qv) AS qv
+      |  FROM p0 p LEFT JOIN ps1 s ON s.sub = p.sub AND s.cid = p.cid AND s.pos = p.pos),
+      |pd2 AS (
+      |  SELECT r.vec_id, p.sub, p.cid, CAST(sum((r.rv - p.qv) * (r.rv - p.qv)) AS BIGINT) AS d2
+      |  FROM re r JOIN p1 p ON p.pos = r.pos GROUP BY r.vec_id, p.sub, p.cid),
+      |pcodes AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+      |    FROM pd2) t WHERE rn = 1)""".stripMargin
+
+  /** The IVF-PQ inverted store: each vector's coarse cell plus its m=4
+    * residual codes — the production vector-store layout (partition by
+    * cell at scale; a probe reads np partitions, never the corpus).
+    */
+  def qIvfpqStore(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val model = graft.operators.IvfPq.train(emb, "vec_id", "embedding",
+      kc = 8, m = 4, ksub = 16, itersCoarse = 1, itersPq = 1)
+    graft.operators.IvfPq.store(emb, "vec_id", "embedding", model)
+      .orderBy("vec_id", "sub")
+  }
+
+  val qIvfpqStoreSql: String = ivfpqPrefixSql +
+    """
+      |SELECT f.vec_id, f.cid, p.sub, p.code
+      |FROM fa f JOIN pcodes p USING (vec_id)
+      |ORDER BY vec_id, sub""".stripMargin
+
+  /** IVF-PQ search: probe the np=2 nearest cells by integer L2², then ADC
+    * within the probed cells against reconstructed residuals. The oracle
+    * replays BOTH trainings, the assignment, the residual codes, the probe
+    * routing, and the ranking — the whole chain under the hash gate.
+    */
+  def qAnnIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val model = graft.operators.IvfPq.train(emb, "vec_id", "embedding",
+      kc = 8, m = 4, ksub = 16, itersCoarse = 1, itersPq = 1)
+    graft.operators.IvfPq.annTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", model, np = 2, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnIvfpqSql: String = ivfpqPrefixSql +
+    """,
+      |pbd AS (
+      |  SELECT e.vec_id, c.cid, CAST(sum((e.qv - c.qv) * (e.qv - c.qv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN cc1 c ON c.pos = e.pos WHERE e.vec_id < 5 GROUP BY e.vec_id, c.cid),
+      |pb AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+      |    FROM pbd) t WHERE pr <= 2),
+      |adc AS (
+      |  SELECT pb.query_id, f.vec_id AS neighbor_id,
+      |    CAST(sum(((e.qv - cc.qv) - pp.qv) * ((e.qv - cc.qv) - pp.qv)) AS BIGINT) AS d2
+      |  FROM pb
+      |  JOIN fa f ON f.cid = pb.cid AND f.vec_id <> pb.query_id
+      |  JOIN pcodes co ON co.vec_id = f.vec_id
+      |  JOIN qe e ON e.vec_id = pb.query_id AND CAST(e.pos // 16 AS INT) = co.sub
+      |  JOIN cc1 cc ON cc.cid = pb.cid AND cc.pos = e.pos
+      |  JOIN p1 pp ON pp.sub = co.sub AND pp.cid = co.code AND pp.pos = e.pos
+      |  GROUP BY pb.query_id, f.vec_id)
+      |SELECT query_id, neighbor_id, d2, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT) AS rank
+      |  FROM adc) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val fixture = ivfCentroidFixture(dir)
