@@ -505,6 +505,51 @@ object AnalyticsQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---- events: cohort retention ------------------------------------------
+  /** Weekly cohort retention — the classic product-analytics matrix: users
+    * cohorted by the week of their first event, and for every later week
+    * the count (and share) of the cohort still active. Week buckets are
+    * integer epoch math (`ts_ms DIV weekMs` — the [[qEventsWindow]]
+    * contract), so both engines cohort identically; the retention share is
+    * ONE pinned double division.
+    *
+    * Scale shape: (user, week) distinct is one map-side-combined
+    * aggregation; the first-week frame is a second slim agg keyed by user,
+    * joined back on the SAME key (co-partitioned, no extra exchange under
+    * AQE); the final matrix is |cohorts|·|offsets| rows — control-plane
+    * sized — and the offset-0 join that prices the share broadcasts.
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    val raw = table(s, dir, "events")
+    val ev = raw.select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"))
+      .select(col("user_id"), expr(s"ts_ms DIV $weekMs").as("wk"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val r = ev.join(first, "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val c = r.filter(col("week_offset") === 0)
+      .select(col("cohort_wk"), col("n_users").as("cohort_size"))
+    r.join(broadcast(c), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+      |r AS (
+      |  SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM ev e JOIN f USING (user_id) GROUP BY 1, 2),
+      |c AS (SELECT cohort_wk, n_users AS cohort_size FROM r WHERE week_offset = 0)
+      |SELECT r.cohort_wk, r.week_offset, r.n_users,
+      |  CAST(r.n_users AS DOUBLE) / c.cohort_size AS retention
+      |FROM r JOIN c USING (cohort_wk)
+      |ORDER BY cohort_wk, week_offset""".stripMargin
+
   // ---- graph centrality: fixed-point PageRank ----------------------------
   /** Customer↔supplier authority over the order-flow bipartite graph:
     * distinct (custkey, suppkey) trade edges symmetrized, 3 exact-integer

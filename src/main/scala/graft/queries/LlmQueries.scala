@@ -1225,8 +1225,8 @@ object LlmQueries {
     * ((mn+mx)/2 — two exactly-deterministic IEEE ops), strict-greater sign
     * bits, and the identical acc·2+bit fold per 32-dim word.
     */
-  private val binaryWordsSql: String =
-    """WITH ex AS (
+  private val binaryWordsCtes: String =
+    """ex AS (
       |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
       |  FROM embeddings, LATERAL unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i)),
       |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
@@ -1238,6 +1238,8 @@ object LlmQueries {
       |  SELECT vec_id, CAST(pos // 32 AS INT) AS widx,
       |    list_reduce(list(bit ORDER BY pos), (acc, v) -> acc * 2 + v) AS word
       |  FROM bt GROUP BY vec_id, CAST(pos // 32 AS INT))""".stripMargin
+
+  private val binaryWordsSql: String = "WITH " + binaryWordsCtes
 
   val qEmbedBinarySql: String = binaryWordsSql +
     """
@@ -1411,6 +1413,71 @@ object LlmQueries {
       |  FROM sc) t
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- hybrid retrieval: reciprocal rank fusion ---------------------------
+  /** Reciprocal rank fusion (Cormack et al.) of two retrieval branches —
+    * float-cosine brute force and 1-bit Hamming — the standard hybrid
+    * trick for combining rankings whose scores are not comparable:
+    * rrf = Σ 1/(60 + rank_branch) over the branches that returned the
+    * candidate (k=20 each), re-ranked descending. Two pinned divisions and
+    * ONE addition in a fixed order, so the fused score is bit-identical
+    * cross-engine; ties break on neighbor_id.
+    *
+    * Scale shape: each branch is its own (already-scaling) top-k; the
+    * fusion is a join on (query, candidate) over k-bounded lists — |Q|·k
+    * rows, never corpus-sized.
+    */
+  def qRrfFuse(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val cos = Ann.bruteForceTopK(qs, emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("r_cos"))
+    val ham = graft.operators.Quant.annTopKHamming(qs, emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("r_ham"))
+    cos.join(ham, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(60) + col("r_ham")), lit(0.0))).as("rrf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val qRrfFuseSql: String =
+    s"""WITH $binaryWordsCtes,
+       |wl AS (SELECT vec_id, list(word ORDER BY widx) AS ws FROM w GROUP BY vec_id),
+       |cosb AS (
+       |  SELECT query_id, neighbor_id, r AS r_cos FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $dotSql / (${normSql("q")} * ${normSql("c")}) DESC, c.vec_id) AS r
+       |    FROM embeddings c, embeddings q
+       |    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id) t
+       |  WHERE r <= 20),
+       |hamb AS (
+       |  SELECT query_id, neighbor_id, r AS r_ham FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_reduce(list_transform(list_zip(q.ws, n.ws),
+       |          z -> CAST(bit_count(xor(z[1], z[2])) AS INT)), (acc, v) -> acc + v),
+       |        n.vec_id) AS r
+       |    FROM wl q JOIN wl n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) t
+       |  WHERE r <= 20),
+       |fused AS (
+       |  SELECT coalesce(c.query_id, h.query_id) AS query_id,
+       |    coalesce(c.neighbor_id, h.neighbor_id) AS neighbor_id,
+       |    coalesce(CAST(1 AS DOUBLE) / (60 + c.r_cos), CAST(0 AS DOUBLE)) +
+       |    coalesce(CAST(1 AS DOUBLE) / (60 + h.r_ham), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM cosb c FULL OUTER JOIN hamb h
+       |    ON h.query_id = c.query_id AND h.neighbor_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rrf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS INT) AS rank
+       |  FROM fused) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   // ---- IVF-PQ -------------------------------------------------------------
   /** Shared CTE prefix for the IVF-PQ oracle: ONE coarse Lloyd round at
