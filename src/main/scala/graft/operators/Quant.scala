@@ -136,6 +136,42 @@ object Quant {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage prefix-dimension ANN (the Matryoshka-retrieval pattern —
+    * truncate DIMENSIONS for the cheap stage the way the rest of this file
+    * truncates PRECISION): stage 1 shortlists `c` candidates per query by
+    * the integer micro-unit dot product over only the first `prefixDim`
+    * dims; stage 2 reranks the shortlist by the exact full-dim integer dot
+    * and keeps `k`. Returns (query_id, neighbor_id, dot_full, rank).
+    *
+    * Scale shape: the stage-1 scan reads prefixDim/dim of each vector's
+    * bytes (a column-pruned store keeps prefixes in their own parquet
+    * column at 100 TB); the full-width read and dot happen only on the
+    * |Q|·c shortlist. Both stages rank with neighbor-id ties — exact
+    * integers, so the whole cascade replays in SQL. Ranking fidelity vs
+    * the full dot is the documented truncation trade, measured in
+    * QuantSpec on planted structure.
+    */
+  def annTopKPrefix(queries: DataFrame, vecs: DataFrame, idCol: String, vecCol: String,
+                    prefixDim: Int, c: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(c >= k && k >= 1, s"need c >= k >= 1, got c=$c k=$k")
+    import org.apache.spark.sql.expressions.Window
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val q = queries.select(col(idCol).as("query_id"), KMeans.quantize(col(vecCol)).as("qqv"))
+    val cand = vecs.select(col(idCol).as("neighbor_id"), KMeans.quantize(col(vecCol)).as("cqv"))
+    val shortlist = cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pdot", idot(slice(col("qqv"), 1, prefixDim), slice(col("cqv"), 1, prefixDim)))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pdot").desc, col("neighbor_id"))))
+      .filter(col("prank") <= c)
+    shortlist
+      .select(col("query_id"), col("neighbor_id"), idot(col("qqv"), col("cqv")).as("dot_full"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot_full").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-k neighbors per query by QUANTIZED similarity: rank on the
     * integer code dot product (descending, neighbor-id tie-break) — the
     * scan a code-only store can run without touching a single float.

@@ -1414,6 +1414,41 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- two-stage prefix-dimension ANN -------------------------------------
+  /** Matryoshka-style cascade: shortlist c=30 by the integer dot over the
+    * first 16 dims only, rerank the shortlist by the exact full-dim dot,
+    * keep 10. The cheap stage reads a quarter of each vector; the full
+    * read happens on |Q|·c rows. Both stages replay in SQL.
+    */
+  def qAnnPrefix(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    graft.operators.Quant.annTopKPrefix(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", prefixDim = 16, c = 30, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnPrefixSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |sl AS (
+      |  SELECT query_id, neighbor_id, qv, cv FROM (
+      |    SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id, qq.v AS qv, cc.v AS cv,
+      |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+      |        list_reduce(list_transform(list_zip(qq.v[1:16], cc.v[1:16]), z -> z[1] * z[2]), (acc, x) -> acc + x) DESC,
+      |        cc.vec_id) AS pr
+      |    FROM q cc, q qq WHERE qq.vec_id < 5 AND qq.vec_id <> cc.vec_id) t
+      |  WHERE pr <= 30),
+      |f AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(list_reduce(list_transform(list_zip(qv, cv), z -> z[1] * z[2]), (acc, x) -> acc + x) AS BIGINT) AS dot_full
+      |  FROM sl)
+      |SELECT query_id, neighbor_id, dot_full, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_full DESC, neighbor_id) AS INT) AS rank
+      |  FROM f) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---- hybrid retrieval: reciprocal rank fusion ---------------------------
   /** Reciprocal rank fusion (Cormack et al.) of two retrieval branches —
     * float-cosine brute force and 1-bit Hamming — the standard hybrid

@@ -67,6 +67,52 @@ class QuantSpec extends SparkSpec {
     assert(runQuant(rows) === modelCodes(rows))
   }
 
+  // ---- two-stage prefix-dimension cascade ---------------------------------
+
+  test("prefix cascade matches a driver model on the real embeddings table") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray))
+    def dot(a: Array[Long], b: Array[Long], n: Int): Long =
+      (0 until n).map(i => a(i) * b(i)).sum
+    val expected = rows.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val short = rows.filter(_._1 != qid)
+        .map { case (nid, cv) => (nid, dot(qv, cv, 16)) }
+        .sortBy { case (nid, d) => (-d, nid) }.take(30)
+      short.map { case (nid, _) => (nid, dot(qv, rows.find(_._1 == nid).get._2, qv.length)) }
+        .sortBy { case (nid, d) => (-d, nid) }.take(10).zipWithIndex
+        .map { case ((nid, d), i) => (qid, nid) -> ((d, i + 1)) }
+    }.toMap
+    val got = Quant.annTopKPrefix(
+        spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 5),
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", prefixDim = 16, c = 30, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got === expected)
+  }
+
+  test("prefix cascade recovers planted twins through the truncated stage") {
+    def mdVal(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 15
+      while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+      java.lang.Long.remainderUnsigned(v, 2000L) / 1000.0 - 1.0
+    }
+    val dim = 32
+    val base = Array.tabulate(60, dim)((i, j) => mdVal(s"vec$i:$j").toFloat)
+    val twin = Array.tabulate(30, dim)((i, j) => (base(i)(j) + 0.05 * mdVal(s"noise$i:$j")).toFloat)
+    val all = (base ++ twin).zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("vec_id", "embedding")
+    val top1 = Quant.annTopKPrefix(all.filter(col("vec_id") >= 60), all,
+        "vec_id", "embedding", prefixDim = 8, c = 10, k = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 30).count(i => top1(60L + i) == i.toLong)
+    assert(hits >= 25, s"prefix-cascade top-1 recall too low: $hits/30")
+  }
+
   // ---- 1-bit sign quantization --------------------------------------------
 
   /** Driver reference: midrange thresholds then the acc·2+bit fold per
