@@ -1414,6 +1414,44 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- contrastive pair mining --------------------------------------------
+  /** Training pairs for an embedding model: verified near-dup positives
+    * (banded-minhash path, jaccard ≥ 0.8) + hash-bucket negatives. The
+    * oracle replays positives as exact all-pairs jaccard (the
+    * [[qDedupMinhashSql]] zero-false-negative argument) and negatives as
+    * the same md5-bucket consecutive pairing.
+    */
+  def qPairMine(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PairMine.contrastivePairs(table(s, dir, "documents"),
+        "doc_id", "text", theta = 0.8, negBuckets = 32)
+      .orderBy("id_a", "id_b")
+
+  val qPairMineSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |pos AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |bk AS (
+       |  SELECT doc_id AS id, CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 32 AS INT) AS bucket
+       |  FROM documents),
+       |r AS (SELECT id, bucket, row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM bk),
+       |neg AS (
+       |  SELECT a.id AS id_a, bb.id AS id_b
+       |  FROM r a JOIN r bb ON bb.bucket = a.bucket AND bb.rn = a.rn + 1
+       |  WHERE a.rn % 2 = 1),
+       |negx AS (
+       |  SELECT n.id_a, n.id_b FROM neg n
+       |  LEFT JOIN pos p ON p.id_a = n.id_a AND p.id_b = n.id_b
+       |  WHERE p.id_a IS NULL)
+       |SELECT id_a, id_b, label FROM (
+       |  SELECT id_a, id_b, CAST(1 AS INT) AS label FROM pos
+       |  UNION ALL
+       |  SELECT id_a, id_b, CAST(0 AS INT) AS label FROM negx) t
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- two-stage prefix-dimension ANN -------------------------------------
   /** Matryoshka-style cascade: shortlist c=30 by the integer dot over the
     * first 16 dims only, rerank the shortlist by the exact full-dim dot,
