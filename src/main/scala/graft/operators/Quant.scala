@@ -77,6 +77,33 @@ object Quant {
     aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
       lit(0), (acc, v) => acc + v)
 
+  /** Per-dimension reconstruction-error report of the int8 store — the
+    * quality audit that decides whether the 4× memory trade is safe for a
+    * given corpus: for every dimension, the count, max, sum, and mean of
+    * |original − dequantized| in MICRO-UNITS. Errors are exact integers
+    * (both sides round to micro-units before differencing — the
+    * [[KMeans.quantize]] recipe), so the whole report is
+    * partitioning-independent; the mean is ONE pinned double division.
+    * One doc-local projection + one map-side-combined agg to dim rows.
+    */
+  def quantErrorByDim(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (mn, mx) = dimRanges(vecs, vecCol)
+    val step = mn.indices.map(i => (mx(i) - mn(i)) / 254.0).toArray
+    val mnL = typedLit(mn.toSeq)
+    val stepL = typedLit(step.toSeq)
+    vecs.select(col(idCol),
+        posexplode(transform(codes(col(vecCol), mn, mx), (c, i) => {
+          val deq = element_at(mnL, i + 1) +
+            (c.cast("double") + lit(127.0)) * element_at(stepL, i + 1)
+          abs(round(element_at(col(vecCol), i + 1).cast("double") * lit(1000000.0)) -
+            round(deq * lit(1000000.0))).cast("long")
+        })).as(Seq("pos", "err_u")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), max("err_u").as("max_err_u"), sum("err_u").as("sum_err_u"))
+      .select(col("pos"), col("n"), col("max_err_u"), col("sum_err_u"),
+        (col("sum_err_u").cast("double") / col("n")).as("mean_err_u"))
+  }
+
   /** Per-dimension midrange thresholds, (mn+mx)/2: both addends are exact
     * corpus statistics and the two IEEE ops (add, halve) are exactly
     * deterministic, so every engine computes the same threshold bits.

@@ -1414,6 +1414,72 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** The int8 store's quality audit: per-dimension reconstruction error in
+    * exact micro-units (count/max/sum + one pinned-division mean). The
+    * worst dimension's max error bounds what any downstream integer dot
+    * can drift — the number that says whether the 4× trade is safe.
+    */
+  def qQuantError(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quant.quantErrorByDim(table(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("pos")
+
+  val qQuantErrorSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS INT) AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS u(i)),
+      |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+      |cd AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN r.mx = r.mn THEN 0
+      |         ELSE CAST(round((e.x - r.mn) * (254.0 / (r.mx - r.mn))) - 127 AS INT) END AS code
+      |  FROM ex e JOIN rg r USING (pos)),
+      |er AS (
+      |  SELECT e.pos,
+      |    abs(CAST(round(e.x * 1000000.0) AS BIGINT) -
+      |        CAST(round((r.mn + (c.code + 127) * ((r.mx - r.mn) / 254.0)) * 1000000.0) AS BIGINT)) AS err_u
+      |  FROM ex e JOIN rg r USING (pos) JOIN cd c ON c.vec_id = e.vec_id AND c.pos = e.pos)
+      |SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(max(err_u) AS BIGINT) AS max_err_u,
+      |  CAST(sum(err_u) AS BIGINT) AS sum_err_u,
+      |  CAST(sum(err_u) AS DOUBLE) / count(*) AS mean_err_u
+      |FROM er GROUP BY pos
+      |ORDER BY pos""".stripMargin
+
+  // ---- tokenizer efficiency report ----------------------------------------
+  /** Per-source tokenizer-efficiency report under the pinned 48-merge BPE:
+    * docs, words, model tokens, chars, and the two ratios every tokenizer
+    * eval quotes — chars-per-token (compression) and tokens-per-word
+    * (fertility). Two pinned divisions; the token counts ride the same
+    * replayed merge chain as [[qBpeCount]].
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val merges = pinnedBpeMerges(s, dir)
+    table(s, dir, "documents")
+      .select(col("source"),
+        size(filter(TF.tokens(col("text")), w => length(w) > 0)).cast("long").as("nw"),
+        graft.operators.Bpe.bpeLen(col("text"), merges).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+        sum("nb").as("n_bpe"), sum("nc").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe"), col("n_chars"),
+        (col("n_chars").cast("double") / col("n_bpe")).as("chars_per_token"),
+        (col("n_bpe").cast("double") / col("n_words")).as("fertility"))
+      .orderBy("source")
+  }
+
+  def qVocabCoverageSql: String =
+    s"""WITH RECURSIVE ${bpeDocLenCtes(bpeMergesFixture(lastBpeDir.get))},
+       |base AS (
+       |  SELECT d.source, coalesce(l.n_words, 0) AS nw, coalesce(l.n_bpe, 0) AS nb,
+       |    len(d.text) AS nc
+       |  FROM documents d LEFT JOIN doclen l USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nb) AS BIGINT) AS n_bpe, CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS BIGINT) AS chars_per_token,
+       |  CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS BIGINT) AS fertility
+       |FROM base GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ---- contrastive pair mining --------------------------------------------
   /** Training pairs for an embedding model: verified near-dup positives
     * (banded-minhash path, jaccard ≥ 0.8) + hash-bucket negatives. The

@@ -67,6 +67,32 @@ class QuantSpec extends SparkSpec {
     assert(runQuant(rows) === modelCodes(rows))
   }
 
+  // ---- reconstruction-error report ----------------------------------------
+
+  test("per-dim error report matches a driver model; errors bounded by half a step in micro-units") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val dim = rows.head._2.length
+    val mn = (0 until dim).map(j => rows.map(_._2(j).toDouble).min)
+    val mx = (0 until dim).map(j => rows.map(_._2(j).toDouble).max)
+    val step = (0 until dim).map(j => (mx(j) - mn(j)) / 254.0)
+    val model = (0 until dim).map { j =>
+      val errs = rows.map { case (_, v) =>
+        val c = codeRef(v(j).toDouble, mn(j), mx(j))
+        val deq = mn(j) + (c + 127.0) * step(j)
+        math.abs(math.round(v(j).toDouble * 1e6) - math.round(deq * 1e6))
+      }
+      j -> ((errs.size.toLong, errs.max, errs.sum, errs.sum.toDouble / errs.size))
+    }.toMap
+    val got = Quant.quantErrorByDim(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === model)
+    // half-step bound in micro-units (+1 for the double micro-rounding)
+    for ((j, (_, mx_u, _, _)) <- got)
+      assert(mx_u <= math.round(step(j) / 2 * 1e6) + 1, s"dim $j err $mx_u step ${step(j)}")
+  }
+
   // ---- two-stage prefix-dimension cascade ---------------------------------
 
   test("prefix cascade matches a driver model on the real embeddings table") {
