@@ -295,4 +295,39 @@ object SourceQueries {
       |FROM documents
       |WHERE doc_id % 7 = 0
       |ORDER BY doc_id""".stripMargin
+
+  // ---- data-profiling report ---------------------------------------------
+  /** Per-column profile of the orders feed — see
+    * [[graft.operators.Profile.profile]] for the exact-domain
+    * normalization (ints as-is, doubles micro-units, timestamps
+    * epoch-micros, strings binary collation) and the one-pass Expand
+    * shape. The oracle replays every normalization and aggregate.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(table(s, dir, "orders")).orderBy("col_name")
+
+  val qProfileSql: String = {
+    def num(c: String, expr: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($expr) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $expr) AS BIGINT) AS n_distinct,
+         |  CAST(min($expr) AS BIGINT) AS min_num, CAST(max($expr) AS BIGINT) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS BIGINT) AS min_num, CAST(NULL AS BIGINT) AS max_num,
+         |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    Seq(
+      num("o_orderkey", "o_orderkey"),
+      num("o_custkey", "o_custkey"),
+      str("o_orderstatus"),
+      num("o_totalprice", "CAST(round(o_totalprice * 1000000.0) AS BIGINT)"),
+      num("o_orderdate", "epoch_us(o_orderdate)"),
+      str("o_orderpriority")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
 }
