@@ -330,4 +330,60 @@ object SourceQueries {
       str("o_orderpriority")
     ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  // ---- SCD type-2 snapshot merge -----------------------------------------
+  /** SCD2 history build over the orders dimension: snapshot t is the
+    * table; snapshot t+1 is derived IN-QUERY with deterministic planted
+    * churn both engines replay identically (the [[LlmQueries.qCdcDelta]]
+    * precedent) — deletions (key % 13), status flips (% 5 → 'X'), price
+    * bumps (% 7 → +100.00 in micro-units), inserts (% 11 spawns key+10⁷).
+    * Prices are normalized to exact micro-units BEFORE the merge so the
+    * change comparison is integer-exact. See [[graft.operators.Scd.scd2]].
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * lit(1000000.0)).cast("long").as("price_u"))
+    val next = base.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 7 === 0, col("price_u") + lit(100000000L))
+          .otherwise(col("price_u")).as("price_u"))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_orderstatus"), col("price_u")))
+    graft.operators.Scd.scd2(base, next, "o_orderkey", Seq("o_orderstatus", "price_u"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
+  val qScd2Sql: String =
+    """WITH oldt AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS pu
+      |  FROM orders),
+      |newt AS (
+      |  SELECT k, CASE WHEN k % 5 = 0 THEN 'X' ELSE st END AS st,
+      |    CASE WHEN k % 7 = 0 THEN pu + 100000000 ELSE pu END AS pu
+      |  FROM oldt WHERE k % 13 <> 0
+      |  UNION ALL
+      |  SELECT k + 10000000 AS k, st, pu FROM oldt WHERE k % 11 = 0),
+      |j AS (
+      |  SELECT coalesce(o.k, n.k) AS k, o.st AS ost, o.pu AS opu,
+      |    n.st AS nst, n.pu AS npu,
+      |    o.k IS NOT NULL AS in_o, n.k IS NOT NULL AS in_n
+      |  FROM oldt o FULL OUTER JOIN newt n ON n.k = o.k),
+      |cls AS (
+      |  SELECT *, in_o AND in_n AND ost IS NOT DISTINCT FROM nst
+      |              AND opu IS NOT DISTINCT FROM npu AS same
+      |  FROM j)
+      |SELECT k AS o_orderkey, ost AS o_orderstatus, opu AS price_u,
+      |  CAST(0 AS INT) AS valid_from, CAST(1 AS INT) AS valid_to, false AS is_current
+      |FROM cls WHERE in_o AND NOT same
+      |UNION ALL
+      |SELECT k, ost, opu, CAST(0 AS INT), CAST(NULL AS INT), true
+      |FROM cls WHERE same
+      |UNION ALL
+      |SELECT k, nst, npu, CAST(1 AS INT), CAST(NULL AS INT), true
+      |FROM cls WHERE in_n AND NOT same
+      |ORDER BY o_orderkey, valid_from""".stripMargin
 }
