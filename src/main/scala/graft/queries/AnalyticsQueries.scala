@@ -310,6 +310,36 @@ object AnalyticsQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- join-key skew audit -----------------------------------------------
+  /** Power-of-two skew histogram for every candidate join key of the fact
+    * table — the report that decides which keys need [[graft.operators
+    * .Scale.saltedJoin]] before the shuffle. See
+    * [[graft.operators.Skew.skewReport]] for the integer bucket contract
+    * (bit-length of the per-key count, no floating log).
+    */
+  def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    Seq("l_orderkey", "l_partkey", "l_suppkey")
+      .map(k => graft.operators.Skew.skewReport(li, k).withColumn("key_name", lit(k)))
+      .reduce(_ unionByName _)
+      .select("key_name", "bucket", "n_keys", "n_rows", "max_key_rows", "rows_share")
+      .orderBy("key_name", "bucket")
+  }
+
+  val qSkewReportSql: String = {
+    def one(k: String) =
+      s"""SELECT '$k' AS key_name, bucket, n_keys, n_rows, max_key_rows,
+         |  CAST(n_rows AS DOUBLE) / sum(n_rows) OVER () AS rows_share
+         |FROM (
+         |  SELECT CAST(len(bin(cnt)) AS INT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |    CAST(max(cnt) AS BIGINT) AS max_key_rows
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY $k)
+         |  GROUP BY 1)""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name, bucket")
+  }
+
   // ---- salted join: skew-safe fact⋈dim ----------------------------------
   /** lineitem⋈part through Scale.saltedJoin — the hot-key-safe formulation.
     * Salting never changes which pairs match (each left row meets exactly
