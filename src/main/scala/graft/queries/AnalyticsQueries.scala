@@ -405,6 +405,59 @@ object AnalyticsQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- events: burst detection -------------------------------------------
+  /** Robust per-type burst detector: minute-grain event counts, then the
+    * Hampel gate (|cnt − median| > 3·MAD) per event_type — the monitoring
+    * query that catches a traffic spike without the mean/σ breakdown
+    * problem (a large burst inflates σ and hides itself; median/MAD has a
+    * 50% breakdown point — see [[graft.operators.Curation.robustOutliers]]).
+    * Integer end-to-end: minute = epoch-ms DIV 60000; counts and both
+    * medians ride the histogram-CDF engine, so the verdict column is
+    * bit-deterministic.
+    */
+  def qBurstDetect(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    val counts = raw
+      .select(GraftSession.eventTsMs(raw).as("ts_ms"), col("event_type"))
+      .select(expr("ts_ms DIV 60000").as("minute"), col("event_type"))
+      .groupBy("event_type", "minute").agg(count(lit(1)).as("cnt"))
+    graft.operators.Curation.robustOutliers(counts, "minute", "event_type", "cnt", k = 3)
+      .orderBy("event_type", "minute")
+  }
+
+  val qBurstDetectSql: String =
+    """WITH s AS (
+      |  SELECT epoch_ms(ts) // 60000 AS minute, event_type,
+      |    CAST(count(*) AS BIGINT) AS value
+      |  FROM events GROUP BY 1, 2),
+      |h1 AS (SELECT event_type, value AS v, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM s GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT event_type, v,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h1),
+      |med AS (
+      |  SELECT event_type, CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS BIGINT) AS med
+      |  FROM c1 GROUP BY event_type),
+      |d AS (
+      |  SELECT s.minute, s.event_type, s.value, m.med, abs(s.value - m.med) AS adev
+      |  FROM s JOIN med m USING (event_type)),
+      |h2 AS (SELECT event_type, adev AS v, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM d GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT event_type, v,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h2),
+      |mad AS (
+      |  SELECT event_type, CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS BIGINT) AS mad
+      |  FROM c2 GROUP BY event_type)
+      |SELECT d.minute, d.event_type, d.value, d.med, ma.mad,
+      |  d.adev > 3 * ma.mad AS is_outlier
+      |FROM d JOIN mad ma USING (event_type)
+      |ORDER BY d.event_type, d.minute""".stripMargin
+
   // ---- events: tumbling-window aggregation ------------------------------
   /** Tumbling 1h windows — the batch shape of the Structured Streaming agg
     * in graft.streaming (the same grouping runs on readStream via
