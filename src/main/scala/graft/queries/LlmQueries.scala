@@ -2539,6 +2539,51 @@ object LlmQueries {
     """
       |SELECT cid, pos, qv AS qval FROM c2 ORDER BY cid, pos""".stripMargin
 
+  // ---- cluster-quality report ---------------------------------------------
+  /** Per-label tightness/separation audit of the embedding space — exact
+    * intra sum-of-squares to the label centroid plus the nearest other
+    * centroid, the two numbers behind every silhouette-style judgement.
+    * See [[graft.operators.ClusterReport.report]] for the two-scan /
+    * control-plane shape.
+    */
+  def qClusterReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ClusterReport.report(table(s, dir, "embeddings"), "label", "embedding")
+      .orderBy("label")
+
+  val qClusterReportSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS INT) AS label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |qe AS (
+      |  SELECT vec_id, label, CAST(u.i - 1 AS INT) AS pos, v[u.i] AS qv
+      |  FROM q, LATERAL unnest(generate_series(1, CAST(len(v) AS BIGINT))) AS u(i)),
+      |cell AS (
+      |  SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM qe GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label, pos, CAST((s - ((s % c + c) % c)) / c AS BIGINT) AS cv FROM cell),
+      |d AS (
+      |  SELECT e.vec_id, e.label, CAST(sum((e.qv - c.cv) * (e.qv - c.cv)) AS BIGINT) AS d2
+      |  FROM qe e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+      |  GROUP BY 1, 2),
+      |intra AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(d2) AS BIGINT) AS sum_d2
+      |  FROM d GROUP BY 1),
+      |cd AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    CAST(sum((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS d2
+      |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT la AS label, lb AS nearest_label, d2 AS nearest_d2 FROM (
+      |    SELECT la, lb, d2, row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rn
+      |    FROM cd) t WHERE rn = 1)
+      |SELECT i.label, i.n, i.sum_d2, CAST(i.sum_d2 AS DOUBLE) / i.n AS mean_d2,
+      |  nr.nearest_label, nr.nearest_d2
+      |FROM intra i JOIN near nr USING (label)
+      |ORDER BY label""".stripMargin
+
   /** Cluster-BALANCED sampling — the use-case full-corpus k-means exists
     * for: assign every vector to its trained cluster, then cap each cluster
     * at 30 via the md5-priority uniform rule ([[Curation.capPerGroup]], the
