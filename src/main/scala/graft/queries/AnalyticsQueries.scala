@@ -310,6 +310,33 @@ object AnalyticsQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- fixed-domain pivot -------------------------------------------------
+  /** Status×priority order-count matrix via `groupBy().pivot()` — the
+    * classic ETL reshape. The pivot domain is a LITERAL list: letting
+    * Spark infer it runs a collect-distinct job over the full table and
+    * makes the output schema data-dependent — both wrong at 100 TB. With
+    * literal values the plan is one ordinary hash aggregation (pivot
+    * lowers to one conditional-count per domain value, map-side combined).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy("o_orderpriority")
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---- join-key skew audit -----------------------------------------------
   /** Power-of-two skew histogram for every candidate join key of the fact
     * table — the report that decides which keys need [[graft.operators
