@@ -333,4 +333,46 @@ object Curation {
         .as("total_tokens"))
     totals.join(vocab, "n_docs").select("n_docs", "total_tokens", "vocab")
   }
+
+  /** Pairwise TOTAL-VARIATION distance between per-group unigram
+    * distributions — the "which sources are distributionally
+    * interchangeable?" mix diagnostic. KL/JS are the textbook choices but
+    * need `ln` (not exactly rounded cross-engine); TV is the same
+    * ranking as ONE pinned division per pair, via the overlap identity
+    *   TV(p,q) = 1 − Σ_w min(c₁M₂, c₂M₁) / (M₁M₂)
+    * which needs only the INNER join on shared words — words unique to
+    * one group contribute through the identity, not through an outer
+    * join. Returns (group_a, group_b, overlap_num, denom, tv).
+    *
+    * Scale shape: one doc-local explode + map-side-combined count to the
+    * slim (group, word) vocabulary; one vocabulary-keyed self-join whose
+    * fan-out is bounded by groups-per-word; |groups|-row totals broadcast
+    * everywhere; the |groups|² pair frame is control-plane-sized. Long
+    * c·M holds to ~2·10⁹ tokens per group (c·M < 2⁶³); past that widen
+    * to decimal(38,0) — the documented [[vocabConcentration]] trade.
+    */
+  def distributionDistance(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+      .persist()
+    Caches.register(counts)
+    val totals = counts.groupBy("g").agg(sum("c").as("m"))
+    val a = counts.join(broadcast(totals), "g")
+      .select(col("g").as("ga"), col("w"), col("c").as("ca"), col("m").as("ma"))
+    val b = counts.join(broadcast(totals), "g")
+      .select(col("g").as("gb"), col("w"), col("c").as("cb"), col("m").as("mb"))
+    val overlap = a.join(b, "w").filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(sum(least(col("ca") * col("mb"), col("cb") * col("ma"))).as("num"))
+    val pairs = totals.select(col("g").as("ga"), col("m").as("ma"))
+      .crossJoin(broadcast(totals.select(col("g").as("gb"), col("m").as("mb"))))
+      .filter(col("ga") < col("gb"))
+    pairs.join(overlap, Seq("ga", "gb"), "left")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        coalesce(col("num"), lit(0L)).as("overlap_num"),
+        (col("ma") * col("mb")).as("denom"),
+        (lit(1.0) - coalesce(col("num"), lit(0L)).cast("double") /
+          (col("ma") * col("mb"))).as("tv"))
+  }
 }

@@ -3093,6 +3093,38 @@ object LlmQueries {
       |  1.0 - CAST(sum_c2 AS DOUBLE) / (m_tokens * m_tokens) AS gini
       |FROM a ORDER BY source""".stripMargin
 
+  /** Pairwise total-variation distance between source unigram
+    * distributions — see [[graft.operators.Curation.distributionDistance]]
+    * for the ln-free overlap identity and the inner-join-only shape.
+    */
+  def qSourceDivergence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.distributionDistance(table(s, dir, "documents"),
+        "source", "text")
+      .orderBy("group_a", "group_b")
+
+  val qSourceDivergenceSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS m FROM c GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS sa, a.m AS ma, b.source AS sb, b.m AS mb
+      |  FROM m a JOIN m b ON a.source < b.source),
+      |ov AS (
+      |  SELECT ca.source AS sa, cb.source AS sb,
+      |    CAST(sum(least(ca.c * mb.m, cb.c * ma.m)) AS BIGINT) AS num
+      |  FROM c ca JOIN c cb ON ca.w = cb.w AND ca.source < cb.source
+      |  JOIN m ma ON ma.source = ca.source
+      |  JOIN m mb ON mb.source = cb.source
+      |  GROUP BY 1, 2)
+      |SELECT p.sa AS group_a, p.sb AS group_b,
+      |  CAST(coalesce(o.num, 0) AS BIGINT) AS overlap_num,
+      |  CAST(p.ma * p.mb AS BIGINT) AS denom,
+      |  1.0 - CAST(coalesce(o.num, 0) AS DOUBLE) / (p.ma * p.mb) AS tv
+      |FROM pairs p LEFT JOIN ov o ON o.sa = p.sa AND o.sb = p.sb
+      |ORDER BY group_a, group_b""".stripMargin
+
   /** Vocabulary growth at doc-count checkpoints — see
     * [[graft.operators.Curation.vocabGrowth]] (Heaps'-law saturation
     * signal; one tokenize pass for the whole curve).
