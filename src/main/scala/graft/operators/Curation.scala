@@ -334,6 +334,34 @@ object Curation {
     totals.join(vocab, "n_docs").select("n_docs", "total_tokens", "vocab")
   }
 
+  /** Per-row empirical-CDF rank transform within a group — quantile
+    * normalization: sources score on incomparable scales (one crawl's
+    * "quality 7" is another's "quality 40"), and mixing on raw scores
+    * over-selects whichever source scores generously. The rank transform
+    * maps every row to its within-group ECDF value (share of the group
+    * with value ≤ v), putting all groups on the same [0,1] scale.
+    *
+    * All-integer until ONE pinned division per row: the counts come from
+    * the same lossless frequency histogram as [[lengthPercentiles]]
+    * (windows run over |groups × distinct values| histogram rows, never
+    * corpus rows), and rows join back on (group, value) — co-keyed, one
+    * shuffle each side. Returns (idCol, groupCol, value, cum_le, n, pct).
+    */
+  def rankNormalize(docs: DataFrame, idCol: String, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slim = docs.select(col(idCol), col(groupCol),
+      col(valueCol).cast("long").as("value"))
+    val cum = slim.groupBy(col(groupCol), col("value")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("cum_le",
+        sum(col("__cnt")).over(Window.partitionBy(groupCol).orderBy("value")))
+      .withColumn("n", sum(col("__cnt")).over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col("value"), col("cum_le"), col("n"))
+    slim.join(cum, Seq(groupCol, "value"))
+      .select(col(idCol), col(groupCol), col("value"), col("cum_le"), col("n"),
+        (col("cum_le").cast("double") / col("n")).as("pct"))
+  }
+
   /** Pairwise TOTAL-VARIATION distance between per-group unigram
     * distributions — the "which sources are distributionally
     * interchangeable?" mix diagnostic. KL/JS are the textbook choices but

@@ -3093,6 +3093,30 @@ object LlmQueries {
       |  1.0 - CAST(sum_c2 AS DOUBLE) / (m_tokens * m_tokens) AS gini
       |FROM a ORDER BY source""".stripMargin
 
+  /** Within-source ECDF rank normalization of doc length — see
+    * [[graft.operators.Curation.rankNormalize]] (quantile normalization
+    * onto a common [0,1] scale before cross-source mixing).
+    */
+  def qScoreNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.rankNormalize(table(s, dir, "documents"),
+        "doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val qScoreNormalizeSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS value FROM documents),
+      |h AS (SELECT source, value, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM s GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, value,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY value) AS BIGINT) AS cum_le,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM h)
+      |SELECT s.doc_id, s.source, s.value, c.cum_le, c.n,
+      |  CAST(c.cum_le AS DOUBLE) / c.n AS pct
+      |FROM s JOIN c USING (source, value)
+      |ORDER BY doc_id""".stripMargin
+
   /** Pairwise total-variation distance between source unigram
     * distributions — see [[graft.operators.Curation.distributionDistance]]
     * for the ln-free overlap identity and the inner-join-only shape.
