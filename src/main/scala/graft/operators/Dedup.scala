@@ -254,6 +254,47 @@ object Dedup {
     if (threshold <= 1.0) cross.unionByName(intra) else cross
   }
 
+  /** Cross-source duplication MATRIX — the corpus-level decontamination
+    * diagnostic: per (unordered) source pair, how many verified near-dup
+    * pairs cross it, how many distinct documents participate, and what
+    * share of the two sources' docs that is. The diagonal (a = b) is each
+    * source's internal duplication. This is the report that catches one
+    * crawl slice wholesale-mirroring another BEFORE both are mixed into a
+    * training set at double weight.
+    *
+    * Scale shape: pairs ride [[nearDupPairs]]' banded candidate stream
+    * (never corpus²); source tags join on the slim id frame; the tagged
+    * pair frame is persisted once ([[Caches]]) and feeds two
+    * map-side-combined aggs (pair counts; distinct participating docs);
+    * the |sources| totals frame broadcasts into the final share division.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, threshold)
+    val srcs = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    val tagged = pairs
+      .join(srcs.select(col("__id").as("id_a"), col("__src").as("sa")), "id_a")
+      .join(srcs.select(col("__id").as("id_b"), col("__src").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("id_a"), col("id_b"))
+      .persist()
+    Caches.register(tagged)
+    val nPairs = tagged.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .groupBy("source_a", "source_b").agg(countDistinct("d").as("n_docs"))
+    val sizes = docs.groupBy(col(srcCol).as("__s")).agg(count(lit(1)).as("__n"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .join(broadcast(sizes.select(col("__s").as("source_a"), col("__n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("__s").as("source_b"), col("__n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"), col("n_docs"),
+        (col("n_docs").cast("double") /
+          when(col("source_a") === col("source_b"), col("na"))
+            .otherwise(col("na") + col("nb"))).as("dup_share"))
+  }
+
   /** The near-dup dedup MATERIALIZER: one surviving row per connected
     * component of the near-duplicate graph (cluster-minimum id wins) — what
     * a real 100 TB curation run consumes. Mirrors [[dropDuplicatesExact]]:

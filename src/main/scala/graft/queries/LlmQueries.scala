@@ -3093,6 +3093,40 @@ object LlmQueries {
       |  1.0 - CAST(sum_c2 AS DOUBLE) / (m_tokens * m_tokens) AS gini
       |FROM a ORDER BY source""".stripMargin
 
+  /** Cross-source duplication matrix at jaccard ≥ 0.8 — see
+    * [[graft.operators.Dedup.sourceOverlap]]. Oracle = the all-pairs
+    * zero-false-negative replay (the q_dedup_minhash / q_pair_mine
+    * precedent) grouped the same way.
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(table(s, dir, "documents"), "doc_id", "text",
+        "source", threshold = 0.8)
+      .orderBy("source_a", "source_b")
+
+  val qSourceOverlapSql: String =
+    s"""WITH w AS (SELECT doc_id, source, $wordSetSql AS words FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS sa, b.source AS sb
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |t AS (SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       |             id_a, id_b FROM p),
+       |g AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |      FROM t GROUP BY 1, 2),
+       |dd AS (SELECT source_a, source_b, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       |       FROM (SELECT source_a, source_b, unnest([id_a, id_b]) AS d FROM t)
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+       |SELECT g.source_a, g.source_b, g.n_pairs, dd.n_docs,
+       |  CAST(dd.n_docs AS DOUBLE) /
+       |    (CASE WHEN g.source_a = g.source_b THEN za.n ELSE za.n + zb.n END) AS dup_share
+       |FROM g JOIN dd USING (source_a, source_b)
+       |JOIN sz za ON za.source = g.source_a
+       |JOIN sz zb ON zb.source = g.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Within-source ECDF rank normalization of doc length — see
     * [[graft.operators.Curation.rankNormalize]] (quantile normalization
     * onto a common [0,1] scale before cross-source mixing).
