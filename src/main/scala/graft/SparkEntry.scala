@@ -29,6 +29,7 @@ object SparkEntry {
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
+    "q_rfm"                -> (AnalyticsQueries.qRfm _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
@@ -170,6 +171,8 @@ object SparkEntry {
     "q_skew_report"        -> AnalyticsQueries.qSkewReportSql,
     // literal-domain pivot lowered to conditional counts
     "q_pivot"              -> AnalyticsQueries.qPivotSql,
+    // RFM quintiles from histogram-CDF cuts, exact-integer base stats
+    "q_rfm"                -> AnalyticsQueries.qRfmSql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,

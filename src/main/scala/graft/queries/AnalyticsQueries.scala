@@ -310,6 +310,56 @@ object AnalyticsQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- RFM customer segmentation ------------------------------------------
+  /** Quintile RFM segmentation of the orders stream — see
+    * [[graft.operators.Rfm.rfm]] for the exact-integer base stats and the
+    * histogram-CDF quintile cuts.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Rfm.rfm(table(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .withColumnRenamed("cust", "o_custkey")
+      .orderBy("o_custkey")
+
+  val qRfmSql: String = {
+    def cutCtes(dim: String, p: String) =
+      s"""${p}h AS (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS cnt FROM wr GROUP BY 1),
+         |${p}c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS hi, sum(cnt) OVER () AS n FROM ${p}h),
+         |${p}cut AS (SELECT
+         |  CAST(min(CASE WHEN hi >= CEIL(n * 0.2) THEN v END) AS BIGINT) AS p20,
+         |  CAST(min(CASE WHEN hi >= CEIL(n * 0.4) THEN v END) AS BIGINT) AS p40,
+         |  CAST(min(CASE WHEN hi >= CEIL(n * 0.6) THEN v END) AS BIGINT) AS p60,
+         |  CAST(min(CASE WHEN hi >= CEIL(n * 0.8) THEN v END) AS BIGINT) AS p80
+         |  FROM ${p}c)""".stripMargin
+    def q(dim: String, p: String) =
+      s"""(1 + (CASE WHEN $dim > ${p}cut.p20 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN $dim > ${p}cut.p40 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN $dim > ${p}cut.p60 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN $dim > ${p}cut.p80 THEN 1 ELSE 0 END))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT o_custkey AS cust, CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    CAST(sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS monetary_u
+       |  FROM orders GROUP BY 1),
+       |g AS (SELECT max(last_us) AS gmax FROM base),
+       |wr AS (
+       |  SELECT cust, CAST((g.gmax - last_us) // 86400000000 AS BIGINT) AS recency_days,
+       |    frequency, monetary_u
+       |  FROM base, g),
+       |${cutCtes("recency_days", "r")},
+       |${cutCtes("frequency", "f")},
+       |${cutCtes("monetary_u", "m")}
+       |SELECT wr.cust AS o_custkey, wr.recency_days, wr.frequency, wr.monetary_u,
+       |  CAST(6 - ${q("wr.recency_days", "r")} AS INT) AS r_score,
+       |  CAST(${q("wr.frequency", "f")} AS INT) AS f_score,
+       |  CAST(${q("wr.monetary_u", "m")} AS INT) AS m_score,
+       |  CAST((6 - ${q("wr.recency_days", "r")}) * 100
+       |     + ${q("wr.frequency", "f")} * 10
+       |     + ${q("wr.monetary_u", "m")} AS INT) AS rfm
+       |FROM wr, rcut, fcut, mcut
+       |ORDER BY o_custkey""".stripMargin
+  }
+
   // ---- fixed-domain pivot -------------------------------------------------
   /** Status×priority order-count matrix via `groupBy().pivot()` — the
     * classic ETL reshape. The pivot domain is a LITERAL list: letting
