@@ -147,6 +147,7 @@ object SparkEntry {
     "q_source_divergence"  -> (LlmQueries.qSourceDivergence _),
     "q_score_normalize"    -> (LlmQueries.qScoreNormalize _),
     "q_source_overlap"     -> (LlmQueries.qSourceOverlap _),
+    "q_dedup_cluster_sizes" -> (LlmQueries.qDedupClusterSizes _),
     "q_vocab_growth"       -> (LlmQueries.qVocabGrowth _)
   )
 
@@ -333,6 +334,8 @@ object SparkEntry {
     "q_score_normalize"    -> LlmQueries.qScoreNormalizeSql,
     // cross-source near-dup matrix via the zero-false-negative replay
     "q_source_overlap"     -> LlmQueries.qSourceOverlapSql,
+    // component sizes of the near-dup graph, recursive-CTE min labels
+    "q_dedup_cluster_sizes" -> LlmQueries.qDedupClusterSizesSql,
     "q_vocab_growth"       -> LlmQueries.qVocabGrowthSql
   )
 }

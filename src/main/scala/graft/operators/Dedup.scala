@@ -295,6 +295,41 @@ object Dedup {
             .otherwise(col("na") + col("nb"))).as("dup_share"))
   }
 
+  /** Near-duplicate CLUSTER-SIZE histogram — the dedup diagnostic that
+    * says where the duplication lives: many size-2 pairs is organic
+    * reposting, a few power-of-two-bucket-12 mega-clusters is one template
+    * stamped a thousand times (and the dedup savings estimate is Σ(sz−1)
+    * over exactly these rows). Sizes come from connected components over
+    * the verified near-dup pair graph; docs
+    * with no near-dup edge surface as the singleton bucket so every doc is
+    * accounted for and the shares sum to 1.
+    *
+    * Scale shape: pairs ride the banded candidate stream; component
+    * labels via [[Graph.connectedComponents]] (min-label propagation +
+    * pointer halving, localCheckpoint per round); one count to component
+    * sizes, one reduction to ≤64 bit-length buckets; total/touched are
+    * 1-row broadcast frames — no driver data plane.
+    */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, threshold)
+      .select("id_a", "id_b").persist()
+    Caches.register(pairs)
+    val labels = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val hist = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy(length(bin(col("sz"))).as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+    val totalF = docs.agg(count(lit(1)).as("__total"))
+    val singles = totalF.crossJoin(labels.agg(count(lit(1)).as("__touched")))
+      .select(lit(1).as("bucket"),
+        (col("__total") - col("__touched")).as("n_clusters"),
+        (col("__total") - col("__touched")).as("n_docs"))
+    hist.unionByName(singles)
+      .crossJoin(broadcast(totalF))
+      .select(col("bucket"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("__total")).as("docs_share"))
+  }
+
   /** The near-dup dedup MATERIALIZER: one surviving row per connected
     * component of the near-duplicate graph (cluster-minimum id wins) — what
     * a real 100 TB curation run consumes. Mirrors [[dropDuplicatesExact]]:

@@ -3093,6 +3093,49 @@ object LlmQueries {
       |  1.0 - CAST(sum_c2 AS DOUBLE) / (m_tokens * m_tokens) AS gini
       |FROM a ORDER BY source""".stripMargin
 
+  /** Near-dup cluster-size histogram at jaccard ≥ 0.8 — see
+    * [[graft.operators.Dedup.clusterSizeHistogram]]. Oracle = the
+    * all-pairs zero-false-negative pair replay, then min-label
+    * reachability as a recursive CTE (propagating only labels smaller
+    * than the receiving node — the component min always is).
+    */
+  def qDedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSizeHistogram(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("bucket")
+
+  val qDedupClusterSizesSql: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+       |nd AS (SELECT DISTINCT src AS node FROM e),
+       |lp(node, lbl) AS (
+       |  SELECT node, node FROM nd
+       |  UNION
+       |  SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.node WHERE lp.lbl < e.dst),
+       |comps AS (SELECT node, min(lbl) AS comp FROM lp GROUP BY node),
+       |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM comps GROUP BY comp),
+       |hist AS (
+       |  SELECT CAST(len(bin(sz)) AS INT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
+       |  FROM sizes GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+       |tch AS (SELECT CAST(count(*) AS BIGINT) AS touched FROM comps),
+       |uni AS (
+       |  SELECT bucket, n_clusters, n_docs FROM hist
+       |  UNION ALL
+       |  SELECT CAST(1 AS INT), tot.total - tch.touched, tot.total - tch.touched
+       |  FROM tot, tch)
+       |SELECT u.bucket, u.n_clusters, u.n_docs,
+       |  CAST(u.n_docs AS DOUBLE) / tot.total AS docs_share
+       |FROM uni u, tot
+       |ORDER BY bucket""".stripMargin
+
   /** Cross-source duplication matrix at jaccard ≥ 0.8 — see
     * [[graft.operators.Dedup.sourceOverlap]]. Oracle = the all-pairs
     * zero-false-negative replay (the q_dedup_minhash / q_pair_mine
