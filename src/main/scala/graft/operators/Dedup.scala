@@ -262,29 +262,60 @@ object Dedup {
     * crawl slice wholesale-mirroring another BEFORE both are mixed into a
     * training set at double weight.
     *
-    * Scale shape: pairs ride [[nearDupPairs]]' banded candidate stream
-    * (never corpus²); source tags join on the slim id frame; the tagged
-    * pair frame is persisted once ([[Caches]]) and feeds two
-    * map-side-combined aggs (pair counts; distinct participating docs);
-    * the |sources| totals frame broadcasts into the final share division.
+    * Scale shape: GROUP-WISE combinatorics on the rep graph — doc pairs
+    * are counted, never materialized. Per-group per-source member counts
+    * (the only pass over doc rows) feed three contributions: cross-group
+    * products cntA(s₁)·cntB(s₂) along verified rep edges, within-group
+    * cross-source products, and within-group same-source C(c,2) — so a
+    * 10⁸-copy boilerplate group costs one count row, not 10¹⁶ pairs.
+    * Distinct participating docs come from the (group, source) →
+    * partner-source enumeration, deduplicated per matrix cell before the
+    * final sum. The |sources| totals frame broadcasts into the share.
     */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, threshold: Double): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, threshold)
-    val srcs = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
-    val tagged = pairs
-      .join(srcs.select(col("__id").as("id_a"), col("__src").as("sa")), "id_a")
-      .join(srcs.select(col("__id").as("id_b"), col("__src").as("sb")), "id_b")
-      .select(least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"),
-        col("id_a"), col("id_b"))
+    val g = setGraph(docs, idCol, textCol, threshold, bands = 20, r = 2,
+      shingleN = 1, broadcastThreshold = 256L)
+    // per-group per-source member counts — slim (set_key, src, cnt)
+    val gsrc = g.keyed
+      .join(docs.select(col(idCol).as("id"), col(srcCol).as("src")), "id")
+      .groupBy("set_key", "src").agg(count(lit(1)).as("cnt"))
       .persist()
-    Caches.register(tagged)
-    val nPairs = tagged.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
-    val nDocs = tagged
-      .select(col("source_a"), col("source_b"),
-        explode(array(col("id_a"), col("id_b"))).as("d"))
-      .groupBy("source_a", "source_b").agg(countDistinct("d").as("n_docs"))
+    Caches.register(gsrc)
+    val eDir = g.repPairs.select(col("id_a").as("ka"), col("id_b").as("kb"))
+    val eBoth = eDir.unionByName(eDir.select(col("kb").as("ka"), col("ka").as("kb")))
+    def cell(s1: Column, s2: Column) =
+      Seq(least(s1, s2).as("source_a"), greatest(s1, s2).as("source_b"))
+
+    // ---- pair counts: three combinatorial contributions ----
+    val crossPairs = eDir
+      .join(gsrc.select(col("set_key").as("ka"), col("src").as("s1"), col("cnt").as("c1")), "ka")
+      .join(gsrc.select(col("set_key").as("kb"), col("src").as("s2"), col("cnt").as("c2")), "kb")
+      .select(cell(col("s1"), col("s2")) :+ (col("c1") * col("c2")).as("p"): _*)
+    val intraCross = gsrc.as("a")
+      .join(gsrc.as("b"), col("a.set_key") === col("b.set_key") && col("a.src") < col("b.src"))
+      .select(cell(col("a.src"), col("b.src")) :+ (col("a.cnt") * col("b.cnt")).as("p"): _*)
+    val intraSame = gsrc.filter(col("cnt") >= 2)
+      .select(cell(col("src"), col("src")) :+
+        expr("(cnt * (cnt - 1)) div 2").as("p"): _*)
+    val nPairs = crossPairs.unionByName(intraCross).unionByName(intraSame)
+      .groupBy("source_a", "source_b").agg(sum("p").as("n_pairs"))
+
+    // ---- distinct participating docs: (group, source) × partner sources ----
+    // partner sources of a group = sources of rep-neighbor groups (self =
+    // false) plus the group's own sources (self = true; a same-source
+    // partner within the group needs cnt ≥ 2)
+    val partners = eBoth
+      .join(gsrc.select(col("set_key").as("kb"), col("src").as("s2")), "kb")
+      .select(col("ka").as("set_key"), col("s2"), lit(false).as("self"))
+      .unionByName(gsrc.select(col("set_key"), col("src").as("s2"), lit(true).as("self")))
+      .distinct()
+    val nDocs = gsrc.join(partners, "set_key")
+      .filter(!col("self") || col("s2") =!= col("src") || col("cnt") >= 2)
+      .select(cell(col("src"), col("s2")) ++ Seq(col("set_key"), col("src"), col("cnt")): _*)
+      .distinct() // one (group, source) contribution per cell
+      .groupBy("source_a", "source_b").agg(sum("cnt").as("n_docs"))
+
     val sizes = docs.groupBy(col(srcCol).as("__s")).agg(count(lit(1)).as("__n"))
     nPairs.join(nDocs, Seq("source_a", "source_b"))
       .join(broadcast(sizes.select(col("__s").as("source_a"), col("__n").as("na"))), "source_a")
@@ -304,28 +335,37 @@ object Dedup {
     * with no near-dup edge surface as the singleton bucket so every doc is
     * accounted for and the shares sum to 1.
     *
-    * Scale shape: pairs ride the banded candidate stream; component
-    * labels via [[Graph.connectedComponents]] (min-label propagation +
-    * pointer halving, localCheckpoint per round); one count to component
-    * sizes, one reduction to ≤64 bit-length buckets; total/touched are
-    * 1-row broadcast frames — no driver data plane.
+    * Scale shape: everything runs on the REP graph (one node per distinct
+    * word set) — component labels via [[Graph.connectedComponents]]
+    * (min-label propagation + pointer halving, localCheckpoint per
+    * round), then each group deposits its member COUNT into its
+    * component, so doc pairs are never materialized and a 10⁸-copy
+    * boilerplate group costs one node + one count. One reduction to ≤64
+    * bit-length buckets; the total is a 1-row broadcast frame.
     */
   def clusterSizeHistogram(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, threshold)
-      .select("id_a", "id_b").persist()
-    Caches.register(pairs)
-    val labels = Graph.connectedComponents(pairs, "id_a", "id_b")
-    val hist = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+    val g = setGraph(docs, idCol, textCol, threshold, bands = 20, r = 2,
+      shingleN = 1, broadcastThreshold = 256L)
+    val gm = g.groups.select(col("set_key"), col("gmin"), col("n"))
+    // rep edges over group-min node ids — the dropDuplicatesNear e0 shape:
+    // a boilerplate group with 10⁸ identical copies is ONE node here, so
+    // the component pass never sees the |group|² doc pairs
+    val e0 = g.repPairs
+      .join(gm.select(col("set_key").as("id_a"), col("gmin").as("ga")), "id_a")
+      .join(gm.select(col("set_key").as("id_b"), col("gmin").as("gb")), "id_b")
+      .select("ga", "gb")
+    val labels = Graph.connectedComponents(e0, "ga", "gb")
+    // every distinct set deposits its member count into its component;
+    // groups without a near-dup edge are their own component, which makes
+    // an n=1 untouched group exactly the singleton bucket
+    val hist = gm
+      .join(labels.withColumnRenamed("node", "gmin"), Seq("gmin"), "left")
+      .select(coalesce(col("comp"), col("gmin")).as("comp"), col("n"))
+      .groupBy("comp").agg(sum("n").as("sz"))
       .groupBy(length(bin(col("sz"))).as("bucket"))
       .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
-    val totalF = docs.agg(count(lit(1)).as("__total"))
-    val singles = totalF.crossJoin(labels.agg(count(lit(1)).as("__touched")))
-      .select(lit(1).as("bucket"),
-        (col("__total") - col("__touched")).as("n_clusters"),
-        (col("__total") - col("__touched")).as("n_docs"))
-    hist.unionByName(singles)
-      .crossJoin(broadcast(totalF))
+    hist.crossJoin(broadcast(docs.agg(count(lit(1)).as("__total"))))
       .select(col("bucket"), col("n_clusters"), col("n_docs"),
         (col("n_docs").cast("double") / col("__total")).as("docs_share"))
   }
