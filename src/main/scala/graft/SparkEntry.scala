@@ -30,6 +30,9 @@ object SparkEntry {
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
+    "q_markov_transitions" -> (AnalyticsQueries.qMarkovTransitions _),
+    "q_ab_test"            -> (AnalyticsQueries.qAbTest _),
+    "q_rolling_revenue"    -> (AnalyticsQueries.qRollingRevenue _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
@@ -174,6 +177,12 @@ object SparkEntry {
     "q_pivot"              -> AnalyticsQueries.qPivotSql,
     // RFM quintiles from histogram-CDF cuts, exact-integer base stats
     "q_rfm"                -> AnalyticsQueries.qRfmSql,
+    // per-user lag on the (ts, event_id) total order; broadcast row totals
+    "q_markov_transitions" -> AnalyticsQueries.qMarkovTransitionsSql,
+    // md5 variant split, pooled z² on a mirrored IEEE tree
+    "q_ab_test"            -> AnalyticsQueries.qAbTestSql,
+    // RANGE-framed rolling window over the daily (not row) frame
+    "q_rolling_revenue"    -> AnalyticsQueries.qRollingRevenueSql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,

@@ -282,7 +282,11 @@ object Dedup {
       .groupBy("set_key", "src").agg(count(lit(1)).as("cnt"))
       .persist()
     Caches.register(gsrc)
-    val eDir = g.repPairs.select(col("id_a").as("ka"), col("id_b").as("kb"))
+    // the verified rep-pair stream is read three times (cross products +
+    // both neighbor directions) — persist it or the banded candidate +
+    // verify pipeline re-runs per consumer
+    val eDir = g.repPairs.select(col("id_a").as("ka"), col("id_b").as("kb")).persist()
+    Caches.register(eDir)
     val eBoth = eDir.unionByName(eDir.select(col("kb").as("ka"), col("ka").as("kb")))
     def cell(s1: Column, s2: Column) =
       Seq(least(s1, s2).as("source_a"), greatest(s1, s2).as("source_b"))
@@ -355,6 +359,8 @@ object Dedup {
       .join(gm.select(col("set_key").as("id_a"), col("gmin").as("ga")), "id_a")
       .join(gm.select(col("set_key").as("id_b"), col("gmin").as("gb")), "id_b")
       .select("ga", "gb")
+      .persist() // CC reads the edge frame twice (both union directions)
+    Caches.register(e0)
     val labels = Graph.connectedComponents(e0, "ga", "gb")
     // every distinct set deposits its member count into its component;
     // groups without a near-dup edge are their own component, which makes

@@ -310,6 +310,41 @@ object AnalyticsQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- rolling window over daily aggregates --------------------------------
+  /** 7-day rolling revenue over the orders stream — the dashboard
+    * smoothing query. Day = epoch-micros DIV 86400000000 (integer);
+    * revenue in exact micro-units; the rolling frame is RANGE BETWEEN 6
+    * PRECEDING AND CURRENT ROW on the integer day, so calendar gaps are
+    * respected without densifying. The window runs over the |days| daily
+    * frame (already aggregated — never row bodies); the average is ONE
+    * pinned division by the days actually present in the frame.
+    */
+  def qRollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day").rangeBetween(-6, Window.currentRow)
+    table(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"))
+      .groupBy("day").agg(sum("rev_u").as("revenue_u"))
+      .withColumn("win_days", count(lit(1)).over(w))
+      .withColumn("rolling_sum_u", sum("revenue_u").over(w))
+      .withColumn("rolling_avg_u",
+        col("rolling_sum_u").cast("double") / col("win_days"))
+      .orderBy("day")
+  }
+
+  val qRollingRevenueSql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_u
+      |  FROM orders GROUP BY 1)
+      |SELECT day, revenue_u,
+      |  CAST(count(*) OVER w AS BIGINT) AS win_days,
+      |  CAST(sum(revenue_u) OVER w AS BIGINT) AS rolling_sum_u,
+      |  CAST(sum(revenue_u) OVER w AS DOUBLE) / count(*) OVER w AS rolling_avg_u
+      |FROM d
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   // ---- RFM customer segmentation ------------------------------------------
   /** Quintile RFM segmentation of the orders stream — see
     * [[graft.operators.Rfm.rfm]] for the exact-integer base stats and the
@@ -534,6 +569,118 @@ object AnalyticsQueries {
       |  d.adev > 3 * ma.mad AS is_outlier
       |FROM d JOIN mad ma USING (event_type)
       |ORDER BY d.event_type, d.minute""".stripMargin
+
+  // ---- events: A/B test report --------------------------------------------
+  /** Two-proportion A/B test over the events stream: users split into
+    * variants by the deterministic md5 hash ([[graft.functions.Sampling
+    * .md5Bucket]] — the experiment-assignment contract: stable across
+    * reruns, no RNG), conversion = "user has ≥1 qualified purchase"
+    * (value ≥ 200 — a plain threshold keeps the rate in the interesting
+    * range on this corpus, where every user has SOME purchase), and the
+    * report is the pooled two-proportion z² statistic (z² > 3.84 ≈ p <
+    * 0.05). Every arithmetic step is either exact-integer or an IEEE
+    * double op mirrored EXACTLY in the oracle (correctly-rounded + - ×
+    * ÷ on identical trees are bit-deterministic cross-engine — the same
+    * argument as the pinned single division, applied to a fixed tree).
+    *
+    * Scale shape: one per-user map-side-combined agg, one 2-row variant
+    * agg, one 1-row pivot — after the first agg nothing is corpus-sized.
+    */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .select(graft.functions.Sampling.md5Bucket(col("user_id"), 2).as("variant"),
+        col("converted"))
+    val per = users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+    val wide = per.agg(
+      sum(when(col("variant") === 0, col("n_users"))).as("n_a"),
+      sum(when(col("variant") === 0, col("n_conv"))).as("conv_a"),
+      sum(when(col("variant") === 1, col("n_users"))).as("n_b"),
+      sum(when(col("variant") === 1, col("n_conv"))).as("conv_b"))
+    val rateA = col("conv_a").cast("double") / col("n_a")
+    val rateB = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val lift = rateB - rateA
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"), lift.as("lift"),
+      ((lift * lift) / (pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z2"))
+  }
+
+  val qAbTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 2 AS INT) AS variant,
+      |    converted
+      |  FROM u),
+      |p AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |             CAST(sum(converted) AS BIGINT) AS n_conv
+      |      FROM v GROUP BY 1),
+      |w AS (SELECT
+      |  CAST(sum(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS conv_a,
+      |  CAST(sum(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS conv_b
+      |  FROM p)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+      |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+      |  CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a AS lift,
+      |  ((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+      |   * (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a))
+      |  / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |     * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |     * (1e0 / n_a + 1e0 / n_b)) AS z2
+      |FROM w""".stripMargin
+
+  // ---- events: transition matrix ------------------------------------------
+  /** First-order Markov transition matrix over per-user event streams —
+    * the funnel-discovery query: for every (prev → next) event-type pair,
+    * the count and the conditional probability P(next | prev). Per-user
+    * lag over the (ts, event_id) total order (the events-family tie-break
+    * contract — ties otherwise make the lag nondeterministic); the
+    * |types|² matrix is control-plane-sized, so the row-probability
+    * denominator joins from a broadcast |types| frame; ONE pinned
+    * division per cell.
+    */
+  def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val raw = table(s, dir, "events")
+    val trans = raw
+      .select(col("event_id"), col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+        col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // read twice: matrix cells + row totals (cache barrier)
+    graft.operators.Caches.register(trans)
+    val totals = trans.groupBy("prev_type").agg(sum("n").as("__row_n"))
+    trans.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("__row_n")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val qMarkovTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |      AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n, CAST(c.n AS DOUBLE) / r.row_n AS p
+      |FROM c JOIN r USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
 
   // ---- events: tumbling-window aggregation ------------------------------
   /** Tumbling 1h windows — the batch shape of the Structured Streaming agg
