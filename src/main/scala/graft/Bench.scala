@@ -43,8 +43,14 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_BENCH_ONLY: restrict to a comma-separated subset (local
+    // iteration on a handful of queries without a 140-entry skip list)
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val order: Seq[(String, Q)] =
-      (SparkEntry.queries.toSeq ++ extras).filterNot { case (n, _) => skip(n) }
+      (SparkEntry.queries.toSeq ++ extras)
+        .filterNot { case (n, _) => skip(n) }
+        .filter { case (n, _) => only.isEmpty || only(n) }
     BenchFixtures.xlsxDir(spark, sfDir)
     BenchFixtures.nearDupIndexDir(spark, sfDir)
 

@@ -33,6 +33,10 @@ object SparkEntry {
     "q_markov_transitions" -> (AnalyticsQueries.qMarkovTransitions _),
     "q_ab_test"            -> (AnalyticsQueries.qAbTest _),
     "q_rolling_revenue"    -> (AnalyticsQueries.qRollingRevenue _),
+    "q_user_growth"        -> (AnalyticsQueries.qUserGrowth _),
+    "q_trend_fit"          -> (AnalyticsQueries.qTrendFit _),
+    "q_time_to_convert"    -> (AnalyticsQueries.qTimeToConvert _),
+    "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
@@ -183,6 +187,14 @@ object SparkEntry {
     "q_ab_test"            -> AnalyticsQueries.qAbTestSql,
     // RANGE-framed rolling window over the daily (not row) frame
     "q_rolling_revenue"    -> AnalyticsQueries.qRollingRevenueSql,
+    // per-user first-seen min, running sum over the |days| frame
+    "q_user_growth"        -> AnalyticsQueries.qUserGrowthSql,
+    // OLS closed form over decimal(38,0)/HUGEINT exact moment sums
+    "q_trend_fit"          -> AnalyticsQueries.qTrendFitSql,
+    // signup->qualified-purchase latency, histogram-CDF percentiles
+    "q_time_to_convert"    -> AnalyticsQueries.qTimeToConvertSql,
+    // per-FK-edge orphan audit over distinct-key left joins
+    "q_integrity"          -> SourceQueries.qIntegritySql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,

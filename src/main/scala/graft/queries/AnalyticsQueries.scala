@@ -345,6 +345,133 @@ object AnalyticsQueries {
       |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  // ---- user growth curve ---------------------------------------------------
+  /** Daily new users + cumulative user count from the events stream — the
+    * growth dashboard. Per-user first-seen day is ONE map-side-combined
+    * min; the running sum then runs over the |days| daily frame (a few
+    * hundred rows — control-plane-sized, so the unpartitioned window is
+    * free). Day = epoch-ms DIV 86400000, true integer division on both
+    * engines.
+    */
+  def qUserGrowth(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    raw.select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(Window.orderBy("day")))
+      .orderBy("day")
+  }
+
+  val qUserGrowthSql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day FROM events GROUP BY 1),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  // ---- OLS trend fit over daily revenue ------------------------------------
+  /** Least-squares line through the daily revenue series — slope
+    * (µ-units/day), intercept, and R². All five moment sums (Σx, Σy, Σxy,
+    * Σx², Σy²) accumulate as decimal(38,0) EXACT integers (x = day offset
+    * from the series start, y = daily revenue in micro-units; Σy² headroom:
+    * y up to ~10¹⁹ µ-units/day before 38 digits saturate — the PCA
+    * overflow-contract precedent), mirrored by HUGEINT in the oracle, so
+    * the closed-form numerators/denominators are bit-identical integers
+    * and the final slope/intercept/R² are fixed IEEE trees over them.
+    *
+    * Scale shape: one map-side-combined daily aggregation (the only
+    * corpus-sized pass), a 1-row min-day broadcast onto the |days| frame,
+    * one 1-row moment aggregation. Nothing else moves.
+    */
+  def qTrendFit(s: SparkSession, dir: String): DataFrame = {
+    val daily = table(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"))
+      .groupBy("day").agg(sum("rev_u").as("y"))
+    val d0 = daily.agg(min("day").as("day0"))
+    val dec = "decimal(38,0)"
+    val xy = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("day0")).cast(dec).as("x"), col("y").cast(dec).as("yd"))
+    val sums = xy.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("yd")).as("sy"),
+      sum(col("x") * col("yd")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("yd") * col("yd")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / den
+    sums.select(col("n").cast("long").as("n_days"),
+      slope.as("slope_u_per_day"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double")).as("intercept_u"),
+      ((num * num) / (den * deny)).as("r2"))
+  }
+
+  val qTrendFitSql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT CAST(day - (SELECT min(day) FROM d) AS HUGEINT) AS x,
+      |             CAST(y AS HUGEINT) AS y FROM d),
+      |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM x)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope_u_per_day,
+      |  (CAST(sy AS DOUBLE)
+      |   - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |  / CAST(n AS DOUBLE) AS intercept_u,
+      |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+      |  / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+      |FROM s""".stripMargin
+
+  // ---- time-to-convert percentiles -----------------------------------------
+  /** Signup→conversion latency percentiles: per user, first signup and
+    * first qualified purchase (value ≥ 200 — the [[qAbTest]] conversion
+    * contract); users with both (purchase not before signup) contribute
+    * latency = t1 − t0 ms, and the report is exact p50/p90/p99 over the
+    * latency distribution via the histogram CDF (no value-buffering
+    * percentile aggregate — the [[graft.operators.Curation
+    * .lengthPercentiles]] engine with a constant group).
+    */
+  def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    val lat = raw.select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_ms"))).as("t0"),
+        min(when(col("event_type") === "purchase" && col("value") >= 200.0,
+          col("ts_ms"))).as("t1"))
+      .filter(col("t0").isNotNull && col("t1").isNotNull && col("t1") >= col("t0"))
+      .select(lit("all").as("grp"), (col("t1") - col("t0")).as("latency_ms"))
+      .persist() // read twice: histogram + count (both key-sized)
+    graft.operators.Caches.register(lat)
+    graft.operators.Curation.lengthPercentiles(lat, "grp", "latency_ms")
+      .crossJoin(lat.agg(count(lit(1)).as("n_users")))
+      .select(col("n_users"), col("p50").as("p50_ms"), col("p90").as("p90_ms"),
+        col("p99").as("p99_ms"))
+  }
+
+  val qTimeToConvertSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' AND value >= 200.0 THEN epoch_ms(ts) END) AS t1
+      |  FROM events GROUP BY 1),
+      |l AS (SELECT t1 - t0 AS v FROM u
+      |      WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0),
+      |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM l GROUP BY 1),
+      |cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS hi,
+      |               sum(cnt) OVER () AS n FROM hist)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_users,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS BIGINT) AS p50_ms,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.9) THEN v END) AS BIGINT) AS p90_ms,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.99) THEN v END) AS BIGINT) AS p99_ms
+      |FROM cum""".stripMargin
+
   // ---- RFM customer segmentation ------------------------------------------
   /** Quintile RFM segmentation of the orders stream — see
     * [[graft.operators.Rfm.rfm]] for the exact-integer base stats and the

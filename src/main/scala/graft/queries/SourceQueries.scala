@@ -331,6 +331,45 @@ object SourceQueries {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---- referential-integrity audit ---------------------------------------
+  /** FK audit over every edge of the TPC-H-shaped star — see
+    * [[graft.operators.Integrity.fkAudit]] for the per-key-counts-first
+    * shape (the fact collapses to distinct keys before any join). The
+    * oracle replays the same distinct-key left join per edge.
+    */
+  def qIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = table(s, dir, n)
+    graft.operators.Integrity.audit(Seq(
+      (t("lineitem"), "l_orderkey", t("orders"), "o_orderkey", "lineitem.l_orderkey->orders"),
+      (t("lineitem"), "l_partkey", t("part"), "p_partkey", "lineitem.l_partkey->part"),
+      (t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey", "lineitem.l_suppkey->supplier"),
+      (t("orders"), "o_custkey", t("customer"), "c_custkey", "orders.o_custkey->customer"),
+      (t("customer"), "c_nationkey", t("nation"), "n_nationkey", "customer.c_nationkey->nation"),
+      (t("supplier"), "s_nationkey", t("nation"), "n_nationkey", "supplier.s_nationkey->nation"),
+      (t("nation"), "n_regionkey", t("region"), "r_regionkey", "nation.n_regionkey->region")))
+  }
+
+  val qIntegritySql: String = {
+    def one(fact: String, fk: String, dim: String, pk: String, edge: String) =
+      s"""SELECT '$edge' AS edge, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN k IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null_fk,
+         |  CAST(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+         |  CAST(count(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 END) AS BIGINT) AS n_orphan_keys
+         |FROM (
+         |  SELECT kc.k, kc.c, d.$pk AS pk
+         |  FROM (SELECT $fk AS k, count(*) AS c FROM $fact GROUP BY 1) kc
+         |  LEFT JOIN $dim d ON kc.k = d.$pk)""".stripMargin
+    Seq(
+      one("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+      one("lineitem", "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+      one("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+      one("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey->customer"),
+      one("customer", "c_nationkey", "nation", "n_nationkey", "customer.c_nationkey->nation"),
+      one("supplier", "s_nationkey", "nation", "n_nationkey", "supplier.s_nationkey->nation"),
+      one("nation", "n_regionkey", "region", "r_regionkey", "nation.n_regionkey->region")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   // ---- SCD type-2 snapshot merge -----------------------------------------
   /** SCD2 history build over the orders dimension: snapshot t is the
     * table; snapshot t+1 is derived IN-QUERY with deterministic planted
