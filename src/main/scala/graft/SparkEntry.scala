@@ -36,6 +36,8 @@ object SparkEntry {
     "q_user_growth"        -> (AnalyticsQueries.qUserGrowth _),
     "q_trend_fit"          -> (AnalyticsQueries.qTrendFit _),
     "q_time_to_convert"    -> (AnalyticsQueries.qTimeToConvert _),
+    "q_cohort_ltv"         -> (AnalyticsQueries.qCohortLtv _),
+    "q_phrase_search"      -> (LlmQueries.qPhraseSearch _),
     "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
@@ -84,6 +86,8 @@ object SparkEntry {
     "q_domain_cap"         -> (LlmQueries.qDomainCap _),
     "q_ann_lsh"            -> (LlmQueries.qAnnLsh _),
     "q_ann_lsh_multi"      -> (LlmQueries.qAnnLshMulti _),
+    "q_knn_graph"          -> (LlmQueries.qKnnGraph _),
+    "q_label_purity"       -> (LlmQueries.qLabelPurity _),
     "q_dedup_embed_lsh"    -> (LlmQueries.qDedupEmbedLsh _),
     "q_dedup_embed_lsh_prod" -> (LlmQueries.qDedupEmbedLshProd _),
     "q_semdedup"           -> (LlmQueries.qSemdedup _),
@@ -193,6 +197,10 @@ object SparkEntry {
     "q_trend_fit"          -> AnalyticsQueries.qTrendFitSql,
     // signup->qualified-purchase latency, histogram-CDF percentiles
     "q_time_to_convert"    -> AnalyticsQueries.qTimeToConvertSql,
+    // weekly cohorts x weeks-since, exact micro-unit running LTV
+    "q_cohort_ltv"         -> AnalyticsQueries.qCohortLtvSql,
+    // shifted-postings adjacency intersection, scan-stage term filter
+    "q_phrase_search"      -> LlmQueries.qPhraseSearchSql,
     // per-FK-edge orphan audit over distinct-key left joins
     "q_integrity"          -> SourceQueries.qIntegritySql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,
@@ -218,6 +226,10 @@ object SparkEntry {
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,
     "q_ann_lsh"            -> LlmQueries.qAnnLshSql,
     "q_ann_lsh_multi"      -> LlmQueries.qAnnLshMultiSql,
+    // symmetric bucket self-join knn graph, every bucket id replayed
+    "q_knn_graph"          -> LlmQueries.qKnnGraphSql,
+    // per-label neighbor agreement over the knn edge list
+    "q_label_purity"       -> LlmQueries.qLabelPuritySql,
     // multi-table LSH route forced under the brute all-pairs oracle — the
     // (32 tables × 2 planes) config saturates recall on this corpus
     "q_dedup_embed_lsh"    -> LlmQueries.qDedupEmbedSql,

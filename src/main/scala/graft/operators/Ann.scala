@@ -120,6 +120,45 @@ object Ann {
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** k-NN GRAPH: top-k cosine neighbors for EVERY corpus vector — the
+    * corpus-wide build behind SemDeDup clustering, embedding-space
+    * visualization, and graph-based label propagation. [[lshTopK]]'s
+    * shape broadcasts the query side and so cannot take queries = corpus;
+    * this is the symmetric formulation: both sides of the candidate join
+    * stream, keyed on the LSH bucket.
+    *
+    * Scale shape: per-vector bucket keys are computed in the scan stage
+    * (native expression), the candidate self-join is a plain shuffle
+    * equi-join on the bucket key — per-task work is Σ|bucket|² per table,
+    * never corpus² — and candidates collapse to DISTINCT slim (src,
+    * neighbor) pairs BEFORE embeddings join back for exact re-ranking, so
+    * a pair colliding in several tables scores once and vectors cross the
+    * wire once. The per-source top-k window runs on slim scored pairs
+    * (TopKRewriteRule heap partials).
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               nTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+        VectorFunctions.lshKeys(col(vecCol), nTables, planesPerTable).as("ks"))
+      .persist() // exploded key stream (twice) + two score join-backs
+    Caches.register(c)
+    val src = c.select(col("vid"), explode(col("ks")).as("bk"))
+    val dst = c.select(col("vid").as("nid"), explode(col("ks")).as("bk"))
+    val cand = src.join(dst, Seq("bk"))
+      .filter(col("vid") =!= col("nid"))
+      .select("vid", "nid")
+      .distinct()
+    val scored = cand
+      .join(c.select(col("vid"), col("v").as("qv")), "vid")
+      .join(c.select(col("vid").as("nid"), col("v").as("cv")), "nid")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("vid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vid").as("src_id"), col("nid").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Driver-side cosine for quantizer training (float vec × double centroid). */
   private def cosineDD(a: Array[Float], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)

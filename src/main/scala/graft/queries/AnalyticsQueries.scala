@@ -472,6 +472,60 @@ object AnalyticsQueries {
       |  CAST(min(CASE WHEN hi >= CEIL(n * 0.99) THEN v END) AS BIGINT) AS p99_ms
       |FROM cum""".stripMargin
 
+  // ---- cohort lifetime value ------------------------------------------------
+  /** Cohort LTV matrix: users cohorted by first-seen week, purchase value
+    * accumulated by weeks-since-signup — the matrix under every "payback
+    * period" chart. Exact micro-unit revenue; LTV/user is ONE pinned
+    * division per cell.
+    *
+    * Scale shape: per-user first-week min and the purchase join both key
+    * on user_id (the exchange is reusable); the running sum and the size
+    * join operate on the \|cohorts × weeks\| matrix — control-plane-sized.
+    */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    val ev = raw.select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+        col("event_type"), col("value"))
+      .withColumn("week", expr("ts_ms div 604800000"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      .persist() // read twice: purchase join + cohort sizes
+    graft.operators.Caches.register(cohort)
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    val w = Window.partitionBy("cohort_week").orderBy("weeks_since")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("week"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v_u"))
+      .join(cohort, "user_id")
+      .withColumn("weeks_since", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_purchases"), sum("v_u").as("rev_u"))
+      .withColumn("cum_rev_u", sum("rev_u").over(w))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("ltv_per_user_u", col("cum_rev_u").cast("double") / col("cohort_users"))
+      .select("cohort_week", "weeks_since", "cohort_users", "n_purchases",
+        "rev_u", "cum_rev_u", "ltv_per_user_u")
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val qCohortLtvSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 604800000 AS week, event_type, value
+      |  FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+      |s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      |      FROM c GROUP BY 1),
+      |p AS (SELECT cohort_week, week - cohort_week AS weeks_since,
+      |        CAST(count(*) AS BIGINT) AS n_purchases,
+      |        CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS rev_u
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT p.cohort_week, p.weeks_since, s.cohort_users, p.n_purchases, p.rev_u,
+      |  CAST(sum(p.rev_u) OVER (PARTITION BY p.cohort_week ORDER BY p.weeks_since) AS BIGINT) AS cum_rev_u,
+      |  CAST(sum(p.rev_u) OVER (PARTITION BY p.cohort_week ORDER BY p.weeks_since) AS DOUBLE)
+      |    / s.cohort_users AS ltv_per_user_u
+      |FROM p JOIN s USING (cohort_week)
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
   // ---- RFM customer segmentation ------------------------------------------
   /** Quintile RFM segmentation of the orders stream — see
     * [[graft.operators.Rfm.rfm]] for the exact-integer base stats and the

@@ -1156,6 +1156,119 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- k-NN graph -----------------------------------------------------------
+  /** Top-5 neighbor graph over the WHOLE embeddings table — see
+    * [[Ann.knnGraph]] for the symmetric bucket-join shape (no broadcast
+    * side; per-task work bucket-bounded). Registered at 2 tables × 4
+    * planes so the DuckDB oracle replays every bucket id, candidate pair,
+    * and exact re-rank; production posture raises planes with the same
+    * machinery (the [[qDedupEmbedLshProd]] precedent).
+    */
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Ann.knnGraph(table(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        nTables = 2, planesPerTable = 4)
+      .orderBy("src_id", "rank")
+
+  /** The knn-graph edge list as a standalone SELECT (CTE-embeddable —
+    * [[qLabelPuritySql]] wraps it), replaying bucket ids, candidate pairs,
+    * and the exact re-rank.
+    */
+  private val knnGraphInnerSql: String = {
+    val projSql =
+      """list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))), z ->
+        |  CAST(z[1] AS DOUBLE) * ((md5_number_lower(CAST(t*4 + p AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)) % 1000) / 1000.0 - 0.5)),
+        |  (acc, x) -> acc + x)""".stripMargin
+    val keySql =
+      s"""(CAST(t AS BIGINT) << 4) | list_reduce(list_transform(range(0, 4), p ->
+         |  CASE WHEN $projSql > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
+         |  (acc, b) -> acc | b)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, unnest(list_transform(range(0, 2), t -> $keySql)) AS bk
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT s.vec_id AS src_id, c.vec_id AS neighbor_id
+       |  FROM b s JOIN b c ON s.bk = c.bk
+       |  WHERE s.vec_id <> c.vec_id),
+       |sc AS (
+       |  SELECT cand.src_id, cand.neighbor_id,
+       |    $dotSql / (${normSql("q")} * ${normSql("c")}) AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.src_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT src_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  val qKnnGraphSql: String = knnGraphInnerSql + "\nORDER BY src_id, rank"
+
+  // ---- k-NN label purity ----------------------------------------------------
+  /** Per-label neighbor agreement over the [[qKnnGraph]] edge list — the
+    * standard embedding-quality probe: if the embedding separates classes,
+    * a vector's nearest neighbors mostly share its label. Slim (id →
+    * label) columns join the edge list twice, one per-label aggregation
+    * (distinct sources + edge/match counts), ONE pinned division.
+    */
+  def qLabelPurity(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val g = Ann.knnGraph(emb, "vec_id", "embedding", k = 5,
+      nTables = 2, planesPerTable = 4)
+    val lab = emb.select(col("vec_id"), col("label"))
+    g.join(lab.select(col("vec_id").as("src_id"), col("label").as("label")), "src_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .groupBy("label")
+      .agg(countDistinct(col("src_id")).as("n_vectors"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("label") === col("n_label"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("purity", col("n_match").cast("double") / col("n_edges"))
+      .orderBy("label")
+  }
+
+  val qLabelPuritySql: String =
+    s"""WITH g AS (
+       |$knnGraphInnerSql),
+       |j AS (
+       |  SELECT sl.label AS label, g.src_id, nl.label AS n_label
+       |  FROM g JOIN embeddings sl ON sl.vec_id = g.src_id
+       |         JOIN embeddings nl ON nl.vec_id = g.neighbor_id)
+       |SELECT label, CAST(count(DISTINCT src_id) AS BIGINT) AS n_vectors,
+       |  CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(sum(CASE WHEN label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(sum(CASE WHEN label = n_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS purity
+       |FROM j GROUP BY label
+       |ORDER BY label""".stripMargin
+
+  // ---- positional phrase search ---------------------------------------------
+  /** Exact-phrase retrieval over the corpus — see
+    * [[graft.operators.Search.phraseSearch]] for the shifted-postings
+    * intersection (scan-stage term filter; only the phrase's own postings
+    * ever move). The oracle replays postings, shifts, joins, and the
+    * per-doc aggregate.
+    */
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.phraseSearch(
+        table(s, dir, "documents"), "doc_id", "text", "batch agg row")
+      .orderBy("doc_id")
+
+  val qPhraseSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, i - 1 AS pos, t[i] AS term
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |        FROM documents) d,
+      |       unnest(range(1, len(t) + 1)) AS r(i)
+      |  WHERE t[i] IN ('batch', 'agg', 'row')),
+      |p0 AS (SELECT doc_id, pos AS start FROM toks WHERE term = 'batch'),
+      |p1 AS (SELECT doc_id, pos - 1 AS start FROM toks WHERE term = 'agg'),
+      |p2 AS (SELECT doc_id, pos - 2 AS start FROM toks WHERE term = 'row'),
+      |h AS (SELECT p0.doc_id, p0.start FROM p0
+      |      JOIN p1 USING (doc_id, start) JOIN p2 USING (doc_id, start))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |  CAST(min(start) AS INT) AS first_pos
+      |FROM h GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- int8 scalar quantization -------------------------------------------
   /** The quantized embedding STORE: per-dimension affine int8 codes (1 byte
     * per cell vs 4 — the 100 TB memory trade every vector store ships).

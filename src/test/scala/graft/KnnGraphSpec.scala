@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** k-NN graph (`Ann.knnGraph`): driver model over the real embeddings
+  * table — same bucket keys, same candidate rule, same left-to-right
+  * cosine fold, same (cosine desc, id) tie-break.
+  */
+class KnnGraphSpec extends SparkSpec {
+
+  test("graph matches a driver model built from the same bucket keys") {
+    val nTables = 2; val planes = 4; val k = 5
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = base.select(col("vec_id"),
+        functions.VectorFunctions.lshKeys(col("embedding"), nTables, planes).as("ks"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getSeq[Float](2).toArray))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      var na = 0.0; i = 0; while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      var nb = 0.0; i = 0; while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val model = rows.flatMap { case (vid, ks, v) =>
+      rows.filter { case (nid, ks2, _) => nid != vid && ks.exists(ks2.contains) }
+        .map { case (nid, _, nv) => (nid, cosine(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(k).zipWithIndex
+        .map { case ((nid, c), i) => (vid, nid, c, i + 1) }
+    }.toSet
+    val got = operators.Ann.knnGraph(base, "vec_id", "embedding", k, nTables, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === model)
+    assert(got.nonEmpty)
+    // every vector with at least one collision appears as a source
+    val expectedSources = model.map(_._1)
+    assert(got.map(_._1) === expectedSources)
+
+    // label purity over the same model graph
+    val labels = base.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byLabel = model.groupBy(e => labels(e._1)).map { case (l, es) =>
+      val matches = es.count(e => labels(e._2) == l)
+      (l, es.map(_._1).size.toLong, es.size.toLong, matches.toLong,
+        matches.toDouble / es.size)
+    }.toSet
+    val gotPurity = queries.LlmQueries.qLabelPurity(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(gotPurity === byLabel)
+    gotPurity.foreach { case (_, _, _, _, p) => assert(p >= 0.0 && p <= 1.0) }
+  }
+}
