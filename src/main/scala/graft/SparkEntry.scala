@@ -37,6 +37,9 @@ object SparkEntry {
     "q_trend_fit"          -> (AnalyticsQueries.qTrendFit _),
     "q_time_to_convert"    -> (AnalyticsQueries.qTimeToConvert _),
     "q_cohort_ltv"         -> (AnalyticsQueries.qCohortLtv _),
+    "q_session_paths"      -> (AnalyticsQueries.qSessionPaths _),
+    "q_basket_pairs"       -> (AnalyticsQueries.qBasketPairs _),
+    "q_forecast_baseline"  -> (AnalyticsQueries.qForecastBaseline _),
     "q_phrase_search"      -> (LlmQueries.qPhraseSearch _),
     "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
@@ -199,6 +202,12 @@ object SparkEntry {
     "q_time_to_convert"    -> AnalyticsQueries.qTimeToConvertSql,
     // weekly cohorts x weeks-since, exact micro-unit running LTV
     "q_cohort_ltv"         -> AnalyticsQueries.qCohortLtvSql,
+    // one-window-pass position-in-session, sorted-struct path agg
+    "q_session_paths"      -> AnalyticsQueries.qSessionPathsSql,
+    // basket-bounded within-order self-join, division-first lift
+    "q_basket_pairs"       -> AnalyticsQueries.qBasketPairsSql,
+    // naive vs seasonal-naive MAE on the daily control-plane frame
+    "q_forecast_baseline"  -> AnalyticsQueries.qForecastBaselineSql,
     // shifted-postings adjacency intersection, scan-stage term filter
     "q_phrase_search"      -> LlmQueries.qPhraseSearchSql,
     // per-FK-edge orphan audit over distinct-key left joins

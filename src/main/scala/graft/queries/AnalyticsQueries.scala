@@ -698,6 +698,158 @@ object AnalyticsQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- events: session entry paths ----------------------------------------
+  /** Top-20 session ENTRY paths (first ≤5 event types, '>'-joined) — the
+    * path-discovery view next to [[qMarkovTransitions]]' one-step matrix:
+    * where do sessions actually start and which openings dominate.
+    *
+    * Session boundaries are the 30-min-gap contract ([[qEventsSessionize]]).
+    * Position-in-session comes from the SAME per-user window pass as the
+    * session id (pos − last boundary pos — no second shuffle on (user,
+    * session)); the path aggregation buffers ≤5 rows per session
+    * (`array_sort` on (ts, id, type) structs pins the order collect_list
+    * leaves arbitrary), and the top-20 is TakeOrderedAndProject over the
+    * \|distinct paths\| frame (≤ \|types\|⁵, control-plane-sized).
+    */
+  def qSessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val raw = table(s, dir, "events")
+    raw.select(col("event_id"), col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+        col("event_type"))
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > 1800000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(byUser))
+      .withColumn("pos", row_number().over(byUser))
+      .withColumn("idx",
+        col("pos") - coalesce(max(when(col("new_sess") === 1, col("pos"))).over(run),
+          lit(1)) + lit(1))
+      .filter(col("idx") <= 5)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val qSessionPathsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess,
+      |    CAST(row_number() OVER w AS BIGINT) AS pos
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts_ms, event_type,
+      |    CAST(sum(new_sess) OVER w2 AS BIGINT) AS session_id,
+      |    pos - coalesce(max(CASE WHEN new_sess = 1 THEN pos END) OVER w2, 1) + 1 AS idx
+      |  FROM marked
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                ROWS UNBOUNDED PRECEDING)),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+      |  FROM sess WHERE idx <= 5 GROUP BY 1, 2)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 20""".stripMargin
+
+  // ---- market-basket pair affinity -----------------------------------------
+  /** Co-purchase affinity: part pairs appearing in the same order, with
+    * lift = P(a,b) / (P(a)·P(b)) — association rules over the order
+    * basket, the retail cousin of [[graft.operators.Cooccur]]'s PMI (same
+    * division-first pinned tree). Top-50 by support with key tie-breaks.
+    *
+    * Scale shape: baskets collapse to DISTINCT (order, part) first; the
+    * within-order self-join is bounded by Σ\|basket\|² (baskets are
+    * single-digit lines — never corpus²); per-part frequencies shuffle
+    * slim keys and the order total broadcasts as a 1-row frame.
+    */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
+      .persist() // read three times: both join sides + frequencies
+    graft.operators.Caches.register(li)
+    val co = li.join(li.select(col("okey"), col("pk").as("pk2")), Seq("okey"))
+      .filter(col("pk") < col("pk2"))
+      .groupBy("pk", "pk2").agg(count(lit(1)).as("n_co"))
+    val freq = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    val total = li.agg(countDistinct(col("okey")).as("n_orders"))
+    co.join(freq.select(col("pk"), col("n").as("n_a")), "pk")
+      .join(freq.select(col("pk").as("pk2"), col("n").as("n_b")), "pk2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        col("n_co").cast("double") / col("n_a") * col("n_orders") / col("n_b"))
+      .select("pk", "pk2", "n_co", "n_a", "n_b", "lift")
+      .orderBy(col("n_co").desc, col("pk"), col("pk2"))
+      .limit(50)
+  }
+
+  val qBasketPairsSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+      |co AS (
+      |  SELECT a.pk, b.pk AS pk2, CAST(count(*) AS BIGINT) AS n_co
+      |  FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |f AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+      |t AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM li)
+      |SELECT co.pk, co.pk2, co.n_co, fa.n AS n_a, fb.n AS n_b,
+      |  CAST(co.n_co AS DOUBLE) / fa.n * t.n_orders / fb.n AS lift
+      |FROM co JOIN f fa ON fa.pk = co.pk
+      |        JOIN f fb ON fb.pk = co.pk2, t
+      |ORDER BY co.n_co DESC, co.pk, co.pk2
+      |LIMIT 50""".stripMargin
+
+  // ---- forecast baseline backtest ------------------------------------------
+  /** Naive vs seasonal-naive one-step backtest over daily revenue: MAE of
+    * "predict yesterday's value" against "predict the value 7 calendar
+    * days ago" — the two baselines any forecast must beat, and the
+    * cheapest seasonality detector (seasonal MAE ≪ naive MAE ⇒ weekly
+    * cycle). Calendar joins (day−1 / day−7 must EXIST) keep each
+    * predictor honest on gapped series; absolute errors sum as exact
+    * micro-units; each MAE is ONE pinned division. Everything after the
+    * daily aggregation runs on the \|days\| control-plane frame.
+    */
+  def qForecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val daily = table(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"))
+      .groupBy("day").agg(sum("rev_u").as("y"))
+      .persist() // tiny; read three times (base + two shifted copies)
+    graft.operators.Caches.register(daily)
+    def backtest(shift: Int, tag: String) =
+      daily.join(daily.select((col("day") + shift).as("day"), col("y").as("y_hat")), "day")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(abs(col("y") - col("y_hat"))).as(s"sae_$tag"))
+        .withColumn(s"mae_${tag}_u",
+          col(s"sae_$tag").cast("double") / col(s"n_$tag"))
+    backtest(1, "naive").crossJoin(backtest(7, "seasonal"))
+      .select("n_naive", "sae_naive", "mae_naive_u",
+        "n_seasonal", "sae_seasonal", "mae_seasonal_u")
+  }
+
+  val qForecastBaselineSql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_naive,
+      |    CAST(sum(abs(a.y - b.y)) AS BIGINT) AS sae_naive
+      |  FROM d a JOIN d b ON b.day = a.day - 1),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_seasonal,
+      |    CAST(sum(abs(a.y - b.y)) AS BIGINT) AS sae_seasonal
+      |  FROM d a JOIN d b ON b.day = a.day - 7)
+      |SELECT n_naive, sae_naive,
+      |  CAST(sae_naive AS DOUBLE) / n_naive AS mae_naive_u,
+      |  n_seasonal, sae_seasonal,
+      |  CAST(sae_seasonal AS DOUBLE) / n_seasonal AS mae_seasonal_u
+      |FROM n, s""".stripMargin
+
   // ---- events: burst detection -------------------------------------------
   /** Robust per-type burst detector: minute-grain event counts, then the
     * Hampel gate (|cnt − median| > 3·MAD) per event_type — the monitoring
