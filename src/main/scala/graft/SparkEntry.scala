@@ -90,6 +90,7 @@ object SparkEntry {
     "q_ann_lsh"            -> (LlmQueries.qAnnLsh _),
     "q_ann_lsh_multi"      -> (LlmQueries.qAnnLshMulti _),
     "q_knn_graph"          -> (LlmQueries.qKnnGraph _),
+    "q_knn_graph_prod"     -> (LlmQueries.qKnnGraphProd _),
     "q_label_purity"       -> (LlmQueries.qLabelPurity _),
     "q_dedup_embed_lsh"    -> (LlmQueries.qDedupEmbedLsh _),
     "q_dedup_embed_lsh_prod" -> (LlmQueries.qDedupEmbedLshProd _),
@@ -237,6 +238,8 @@ object SparkEntry {
     "q_ann_lsh_multi"      -> LlmQueries.qAnnLshMultiSql,
     // symmetric bucket self-join knn graph, every bucket id replayed
     "q_knn_graph"          -> LlmQueries.qKnnGraphSql,
+    // production 8x16 posture: bucket-bounded as the corpus grows
+    "q_knn_graph_prod"     -> LlmQueries.qKnnGraphProdSql,
     // per-label neighbor agreement over the knn edge list
     "q_label_purity"       -> LlmQueries.qLabelPuritySql,
     // multi-table LSH route forced under the brute all-pairs oracle — the

@@ -63,7 +63,12 @@ object IvfPq {
     val q = vectors.select(col(idCol).as("id"), KMeans.quantize(col(vecCol)).as("qv"))
     residuals(q, model.coarse)
       .select(col("id"), col("cid"), Pq.cidArray(col("rv"), subDim, model.books).as("codes"))
-      .select(col("id").as(idCol), col("cid"), posexplode(col("codes")).as(Seq("sub", "code")))
+      // posexplode_OUTER: identical output (codes is always a non-empty
+      // m-array), but the non-outer form triggers InferFiltersFromGenerate,
+      // which inlines the whole PQ-encode tree into a per-row
+      // `size(codes) > 0` filter — measured 12.9 s warm vs ~2 s without it
+      .select(col("id").as(idCol), col("cid"),
+        posexplode_outer(col("codes")).as(Seq("sub", "code")))
   }
 
   /** Top-k neighbors per query: probe the `np` nearest cells by integer

@@ -110,7 +110,10 @@ object Pq {
     val subDim = books(0)(0).length
     vectors.select(col(idCol), KMeans.quantize(col(vecCol)).as("qv"))
       .select(col(idCol), cidArray(col("qv"), subDim, books).as("cids"))
-      .select(col(idCol), posexplode(col("cids")).as(Seq("sub", "code")))
+      // _outer: same rows (cids is a non-empty m-array) minus the
+      // InferFiltersFromGenerate `size(cids) > 0` filter that would inline
+      // the m-argmin tree into a per-row interpreted predicate
+      .select(col(idCol), posexplode_outer(col("cids")).as(Seq("sub", "code")))
   }
 
   /** Trained codebooks as (sub, cid, pos, qval) scalar cells (pos is the

@@ -1171,19 +1171,19 @@ object LlmQueries {
 
   /** The knn-graph edge list as a standalone SELECT (CTE-embeddable —
     * [[qLabelPuritySql]] wraps it), replaying bucket ids, candidate pairs,
-    * and the exact re-rank.
+    * and the exact re-rank, parameterized by the LSH posture.
     */
-  private val knnGraphInnerSql: String = {
+  private def knnGraphInnerSql(nTables: Int, planes: Int): String = {
     val projSql =
-      """list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))), z ->
-        |  CAST(z[1] AS DOUBLE) * ((md5_number_lower(CAST(t*4 + p AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)) % 1000) / 1000.0 - 0.5)),
-        |  (acc, x) -> acc + x)""".stripMargin
+      s"""list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))), z ->
+         |  CAST(z[1] AS DOUBLE) * ((md5_number_lower(CAST(t*$planes + p AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)) % 1000) / 1000.0 - 0.5)),
+         |  (acc, x) -> acc + x)""".stripMargin
     val keySql =
-      s"""(CAST(t AS BIGINT) << 4) | list_reduce(list_transform(range(0, 4), p ->
+      s"""(CAST(t AS BIGINT) << $planes) | list_reduce(list_transform(range(0, $planes), p ->
          |  CASE WHEN $projSql > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END),
          |  (acc, b) -> acc | b)""".stripMargin
     s"""WITH b AS (
-       |  SELECT vec_id, embedding, unnest(list_transform(range(0, 2), t -> $keySql)) AS bk
+       |  SELECT vec_id, embedding, unnest(list_transform(range(0, $nTables), t -> $keySql)) AS bk
        |  FROM embeddings),
        |cand AS (
        |  SELECT DISTINCT s.vec_id AS src_id, c.vec_id AS neighbor_id
@@ -1201,7 +1201,24 @@ object LlmQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
-  val qKnnGraphSql: String = knnGraphInnerSql + "\nORDER BY src_id, rank"
+  val qKnnGraphSql: String = knnGraphInnerSql(2, 4) + "\nORDER BY src_id, rank"
+
+  /** PRODUCTION knn-graph posture: 8 tables × 16 planes — 65 536 buckets
+    * per table, so per-bucket candidate sets stay bounded as the corpus
+    * grows (the 2×4 entry above is the oracle-saturation config whose
+    * candidates grow ~n²/32 — it exists to hash-gate the machinery, the
+    * [[qDedupEmbedLshProd]] precedent exactly). Plane count is a config
+    * knob that must track log₂|corpus|; at 8×16 only strongly-similar
+    * vectors collide, which is what a near-neighbor GRAPH wants (weak
+    * neighbors are noise edges). Hash-gated end to end: the oracle
+    * replays all 128 plane projections per vector.
+    */
+  def qKnnGraphProd(s: SparkSession, dir: String): DataFrame =
+    Ann.knnGraph(table(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        nTables = 8, planesPerTable = 16)
+      .orderBy("src_id", "rank")
+
+  val qKnnGraphProdSql: String = knnGraphInnerSql(8, 16) + "\nORDER BY src_id, rank"
 
   // ---- k-NN label purity ----------------------------------------------------
   /** Per-label neighbor agreement over the [[qKnnGraph]] edge list — the
@@ -1228,7 +1245,7 @@ object LlmQueries {
 
   val qLabelPuritySql: String =
     s"""WITH g AS (
-       |$knnGraphInnerSql),
+       |${knnGraphInnerSql(2, 4)}),
        |j AS (
        |  SELECT sl.label AS label, g.src_id, nl.label AS n_label
        |  FROM g JOIN embeddings sl ON sl.vec_id = g.src_id

@@ -52,4 +52,22 @@ class KnnGraphSpec extends SparkSpec {
     assert(gotPurity === byLabel)
     gotPurity.foreach { case (_, _, _, _, p) => assert(p >= 0.0 && p <= 1.0) }
   }
+
+  test("prod posture (8x16): planted twins collide in every table and rank first") {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").orderBy("vec_id").limit(20)
+    val twins = base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twins)
+    val g = operators.Ann.knnGraph(corpus, "vec_id", "embedding", k = 1,
+        nTables = 8, planesPerTable = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical vectors share all 8 bucket keys, so every original's top
+    // neighbor is its twin (cosine ~1 dwarfs all others) — recall 20/20
+    val ids = base.collect().map(_.getLong(0))
+    assert(ids.length === 20)
+    ids.foreach { id =>
+      assert(g(id) === id + 100000L, s"original $id")
+      assert(g(id + 100000L) === id, s"twin of $id")
+    }
+  }
 }
