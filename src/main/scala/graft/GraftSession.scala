@@ -35,6 +35,17 @@ object GraftSession {
     // (banded minhash 47 s → 34 s at sf1) reproduce with 256 here.
     .pipe(b2 => sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(b2)(n =>
       b2.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)))
+    // InferFiltersFromGenerate rewrites explode(e) into
+    // Filter(size(e) > 0) + explode(e): when e is a COMPUTED array
+    // (tokenization, shingles, PQ codes — most generators in this
+    // library), the whole expression tree is evaluated twice per row,
+    // once in an often-interpreted filter — measured 12.9 s vs 2.0 s on
+    // the PQ store and ~2× on every tokenize-and-explode scan. The rule
+    // only prunes rows whose arrays are empty/null (Generate itself
+    // already skips them); on corpora without empty-array columns it is
+    // pure loss, so it is excluded engine-wide.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
     // default; read as long nanos — we convert to epoch millis explicitly,
     // which is also the determinism-safe interchange with the oracle.

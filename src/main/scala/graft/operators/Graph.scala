@@ -112,16 +112,23 @@ object Graph {
     * anti-join + sum per round (a control-plane scalar, like the node
     * count).
     *
-    * Each round `localCheckpoint`s the rank frame: lineage stays
-    * constant-depth (a 50-round persist-only loop grows the logical plan
-    * linearly — optimizer time and stack depth both pay per round) and
-    * superseded blocks are released by the ContextCleaner — the
-    * [[connectedComponents]] contract.
+    * Lineage stays BOUNDED-depth via `localCheckpoint` every
+    * `checkpointEvery` rounds (a 50-round persist-only loop grows the
+    * logical plan linearly — optimizer time and stack depth both pay per
+    * round), but NOT every round: a checkpoint is an eager
+    * materialization, and checkpointing each of the registered 3 rounds
+    * measured 8–9 s cold at sf0.1 vs ~0.5 s with the rounds pipelined
+    * into one job (the r9 lesson: bound lineage at K, don't flatten it
+    * to 1). The `redistributeDangling` variant checkpoints every round
+    * regardless — its per-round driver scalar materializes the chain
+    * anyway, and an unpinned tail would recompute O(iters²).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
                dampingMillis: Int = 850,
                scale: Long = 1000000000000L,
-               redistributeDangling: Boolean = false): DataFrame = {
+               redistributeDangling: Boolean = false,
+               checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingMillis >= 0 && dampingMillis <= 1000,
       s"dampingMillis must be in [0, 1000], got $dampingMillis")
@@ -138,8 +145,9 @@ object Graph {
     if (n == 0) return nodes.withColumn("rank", lit(0L))
     val init = scale / n
     val base = ((1000L - dampingMillis) * init) / 1000L
-    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
-    for (_ <- 0 until iters) {
+    var ranks = nodes.withColumn("rank", lit(init))
+    if (redistributeDangling) ranks = ranks.localCheckpoint()
+    for (i <- 0 until iters) {
       // per-node share of the dangling mass this round (0 when leaking):
       // dangling = nodes with no out-edge = ranks minus deg's src set
       val share =
@@ -155,7 +163,8 @@ object Graph {
           (lit(base) +
             expr(s"($dampingMillis * (coalesce(in, 0L) + $share)) div 1000"))
             .as("rank"))
-        .localCheckpoint()
+      if (redistributeDangling || (i + 1) % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
