@@ -41,6 +41,7 @@ object SparkEntry {
     "q_basket_pairs"       -> (AnalyticsQueries.qBasketPairs _),
     "q_forecast_baseline"  -> (AnalyticsQueries.qForecastBaseline _),
     "q_phrase_search"      -> (LlmQueries.qPhraseSearch _),
+    "q_more_like_this"     -> (LlmQueries.qMoreLikeThis _),
     "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
@@ -211,6 +212,8 @@ object SparkEntry {
     "q_forecast_baseline"  -> AnalyticsQueries.qForecastBaselineSql,
     // shifted-postings adjacency intersection, scan-stage term filter
     "q_phrase_search"      -> LlmQueries.qPhraseSearchSql,
+    // exact-integer idf-weighted dot over the inverted index
+    "q_more_like_this"     -> LlmQueries.qMoreLikeThisSql,
     // per-FK-edge orphan audit over distinct-key left joins
     "q_integrity"          -> SourceQueries.qIntegritySql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,

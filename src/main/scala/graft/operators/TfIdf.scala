@@ -139,4 +139,65 @@ object TfIdf {
     scored.groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"), sum("contrib_micro").as("score_micro"))
   }
+
+  /** "More like this": for each query document, the top-k most similar
+    * documents by an idf-weighted term dot product over the inverted
+    * index — the doc-to-doc leg of the retrieval family (BM25 answers a
+    * term query, [[graft.operators.Search.phraseSearch]] a quoted one;
+    * this answers "find documents like THIS one", Lucene's MLT shape).
+    *
+    * Scoring stays EXACT: integer idf_u = (N·10⁶) div df per term,
+    * per-term contribution tf_q·tf_c·idf_u as a long (headroom: tf ≤
+    * ~10³ and df ≥ 1 keep it under 2⁶³ through ~10⁷-doc corpora; the
+    * SUM accumulates as decimal(38,0)/HUGEINT far beyond that), so the
+    * ranking key is partitioning-invariant and replays in SQL; the
+    * reported cosine-style `sim` is a fixed IEEE tree (two correctly
+    * rounded sqrts, one multiply, one divide) over those exact integers.
+    *
+    * Scale shape: the corpus tokenizes ONCE into the persisted slim
+    * (doc, term, tf) frame; df and norms re-aggregate it; the candidate
+    * join keys on term with only the |queries|-sized side filtered in
+    * the scan, so pairs are bounded by Σ_t df(t) over the QUERY's terms —
+    * never corpus². `dfCap > 0` drops ultra-common terms from the match
+    * (the Lucene maxDocFreq knob) when a real corpus's stopwords would
+    * otherwise dominate both cost and score; the registered config
+    * leaves it off because the synthetic vocabulary is ~40 words.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   queryIds: Seq[Long], k: Int, dfCap: Long = 0L): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
+    Caches.register(tf)
+    val df0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = if (dfCap > 0) df0.filter(col("df") <= dfCap) else df0
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        expr("(__n * 1000000) div df").as("idf_u"))
+      .persist() // norms + both sides of the candidate join read it
+    Caches.register(w)
+    val norms = w.groupBy("doc_id")
+      .agg(sum((col("tf") * col("tf") * col("idf_u")).cast("decimal(38,0)")).as("norm_u"))
+    val q = w.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("term"), col("tf").as("qtf"),
+        col("idf_u"))
+    val pairs = q.join(w.select(col("doc_id").as("cand_id"), col("term"),
+        col("tf").as("ctf")), "term")
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum((col("qtf") * col("ctf") * col("idf_u")).cast("decimal(38,0)"))
+        .as("score_u"))
+    val sim = pairs
+      .join(norms.select(col("doc_id").as("query_id"), col("norm_u").as("qn")), "query_id")
+      .join(norms.select(col("doc_id").as("cand_id"), col("norm_u").as("cn")), "cand_id")
+      .withColumn("sim", col("score_u").cast("double") /
+        (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+    val win = Window.partitionBy("query_id").orderBy(col("score_u").desc, col("cand_id"))
+    sim.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score_u", "sim", "rank")
+  }
 }

@@ -1286,6 +1286,45 @@ object LlmQueries {
       |FROM h GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- more-like-this -------------------------------------------------------
+  /** Doc-to-doc retrieval: top-10 most similar documents for each of five
+    * query docs — see [[TfIdf.moreLikeThis]] for the exact-integer
+    * idf-weighted dot ranking and the query-bounded posting join.
+    */
+  def qMoreLikeThis(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.moreLikeThis(table(s, dir, "documents"), "doc_id", "text",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy("query_id", "rank")
+
+  val qMoreLikeThisSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |w AS (SELECT tf.doc_id, tf.term, tf.tf, (nn.n * 1000000) // df.df AS idf_u
+      |      FROM tf JOIN df USING (term), nn),
+      |nrm AS (SELECT doc_id, sum(CAST(tf * tf AS HUGEINT) * idf_u) AS norm_u
+      |        FROM w GROUP BY 1),
+      |p AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+      |    sum(CAST(q.tf * c.tf AS HUGEINT) * q.idf_u) AS score_u
+      |  FROM w q JOIN w c USING (term)
+      |  WHERE q.doc_id IN (0, 1, 2, 3, 4) AND c.doc_id <> q.doc_id
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT p.query_id, p.cand_id, p.score_u,
+      |    CAST(p.score_u AS DOUBLE) /
+      |      (sqrt(CAST(nq.norm_u AS DOUBLE)) * sqrt(CAST(nc.norm_u AS DOUBLE))) AS sim
+      |  FROM p JOIN nrm nq ON nq.doc_id = p.query_id
+      |         JOIN nrm nc ON nc.doc_id = p.cand_id)
+      |SELECT query_id, cand_id, score_u, sim, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, cand_id) AS INT) AS rank
+      |  FROM s) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---- int8 scalar quantization -------------------------------------------
   /** The quantized embedding STORE: per-dimension affine int8 codes (1 byte
     * per cell vs 4 — the 100 TB memory trade every vector store ships).
