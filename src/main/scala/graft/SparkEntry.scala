@@ -144,6 +144,7 @@ object SparkEntry {
     "q_kmeans_centroids"   -> (LlmQueries.qKmeansCentroids _),
     "q_cluster_report"     -> (LlmQueries.qClusterReport _),
     "q_pagerank"           -> (AnalyticsQueries.qPageRank _),
+    "q_ppr"                -> (AnalyticsQueries.qPersonalizedPagerank _),
     "q_cdc_chunks"         -> (LlmQueries.qCdcChunks _),
     "q_cdc_stats"          -> (LlmQueries.qCdcStats _),
     "q_cdc_delta"          -> (LlmQueries.qCdcDelta _),
@@ -360,6 +361,8 @@ object SparkEntry {
     // per-label tightness + nearest-centroid separation, exact integers
     "q_cluster_report"     -> LlmQueries.qClusterReportSql,
     "q_pagerank"           -> AnalyticsQueries.qPageRankSql,
+    // seeded restart vector, every floor-division round replayed
+    "q_ppr"                -> AnalyticsQueries.qPersonalizedPagerankSql,
     "q_cdc_chunks"         -> LlmQueries.qCdcChunksSql,
     "q_cdc_stats"          -> LlmQueries.qCdcStatsSql,
     "q_cdc_delta"          -> LlmQueries.qCdcDeltaSql,

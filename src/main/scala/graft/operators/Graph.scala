@@ -169,6 +169,56 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank: random-walk-with-restart relevance to a seed
+    * set — "what is close to THESE nodes" (seeded curation: expand a
+    * trusted domain list, find accounts trading like a known cohort).
+    * Same exact-integer contract as [[pageRank]], with the uniform
+    * restart vector replaced by mass `scale div |seeds|` on each seed:
+    * next(v) = [v ∈ seeds]·((1000−d)·init) div 1000 + (d·in(v)) div 1000.
+    * Mass reaching dangling ends leaks (the [[pageRank]] default,
+    * documented there). Seeds not present in the graph contribute
+    * nothing — callers own seed validation.
+    *
+    * Scale shape identical to [[pageRank]]: one slim edge⋈rank join per
+    * round, map-side-combined contribution sums, the seed test is a
+    * literal `isin` in the projection, lineage bounded by
+    * `checkpointEvery`.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[String], iters: Int,
+                           dampingMillis: Int = 850,
+                           scale: Long = 1000000000000L,
+                           checkpointEvery: Int = 8): DataFrame = {
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingMillis >= 0 && dampingMillis <= 1000,
+      s"dampingMillis must be in [0, 1000], got $dampingMillis")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew = e.join(deg, "src").persist()
+    Caches.register(ew)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    Caches.register(nodes)
+    val init = scale / seeds.length
+    val isSeed = col("node").isin(seeds: _*)
+    val seedBase = ((1000L - dampingMillis) * init) / 1000L
+    var ranks = nodes.select(col("node"),
+      when(isSeed, lit(init)).otherwise(lit(0L)).as("rank"))
+    for (i <- 0 until iters) {
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(seedBase)).otherwise(lit(0L)) +
+            expr(s"($dampingMillis * coalesce(in, 0L)) div 1000")).as("rank"))
+      if ((i + 1) % checkpointEvery == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Per-node triangle counts over an undirected simple graph — the
     * clustering-structure primitive (local clustering coefficient, spam/
     * community detection over link graphs; the co-order graph query uses it

@@ -1246,6 +1246,60 @@ object AnalyticsQueries {
       |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
 
+  // ---- graph relevance: personalized PageRank ------------------------------
+  /** Random-walk-with-restart relevance to five seed customers over the
+    * same trade graph as [[qPageRank]] — "which suppliers (and
+    * fellow customers) sit closest to this cohort". See
+    * [[graft.operators.Graph.personalizedPageRank]]; every floor-division
+    * round replays in SQL, ranks hash bit-exact.
+    */
+  def qPersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = table(s, dir, "orders").join(table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("ss"))
+      .distinct()
+    val sym = edges.select(col("c").as("src"), col("ss").as("dst"))
+      .union(edges.select(col("ss").as("src"), col("c").as("dst")))
+    graft.operators.Graph.personalizedPageRank(sym, "src", "dst",
+        seeds = Seq("c1", "c2", "c3", "c4", "c5"), iters = 3)
+      .filter(col("rank") > 0)
+      .orderBy("node")
+  }
+
+  val qPersonalizedPagerankSql: String = {
+    val seedList = "('c1', 'c2', 'c3', 'c4', 'c5')"
+    def round(i: Int) = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT eb.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS i
+         |  FROM eb JOIN $prev r ON r.node = eb.src JOIN deg d ON d.src = eb.src
+         |  GROUP BY eb.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.node IN $seedList THEN (SELECT sb FROM k) ELSE 0 END)
+         |    + (850 * coalesce(c$i.i, 0)) // 1000 AS rank
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |eb AS (SELECT c AS src, s AS dst FROM e UNION ALL SELECT s, c FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM eb),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eb GROUP BY src),
+       |k AS (SELECT 1000000000000 // 5 AS init,
+       |             (150 * (1000000000000 // 5)) // 1000 AS sb),
+       |r0 AS (SELECT node,
+       |         CASE WHEN node IN $seedList THEN (SELECT init FROM k) ELSE 0 END AS rank
+       |       FROM nodes),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+       |WHERE rank > 0 ORDER BY node""".stripMargin
+  }
+
   // ---- graph clustering: connected components ----------------------------
   /** Trade communities over the SPARSIFIED customer↔supplier graph (edges
     * = pairs whose summed order quantity ≥ 80 — high-volume relationships

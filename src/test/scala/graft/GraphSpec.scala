@@ -111,6 +111,40 @@ class GraphSpec extends SparkSpec {
     assert(secs < 120.0, s"50 rounds took ${secs}s — lineage likely growing")
   }
 
+  /** Reference model of the personalized restart rule. */
+  private def pprRef(edges: Seq[(String, String)], seeds: Seq[String],
+                     iters: Int, damp: Long = 850L): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val init = Scale / seeds.length
+    val seedBase = ((1000L - damp) * init) / 1000L
+    val seedSet = seeds.toSet
+    var r = nodes.map(n => n -> (if (seedSet(n)) init else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      e.foreach { case (s, d) => in(d) += r(s) / deg(s) }
+      r = nodes.map(n =>
+        n -> ((if (seedSet(n)) seedBase else 0L) + (damp * in(n)) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("personalized pageRank matches the reference model; mass stays near seeds") {
+    val g = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "c" -> "d", "d" -> "c", "x" -> "y", "y" -> "x")
+    val got = Graph.personalizedPageRank(g.toDF("src", "dst"), "src", "dst",
+        seeds = Seq("a"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.Caches.release()
+    assert(got === pprRef(g, Seq("a"), 3))
+    // the disconnected (x, y) component never receives mass
+    assert(got("x") === 0L && got("y") === 0L)
+    // mass reaches exactly the seed's component, thinning toward the far end
+    assert(Seq("a", "b", "c", "d").forall(got(_) > 0L))
+    assert(got("d") < got("b")) // 3 hops out sits below the seed's neighbor
+  }
+
   // ---- connected components ----------------------------------------------
 
   /** Ground truth: transitive closure by union-find. */
