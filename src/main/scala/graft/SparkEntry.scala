@@ -27,6 +27,7 @@ object SparkEntry {
     "q_asof_join"          -> (AnalyticsQueries.qAsofJoin _),
     "q_range_join"         -> (AnalyticsQueries.qRangeJoin _),
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
+    "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
@@ -185,6 +186,8 @@ object SparkEntry {
     "q_asof_join"          -> AnalyticsQueries.qAsofJoinSql,
     "q_range_join"         -> AnalyticsQueries.qRangeJoinSql,
     "q_salted_join"        -> AnalyticsQueries.qSaltedJoinSql,
+    // fuzzy linkage: SymSpell deletion-variant equi-join + levenshtein verify
+    "q_fuzzy_link"         -> AnalyticsQueries.qFuzzyLinkSql,
     // skew audit: integer bit-length buckets, pinned share division
     "q_skew_report"        -> AnalyticsQueries.qSkewReportSql,
     // literal-domain pivot lowered to conditional counts

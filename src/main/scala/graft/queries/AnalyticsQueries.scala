@@ -1396,4 +1396,60 @@ object AnalyticsQueries {
       |SELECT deg.node, deg.deg, coalesce(pn.n_tri, 0) AS n_tri
       |FROM deg LEFT JOIN pn ON pn.node = deg.node
       |ORDER BY deg.node""".stripMargin
+
+  // ---- fuzzy record linkage (deletion-neighborhood blocking) ------------
+  /** Typo'd-identifier linkage: a deterministically corrupted 20% sample of
+    * customer names (one character deleted at an md5-derived position — the
+    * planted "dirty EDI feed") linked back to the master table via
+    * [[graft.operators.FuzzyLink.linkReport]]'s SymSpell-style variant
+    * equi-join + levenshtein verify. Padded numeric IDs make the linkage
+    * honestly ambiguous (deleting a pad zero can land within distance 1 of
+    * several masters); `n_cand` reports that ambiguity.
+    */
+  def qFuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    val cust = table(s, dir, "customer")
+    val pick = pmod(Sampling.md5Lower(col("c_custkey")), lit(5)) === 0
+    val pos0 = pmod(Sampling.md5Lower(concat(lit("fz:"), col("c_custkey").cast("string"))),
+                    length(col("c_name")).cast("decimal(20,0)")).cast("int")
+    val probe = cust.filter(pick)
+      .select(col("c_custkey").as("pid"),
+        concat(col("c_name").substr(lit(1), pos0),
+               col("c_name").substr(pos0 + lit(2), length(col("c_name")))).as("pname"))
+    graft.operators.FuzzyLink.linkReport(cust, "c_custkey", "c_name", probe, "pid", "pname")
+      .orderBy("probe_id")
+  }
+
+  val qFuzzyLinkSql: String =
+    """WITH probe AS (
+      |  SELECT c_custkey AS probe_id,
+      |    substr(c_name, 1, pos0) || substr(c_name, pos0 + 2, length(c_name)) AS probe_name
+      |  FROM (
+      |    SELECT c_custkey, c_name,
+      |      CAST(md5_number_lower('fz:' || CAST(c_custkey AS VARCHAR)) % length(c_name) AS INT) AS pos0
+      |    FROM customer
+      |    WHERE md5_number_lower(CAST(c_custkey AS VARCHAR)) % 5 = 0)),
+      |pv AS (
+      |  SELECT DISTINCT probe_id, probe_name,
+      |    CASE WHEN i = 0 THEN probe_name
+      |         ELSE substr(probe_name, 1, i - 1) || substr(probe_name, i + 1, length(probe_name)) END AS variant
+      |  FROM probe, unnest(range(0, length(probe_name) + 1)) AS r(i)),
+      |mv AS (
+      |  SELECT DISTINCT c_custkey AS master_id, c_name AS master_name,
+      |    CASE WHEN i = 0 THEN c_name
+      |         ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name)) END AS variant
+      |  FROM customer, unnest(range(0, length(c_name) + 1)) AS r(i)),
+      |cand AS (
+      |  SELECT DISTINCT probe_id, probe_name, master_id, master_name
+      |  FROM pv JOIN mv USING (variant)),
+      |ok AS (
+      |  SELECT probe_id, probe_name, master_id, master_name,
+      |    CAST(levenshtein(probe_name, master_name) AS INT) AS distance
+      |  FROM cand WHERE levenshtein(probe_name, master_name) <= 1)
+      |SELECT probe_id, probe_name, match_id, match_name, distance, n_cand FROM (
+      |  SELECT probe_id, probe_name, master_id AS match_id, master_name AS match_name, distance,
+      |    CAST(count(*) OVER (PARTITION BY probe_id) AS BIGINT) AS n_cand,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY distance, master_id, master_name) AS rn
+      |  FROM ok) t
+      |WHERE rn = 1 ORDER BY probe_id""".stripMargin
 }
