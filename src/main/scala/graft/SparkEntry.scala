@@ -28,6 +28,7 @@ object SparkEntry {
     "q_range_join"         -> (AnalyticsQueries.qRangeJoin _),
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
+    "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
@@ -188,6 +189,8 @@ object SparkEntry {
     "q_salted_join"        -> AnalyticsQueries.qSaltedJoinSql,
     // fuzzy linkage: SymSpell deletion-variant equi-join + levenshtein verify
     "q_fuzzy_link"         -> AnalyticsQueries.qFuzzyLinkSql,
+    // z-order audit: Morton interleave, per-file min/max pruning stats
+    "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // skew audit: integer bit-length buckets, pinned share division
     "q_skew_report"        -> AnalyticsQueries.qSkewReportSql,
     // literal-domain pivot lowered to conditional counts

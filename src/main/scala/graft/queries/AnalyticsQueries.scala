@@ -1452,4 +1452,55 @@ object AnalyticsQueries {
       |    row_number() OVER (PARTITION BY probe_id ORDER BY distance, master_id, master_name) AS rn
       |  FROM ok) t
       |WHERE rn = 1 ORDER BY probe_id""".stripMargin
+
+  // ---- z-order layout audit ----------------------------------------------
+  /** Would OPTIMIZE ZORDER pay off on lineitem's two join dims? — see
+    * [[graft.operators.Layout.zorderAudit]]. One summary row per layout;
+    * the z-curve should bound the per-file span fraction on BOTH
+    * l_partkey and l_suppkey where the single-dim sort leaves l_suppkey
+    * at ~the full domain.
+    */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.zorderAudit(table(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", rowsPerFile = 4096,
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      .orderBy("layout")
+
+  val qZorderLayoutSql: String = {
+    val z = graft.operators.Layout.zSql("qa", "qb", 16)
+    s"""WITH dom AS (
+       |  SELECT CAST(min(l_partkey) AS BIGINT) AS a_lo, CAST(max(l_partkey) AS BIGINT) AS a_hi,
+       |         CAST(min(l_suppkey) AS BIGINT) AS b_lo, CAST(max(l_suppkey) AS BIGINT) AS b_hi
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+       |    ((CAST(l_partkey AS BIGINT) - a_lo) * 65536) // (a_hi - a_lo + 1) AS qa,
+       |    ((CAST(l_suppkey AS BIGINT) - b_lo) * 65536) // (b_hi - b_lo + 1) AS qb
+       |  FROM lineitem, dom),
+       |zf AS (
+       |  SELECT *, CAST((row_number() OVER (ORDER BY zkey, l_orderkey, l_linenumber) - 1) // 4096 AS BIGINT) AS file_id
+       |  FROM (SELECT *, $z AS zkey FROM q)),
+       |lf AS (
+       |  SELECT *, CAST((row_number() OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1) // 4096 AS BIGINT) AS file_id
+       |  FROM q),
+       |zs AS (
+       |  SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       |    CAST(sum(nr) AS BIGINT) AS n_rows,
+       |    CAST(sum(sa) AS BIGINT) AS span_a, CAST(sum(sb) AS BIGINT) AS span_b
+       |  FROM (SELECT file_id, max(l_partkey) - min(l_partkey) + 1 AS sa,
+       |               max(l_suppkey) - min(l_suppkey) + 1 AS sb, count(*) AS nr
+       |        FROM zf GROUP BY 1)),
+       |ls AS (
+       |  SELECT 'linear_l_partkey' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       |    CAST(sum(nr) AS BIGINT) AS n_rows,
+       |    CAST(sum(sa) AS BIGINT) AS span_a, CAST(sum(sb) AS BIGINT) AS span_b
+       |  FROM (SELECT file_id, max(l_partkey) - min(l_partkey) + 1 AS sa,
+       |               max(l_suppkey) - min(l_suppkey) + 1 AS sb, count(*) AS nr
+       |        FROM lf GROUP BY 1))
+       |SELECT layout, n_files, n_rows, span_a, span_b,
+       |  CAST(span_a AS DOUBLE) / CAST(n_files * (a_hi - a_lo + 1) AS DOUBLE) AS frac_a,
+       |  CAST(span_b AS DOUBLE) / CAST(n_files * (b_hi - b_lo + 1) AS DOUBLE) AS frac_b
+       |FROM (SELECT * FROM zs UNION ALL SELECT * FROM ls), dom
+       |ORDER BY layout""".stripMargin
+  }
 }
