@@ -74,6 +74,7 @@ object SparkEntry {
     "q_seq_pack"           -> (LlmQueries.qSeqPack _),
     "q_doc_chunk"          -> (LlmQueries.qDocChunk _),
     "q_shard_assign"       -> (LlmQueries.qShardAssign _),
+    "q_compaction_plan"    -> (LlmQueries.qCompactionPlan _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
     "q_token_count"        -> (LlmQueries.qTokenCount _),
@@ -270,6 +271,8 @@ object SparkEntry {
     "q_seq_pack"           -> LlmQueries.qSeqPackSql,
     "q_doc_chunk"          -> LlmQueries.qDocChunkSql,
     "q_shard_assign"       -> LlmQueries.qShardAssignSql,
+    // compaction plan: prefix-sum bin packing over the file listing
+    "q_compaction_plan"    -> LlmQueries.qCompactionPlanSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
     "q_token_count"        -> LlmQueries.qTokenCountSql,

@@ -3512,4 +3512,35 @@ object LlmQueries {
       |FROM tok JOIN w USING (b)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ---- compaction plan ------------------------------------------------------
+  /** Small-file compaction plan over the per-source pseudo-file listing —
+    * see [[graft.operators.Compaction]]. 64 hash-bucketed files per
+    * source, 4 KiB target bins, prefix-sum packing: one window pass over
+    * a metadata-sized listing.
+    */
+  def qCompactionPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Compaction.plan(
+        graft.operators.Compaction.pseudoFiles(
+          table(s, dir, "documents"), "source", "doc_id", "n_chars", buckets = 64),
+        targetBytes = 4096L)
+      .orderBy("source", "bin_id")
+
+  val qCompactionPlanSql: String =
+    """WITH f AS (
+      |  SELECT source, CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 64 AS INT) AS file_id,
+      |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1, 2),
+      |p AS (
+      |  SELECT *, coalesce(sum(bytes) OVER (
+      |      PARTITION BY source ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM f)
+      |SELECT source, CAST(cum_before // 4096 AS BIGINT) AS bin_id,
+      |  CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(bytes) AS BIGINT) AS bytes,
+      |  CAST(min(file_id) AS INT) AS file_lo, CAST(max(file_id) AS INT) AS file_hi,
+      |  CAST(sum(bytes) AS DOUBLE) / 4096.0 AS fill
+      |FROM p GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }
