@@ -75,6 +75,7 @@ object SparkEntry {
     "q_doc_chunk"          -> (LlmQueries.qDocChunk _),
     "q_shard_assign"       -> (LlmQueries.qShardAssign _),
     "q_compaction_plan"    -> (LlmQueries.qCompactionPlan _),
+    "q_ann_recall"         -> (LlmQueries.qAnnRecall _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
     "q_token_count"        -> (LlmQueries.qTokenCount _),
@@ -273,6 +274,8 @@ object SparkEntry {
     "q_shard_assign"       -> LlmQueries.qShardAssignSql,
     // compaction plan: prefix-sum bin packing over the file listing
     "q_compaction_plan"    -> LlmQueries.qCompactionPlanSql,
+    // ANN recall: LSH result ∩ brute-force truth, both legs SQL-replayed
+    "q_ann_recall"         -> LlmQueries.qAnnRecallSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
     "q_token_count"        -> LlmQueries.qTokenCountSql,

@@ -27,6 +27,24 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Recall@k report: per query, how many of the exact top-k `truth`
+    * neighbors the `approx` result found — the evaluation harness that
+    * justifies (or rejects) an ANN index posture before it ships. Both
+    * inputs are (query_id, neighbor_id, …) rankings from the operators
+    * above; the comparison is set intersection, so equal tie-break
+    * contracts on both sides keep it deterministic at the k boundary.
+    * Scale shape: both inputs are |Q|·k slim rows — control-plane sized
+    * regardless of corpus size; one equi-join, one agg.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    truth.select("query_id", "neighbor_id")
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** Max vectors collected for coarse-quantizer training — bounds driver
     * memory; IVF quantizers train on a sample by design (the cells only
     * need to partition space reasonably, assignment stays exact).

@@ -3513,6 +3513,46 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- ANN recall report ------------------------------------------------
+  /** Recall@10 of the registered single-table LSH posture vs exact brute
+    * force — see [[Ann.recallAtK]]. The report that decides whether an
+    * index config ships; both legs replay in SQL, so even the recall
+    * numbers are oracle-exact.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+      .persist() // |Q|·k rows, read once per evaluated posture
+    graft.operators.Caches.register(truth)
+    def leg(nTables: Int, name: String) =
+      Ann.recallAtK(truth,
+          Ann.lshTopK(q, emb, "vec_id", "embedding", k = 10,
+            nTables = nTables, planesPerTable = 4))
+        .withColumn("method", lit(name))
+    leg(1, "lsh_1x4").union(leg(8, "lsh_8x4"))
+      .select("method", "query_id", "n_truth", "n_hit", "recall")
+      .orderBy("method", "query_id")
+  }
+
+  val qAnnRecallSql: String = {
+    def agg(name: String, tbl: String) =
+      s"""SELECT '$name' AS method, t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN $tbl a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY 2""".stripMargin
+    s"""WITH truth AS ($qAnnCosineSql),
+       |a1 AS ($qAnnLshSql),
+       |a8 AS ($qAnnLshMultiSql)
+       |${agg("lsh_1x4", "a1")}
+       |UNION ALL
+       |${agg("lsh_8x4", "a8")}
+       |ORDER BY method, query_id""".stripMargin
+  }
+
   // ---- compaction plan ------------------------------------------------------
   /** Small-file compaction plan over the per-source pseudo-file listing —
     * see [[graft.operators.Compaction]]. 64 hash-bucketed files per
