@@ -76,6 +76,7 @@ object SparkEntry {
     "q_shard_assign"       -> (LlmQueries.qShardAssign _),
     "q_compaction_plan"    -> (LlmQueries.qCompactionPlan _),
     "q_ann_recall"         -> (LlmQueries.qAnnRecall _),
+    "q_snm_dedup"          -> (LlmQueries.qSnmDedup _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
     "q_token_count"        -> (LlmQueries.qTokenCount _),
@@ -276,6 +277,8 @@ object SparkEntry {
     "q_compaction_plan"    -> LlmQueries.qCompactionPlanSql,
     // ANN recall: LSH result ∩ brute-force truth, both legs SQL-replayed
     "q_ann_recall"         -> LlmQueries.qAnnRecallSql,
+    // sorted-neighborhood pass: global order + (w-1) offset equi-join
+    "q_snm_dedup"          -> LlmQueries.qSnmDedupSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
     "q_token_count"        -> LlmQueries.qTokenCountSql,

@@ -3513,6 +3513,30 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- sorted-neighborhood dedup ------------------------------------------
+  /** The merge/purge pass — see [[graft.operators.Snm.snmPairs]]: window-4
+    * neighbors of the 24-char normalized-prefix order, word-set jaccard
+    * ≥ 0.5. The prefix-anchored leg of the blocking family.
+    */
+  def qSnmDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Snm.snmPairs(table(s, dir, "documents"), "doc_id", "text",
+        window = 4, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val qSnmDedupSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, text, row_number() OVER (ORDER BY
+       |    substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 24), doc_id) AS rn
+       |  FROM documents),
+       |w AS (SELECT doc_id, $wordSetSql AS words, rn FROM r),
+       |c AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS jaccard
+       |  FROM w a JOIN w b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+       |SELECT id_a, id_b, jaccard FROM c WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- ANN recall report ------------------------------------------------
   /** Recall@10 of the registered single-table LSH posture vs exact brute
     * force — see [[Ann.recallAtK]]. The report that decides whether an
