@@ -77,6 +77,8 @@ object SparkEntry {
     "q_compaction_plan"    -> (LlmQueries.qCompactionPlan _),
     "q_ann_recall"         -> (LlmQueries.qAnnRecall _),
     "q_snm_dedup"          -> (LlmQueries.qSnmDedup _),
+    "q_label_prop"         -> (LlmQueries.qLabelProp _),
+    "q_label_prop_prod"    -> (LlmQueries.qLabelPropProd _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
     "q_token_count"        -> (LlmQueries.qTokenCount _),
@@ -279,6 +281,10 @@ object SparkEntry {
     "q_ann_recall"         -> LlmQueries.qAnnRecallSql,
     // sorted-neighborhood pass: global order + (w-1) offset equi-join
     "q_snm_dedup"          -> LlmQueries.qSnmDedupSql,
+    // label propagation: per-round vote join + window, seeds pinned
+    "q_label_prop"         -> LlmQueries.qLabelPropSql,
+    // production 8x16 posture of the same propagation (scale twin)
+    "q_label_prop_prod"    -> LlmQueries.qLabelPropProdSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
     "q_token_count"        -> LlmQueries.qTokenCountSql,

@@ -56,7 +56,11 @@ object FuzzyLink {
     val pv = probe
       .select(col(probeId).as("probe_id"), col(probeName).as("probe_name"))
       .withColumn("variant", explode(deletionVariants(col("probe_name"))))
-    pv.join(mv, Seq("variant"))
+    // Shuffle-hash on the variant key, probe side as build: the static
+    // planner underestimates the post-explode master side (~19× its scan)
+    // and broadcasts it — a linear-growth broadcast that dies at 10¹⁰
+    // masters. The probe batch is the structurally small side here.
+    pv.hint("shuffle_hash").join(mv, Seq("variant"))
       .select("probe_id", "probe_name", "master_id", "master_name")
       .distinct()
       .withColumn("distance", levenshtein(col("probe_name"), col("master_name")))

@@ -3513,6 +3513,64 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- label propagation ----------------------------------------------------
+  /** Auto-labeling: a 25% md5-seeded trusted set expands over the 2×4 kNN
+    * graph for 2 majority-vote rounds — see [[graft.operators.LabelProp]].
+    * Per-vector output; the spec derives accuracy on the held-out 75%.
+    */
+  private def labelPropAt(s: SparkSession, dir: String,
+                          nTables: Int, planes: Int): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val edges = Ann.knnGraph(emb, "vec_id", "embedding", k = 5,
+      nTables = nTables, planesPerTable = planes)
+    graft.operators.LabelProp.propagate(edges, emb, "vec_id", "label",
+        graft.functions.Sampling.md5Bucket(col("vec_id"), 4) === 0, rounds = 2)
+      .orderBy("vec_id")
+  }
+
+  def qLabelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropAt(s, dir, nTables = 2, planes = 4)
+
+  /** PRODUCTION posture: the same propagation over the 8×16 knn graph
+    * (the q_knn_graph_prod precedent) — in-bucket candidate sets bounded
+    * by 65 536 buckets per table, so the edge build scales where the
+    * oracle-saturating 2×4 config is quadratic by construction (21.7×
+    * cold for 10× data, measured; it joins the scale-run skip set).
+    */
+  def qLabelPropProd(s: SparkSession, dir: String): DataFrame =
+    labelPropAt(s, dir, nTables = 8, planes = 16)
+
+  private def labelPropSqlAt(nTables: Int, planes: Int): String =
+    s"""WITH g AS (
+       |${knnGraphInnerSql(nTables, planes)}),
+       |seeds AS (
+       |  SELECT vec_id, label,
+       |    md5_number_lower(CAST(vec_id AS VARCHAR)) % 4 = 0 AS is_seed
+       |  FROM embeddings),
+       |l0 AS (SELECT vec_id, CASE WHEN is_seed THEN label END AS pred FROM seeds),
+       |v1 AS (SELECT g.src_id, l0.pred AS vote, count(*) AS n
+       |       FROM g JOIN l0 ON l0.vec_id = g.neighbor_id
+       |       WHERE l0.pred IS NOT NULL GROUP BY 1, 2),
+       |p1 AS (SELECT src_id AS vec_id, vote FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY n DESC, vote) AS rn
+       |         FROM v1) t WHERE rn = 1),
+       |l1 AS (SELECT s.vec_id, CASE WHEN s.is_seed THEN s.label ELSE p1.vote END AS pred
+       |       FROM seeds s LEFT JOIN p1 USING (vec_id)),
+       |v2 AS (SELECT g.src_id, l1.pred AS vote, count(*) AS n
+       |       FROM g JOIN l1 ON l1.vec_id = g.neighbor_id
+       |       WHERE l1.pred IS NOT NULL GROUP BY 1, 2),
+       |p2 AS (SELECT src_id AS vec_id, vote FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY n DESC, vote) AS rn
+       |         FROM v2) t WHERE rn = 1),
+       |l2 AS (SELECT s.vec_id, CASE WHEN s.is_seed THEN s.label ELSE p2.vote END AS pred
+       |       FROM seeds s LEFT JOIN p2 USING (vec_id))
+       |SELECT s.vec_id, s.is_seed, s.label AS true_label, l2.pred AS pred_label
+       |FROM seeds s JOIN l2 USING (vec_id)
+       |ORDER BY s.vec_id""".stripMargin
+
+  val qLabelPropSql: String = labelPropSqlAt(2, 4)
+  val qLabelPropProdSql: String = labelPropSqlAt(8, 16)
+
   // ---- sorted-neighborhood dedup ------------------------------------------
   /** The merge/purge pass — see [[graft.operators.Snm.snmPairs]]: window-4
     * neighbors of the 24-char normalized-prefix order, word-set jaccard
