@@ -29,6 +29,7 @@ object SparkEntry {
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
+    "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
@@ -196,6 +197,8 @@ object SparkEntry {
     "q_fuzzy_link"         -> AnalyticsQueries.qFuzzyLinkSql,
     // z-order audit: Morton interleave, per-file min/max pruning stats
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
+    // calendar gap fill: dense spine + forward fill, filled flag
+    "q_gap_fill"           -> AnalyticsQueries.qGapFillSql,
     // skew audit: integer bit-length buckets, pinned share division
     "q_skew_report"        -> AnalyticsQueries.qSkewReportSql,
     // literal-domain pivot lowered to conditional counts

@@ -1453,6 +1453,50 @@ object AnalyticsQueries {
       |  FROM ok) t
       |WHERE rn = 1 ORDER BY probe_id""".stripMargin
 
+  // ---- calendar gap fill ----------------------------------------------------
+  /** Forward-filled daily revenue over a dense calendar spine — the
+    * panel-data operator behind every "carry last observation forward"
+    * dashboard series, and the inverse of what [[qForecastBaseline]] does
+    * (that query EXCLUDES gapped days; this one repairs them and SAYS so
+    * with a `filled` flag).
+    *
+    * Scale shape: the corpus-sized pass is the one map-side-combined
+    * daily agg; everything after runs on the |days| spine (≤ ~4 × 10⁴
+    * rows for a century — control-plane sized at ANY corpus scale, so the
+    * unpartitioned fill window is a non-issue by construction). The spine
+    * bounds come from the same 1-row agg pattern as [[qZorderLayout]].
+    */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = table(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"))
+      .groupBy("day").agg(sum("rev_u").as("revenue_u"))
+      .persist() // read by the 1-row domain agg AND the spine join
+    graft.operators.Caches.register(daily)
+    val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("filled", col("revenue_u").isNull)
+      .withColumn("revenue_filled_u", last("revenue_u", ignoreNulls = true).over(w))
+      .select("day", "revenue_u", "revenue_filled_u", "filled")
+      .orderBy("day")
+  }
+
+  val qGapFillSql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_u
+      |  FROM orders GROUP BY 1),
+      |dom AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+      |spine AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM dom),
+      |j AS (SELECT spine.day, d.revenue_u FROM spine LEFT JOIN d USING (day))
+      |SELECT day, revenue_u,
+      |  last_value(revenue_u IGNORE NULLS) OVER (
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_filled_u,
+      |  revenue_u IS NULL AS filled
+      |FROM j ORDER BY day""".stripMargin
+
   // ---- z-order layout audit ----------------------------------------------
   /** Would OPTIMIZE ZORDER pay off on lineitem's two join dims? — see
     * [[graft.operators.Layout.zorderAudit]]. One summary row per layout;
