@@ -79,6 +79,7 @@ object SparkEntry {
     "q_ann_recall"         -> (LlmQueries.qAnnRecall _),
     "q_snm_dedup"          -> (LlmQueries.qSnmDedup _),
     "q_label_prop"         -> (LlmQueries.qLabelProp _),
+    "q_quality_dup_rate"   -> (LlmQueries.qQualityDupRate _),
     "q_label_prop_prod"    -> (LlmQueries.qLabelPropProd _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
@@ -286,6 +287,8 @@ object SparkEntry {
     "q_snm_dedup"          -> LlmQueries.qSnmDedupSql,
     // label propagation: per-round vote join + window, seeds pinned
     "q_label_prop"         -> LlmQueries.qLabelPropSql,
+    // quality x duplication calibration: value buckets x fingerprint groups
+    "q_quality_dup_rate"   -> LlmQueries.qQualityDupRateSql,
     // production 8x16 posture of the same propagation (scale twin)
     "q_label_prop_prod"    -> LlmQueries.qLabelPropProdSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,

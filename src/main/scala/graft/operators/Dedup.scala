@@ -347,6 +347,29 @@ object Dedup {
     * boilerplate group costs one node + one count. One reduction to ≤64
     * bit-length buckets; the total is a 1-row broadcast frame.
     */
+  /** Per-doc near-duplicate MEMBERSHIP flag: does this doc have ANY
+    * near-duplicate (word-set jaccard ≥ threshold) in the corpus? — the
+    * signal calibration reports join against (quality × duplication,
+    * source × duplication). A doc is a member iff its distinct word set
+    * has an identical twin (group n > 1) or its rep appears in a verified
+    * rep pair — same rep-graph economics as [[clusterSizeHistogram]]:
+    * never doc pairs, only distinct-set pairs.
+    */
+  def nearDupMembership(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val g = setGraph(docs, idCol, textCol, threshold, bands = 20, r = 2,
+      shingleN = 1, broadcastThreshold = 256L)
+    val paired = g.repPairs.select(col("id_a").as("set_key"))
+      .union(g.repPairs.select(col("id_b").as("set_key")))
+      .distinct()
+      .withColumn("p", lit(true))
+    val setFlag = g.groups.select("set_key", "n")
+      .join(paired, Seq("set_key"), "left")
+      .select(col("set_key"),
+        (col("n") > 1 || coalesce(col("p"), lit(false))).as("is_dup"))
+    g.keyed.join(setFlag, "set_key").select(col("id"), col("is_dup"))
+  }
+
   def clusterSizeHistogram(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands = 20, r = 2,

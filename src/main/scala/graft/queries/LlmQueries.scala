@@ -3513,6 +3513,54 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- quality × duplication calibration -------------------------------------
+  /** Is low-quality text more duplicated? — the C4-era curation finding as
+    * a report: docs bucketed by quality score (value buckets, floor(q·10),
+    * rank-free so partitioning-invariant) × NEAR-dup membership
+    * ([[Dedup.nearDupMembership]], jaccard ≥ 0.8); per bucket the dup
+    * rate. The membership pass rides the rep-graph economics (distinct
+    * sets, never doc pairs); the quality pass is one scan projection.
+    */
+  def qQualityDupRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val member = Dedup.nearDupMembership(docs, "doc_id", "text", threshold = 0.8)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .join(member, "doc_id")
+      .withColumn("bucket", least(floor(col("quality") * 10).cast("int"), lit(9)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate", col("n_dup").cast("double") / col("n_docs").cast("double"))
+      .orderBy("bucket")
+  }
+
+  /** Membership replays by the all-pairs zero-false-negative argument
+    * (the [[qDedupNearKeepSql]] precedent).
+    */
+  val qQualityDupRateSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |m AS (
+       |  SELECT DISTINCT a.doc_id FROM w a JOIN w b ON a.doc_id <> b.doc_id
+       |  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |q AS (
+       |  SELECT doc_id,
+       |    greatest(least(
+       |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+       |      + least(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it)\\b')) AS DOUBLE)
+       |              / greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+       |      - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+       |    1.0), 0.0) AS quality
+       |  FROM documents)
+       |SELECT least(CAST(floor(quality * 10) AS INT), 9) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+       |FROM q LEFT JOIN m USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- label propagation ----------------------------------------------------
   /** Auto-labeling: a 25% md5-seeded trusted set expands over the 2×4 kNN
     * graph for 2 majority-vote rounds — see [[graft.operators.LabelProp]].
