@@ -30,6 +30,7 @@ object SparkEntry {
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
+    "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
@@ -200,6 +201,8 @@ object SparkEntry {
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // calendar gap fill: dense spine + forward fill, filled flag
     "q_gap_fill"           -> AnalyticsQueries.qGapFillSql,
+    // incremental MV refresh: delta partials + full-outer merge
+    "q_mv_refresh"         -> AnalyticsQueries.qMvRefreshSql,
     // skew audit: integer bit-length buckets, pinned share division
     "q_skew_report"        -> AnalyticsQueries.qSkewReportSql,
     // literal-domain pivot lowered to conditional counts

@@ -1453,6 +1453,43 @@ object AnalyticsQueries {
       |  FROM ok) t
       |WHERE rn = 1 ORDER BY probe_id""".stripMargin
 
+  // ---- incremental MV refresh -------------------------------------------------
+  /** Materialized-view maintenance — see [[graft.operators.MvRefresh]]:
+    * the daily-revenue MV built from the 90% "already ingested" slice,
+    * merged with the 10% "late batch" slice's partials (deterministic md5
+    * split). The spec asserts refresh ≡ recompute bitwise; the oracle
+    * replays the split, both partials, and the full-outer merge.
+    */
+  def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    import graft.operators.MvRefresh
+    val o = table(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"),
+        (Sampling.md5Bucket(col("o_orderkey"), 10) === 0).as("late"))
+    MvRefresh.refresh(
+        MvRefresh.partial(o.filter(!col("late")), Seq("day"), col("rev_u")),
+        MvRefresh.partial(o.filter(col("late")), Seq("day"), col("rev_u")),
+        Seq("day"))
+      .orderBy("day")
+  }
+
+  val qMvRefreshSql: String =
+    """WITH o AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS rev_u,
+      |    md5_number_lower(CAST(o_orderkey AS VARCHAR)) % 10 = 0 AS late
+      |  FROM orders),
+      |mv AS (SELECT day, CAST(count(*) AS BIGINT) AS n_a, CAST(sum(rev_u) AS BIGINT) AS s_a
+      |       FROM o WHERE NOT late GROUP BY 1),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(rev_u) AS BIGINT) AS s_b
+      |      FROM o WHERE late GROUP BY 1)
+      |SELECT coalesce(mv.day, d.day) AS day,
+      |  CAST(coalesce(n_a, 0) + coalesce(n_b, 0) AS BIGINT) AS n_rows,
+      |  CAST(coalesce(s_a, 0) + coalesce(s_b, 0) AS BIGINT) AS sum_u
+      |FROM mv FULL OUTER JOIN d ON mv.day = d.day
+      |ORDER BY day""".stripMargin
+
   // ---- calendar gap fill ----------------------------------------------------
   /** Forward-filled daily revenue over a dense calendar spine — the
     * panel-data operator behind every "carry last observation forward"
