@@ -31,6 +31,7 @@ object SparkEntry {
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
+    "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
@@ -203,6 +204,8 @@ object SparkEntry {
     "q_gap_fill"           -> AnalyticsQueries.qGapFillSql,
     // incremental MV refresh: delta partials + full-outer merge
     "q_mv_refresh"         -> AnalyticsQueries.qMvRefreshSql,
+    // sketch-MV: per-(day,bucket) HLL register max-merge
+    "q_mv_hll_refresh"     -> AnalyticsQueries.qMvHllRefreshSql,
     // skew audit: integer bit-length buckets, pinned share division
     "q_skew_report"        -> AnalyticsQueries.qSkewReportSql,
     // literal-domain pivot lowered to conditional counts

@@ -72,6 +72,29 @@ object Sketch {
     (NativeHash.md5Mod(k, m).cast("int"), rho)
   }
 
+  /** Per-GROUP register tables in one pass: (groupCols…, bucket, rho, p) —
+    * the sketch-MV building block ([[graft.queries.AnalyticsQueries.qMvHllRefresh]]):
+    * a distinct-count-per-day MV is |days|·m bounded rows, maintained by
+    * [[hllMergeBy]] without ever rescanning history.
+    */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String], key: String,
+                     p: Int = 12): DataFrame = {
+    val (bucket, rho) = hllProjection(col(key), p)
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("rho"))
+      .withColumn("p", lit(p))
+  }
+
+  /** Grouped [[hllMerge]]: per (group, bucket, p) max — associative and
+    * idempotent, so delta batches fold in any order.
+    */
+  def hllMergeBy(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols ++ Seq("bucket", "p")).map(col): _*)
+      .agg(max("rho").as("rho"))
+      .select((groupCols ++ Seq("bucket", "rho", "p")).map(col): _*)
+
   /** Merge register tables (per-shard sketches → corpus sketch): per-bucket
     * max. Associative and idempotent, so shards combine in any order.
     *

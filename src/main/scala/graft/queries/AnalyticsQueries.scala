@@ -1453,6 +1453,46 @@ object AnalyticsQueries {
       |  FROM ok) t
       |WHERE rn = 1 ORDER BY probe_id""".stripMargin
 
+  // ---- incremental HLL sketch-MV refresh ---------------------------------------
+  /** Distinct-users-per-day MV maintained INCREMENTALLY by register merge —
+    * the reason mergeable sketches exist: the additive-MV trick
+    * ([[qMvRefresh]]) can't maintain COUNT(DISTINCT), but per-(day, bucket)
+    * max-merge of HLL registers can, exactly (max is associative +
+    * idempotent). Output is the refreshed register table; the spec asserts
+    * refresh ≡ rebuild-over-everything bitwise and estimates match.
+    */
+  def qMvHllRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    import graft.operators.Sketch
+    val raw = table(s, dir, "events")
+    val ev = raw.select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+        (Sampling.md5Bucket(col("event_id"), 10) === 0).as("late"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+    Sketch.hllMergeBy(
+        Sketch.hllRegistersBy(ev.filter(!col("late")), Seq("day"), "user_id"),
+        Sketch.hllRegistersBy(ev.filter(col("late")), Seq("day"), "user_id"),
+        Seq("day"))
+      .orderBy("day", "bucket")
+  }
+
+  val qMvHllRefreshSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, user_id,
+      |    md5_number_lower(CAST(event_id AS VARCHAR)) % 10 = 0 AS late
+      |  FROM events),
+      |r AS (
+      |  SELECT day, late,
+      |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 4096 AS INT) AS bucket,
+      |    CAST(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END AS INT) AS rho
+      |  FROM (SELECT *, md5_number_lower('r:' || CAST(user_id AS VARCHAR)) % 281474976710656 AS w
+      |        FROM e)),
+      |mv AS (SELECT day, bucket, max(rho) AS rho FROM r WHERE NOT late GROUP BY 1, 2),
+      |d AS (SELECT day, bucket, max(rho) AS rho FROM r WHERE late GROUP BY 1, 2)
+      |SELECT day, bucket, CAST(max(rho) AS INT) AS rho, CAST(12 AS INT) AS p
+      |FROM (SELECT * FROM mv UNION ALL SELECT * FROM d) u
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- incremental MV refresh -------------------------------------------------
   /** Materialized-view maintenance — see [[graft.operators.MvRefresh]]:
     * the daily-revenue MV built from the 90% "already ingested" slice,
