@@ -32,6 +32,7 @@ object SparkEntry {
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
+    "q_ship_lag"           -> (AnalyticsQueries.qShipLag _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
@@ -206,6 +207,8 @@ object SparkEntry {
     "q_mv_refresh"         -> AnalyticsQueries.qMvRefreshSql,
     // sketch-MV: per-(day,bucket) HLL register max-merge
     "q_mv_hll_refresh"     -> AnalyticsQueries.qMvHllRefreshSql,
+    // ship-lag SLA percentiles: histogram-CDF per priority
+    "q_ship_lag"           -> AnalyticsQueries.qShipLagSql,
     // skew audit: integer bit-length buckets, pinned share division
     "q_skew_report"        -> AnalyticsQueries.qSkewReportSql,
     // literal-domain pivot lowered to conditional counts

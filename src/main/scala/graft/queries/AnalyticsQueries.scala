@@ -1453,6 +1453,44 @@ object AnalyticsQueries {
       |  FROM ok) t
       |WHERE rn = 1 ORDER BY probe_id""".stripMargin
 
+  // ---- fulfillment-lag percentiles ----------------------------------------------
+  /** Ship-lag SLA report: p50/p90/p99 of (shipdate − orderdate) days per
+    * order priority, via the lossless histogram-CDF percentile engine
+    * ([[graft.operators.Curation.lengthPercentiles]] — exact discrete
+    * percentiles, no value-buffering aggregate, ~\|priorities × distinct
+    * lags\| intermediate rows regardless of fact size).
+    */
+  def qShipLag(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("ship_day"))
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("order_day"))
+    val lag = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), (col("ship_day") - col("order_day")).as("lag_days"))
+    graft.operators.Curation.lengthPercentiles(lag, "o_orderpriority", "lag_days")
+      .orderBy("o_orderpriority")
+  }
+
+  val qShipLagSql: String =
+    """WITH lag AS (
+      |  SELECT o_orderpriority,
+      |    epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000 AS v
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |hist AS (SELECT o_orderpriority, v, CAST(count(*) AS BIGINT) AS cnt FROM lag GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT o_orderpriority, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM hist)
+      |SELECT o_orderpriority,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.5) THEN v END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.9) THEN v END) AS BIGINT) AS p90,
+      |  CAST(min(CASE WHEN hi >= CEIL(n * 0.99) THEN v END) AS BIGINT) AS p99
+      |FROM cum GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- incremental HLL sketch-MV refresh ---------------------------------------
   /** Distinct-users-per-day MV maintained INCREMENTALLY by register merge —
     * the reason mergeable sketches exist: the additive-MV trick
