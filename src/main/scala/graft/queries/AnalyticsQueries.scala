@@ -1500,11 +1500,10 @@ object AnalyticsQueries {
     * refresh ≡ rebuild-over-everything bitwise and estimates match.
     */
   def qMvHllRefresh(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Sampling
     import graft.operators.Sketch
     val raw = table(s, dir, "events")
     val ev = raw.select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
-        (Sampling.md5Bucket(col("event_id"), 10) === 0).as("late"))
+        (graft.plans.NativeHash.md5Mod(col("event_id").cast("string"), 10L) === 0).as("late"))
       .withColumn("day", expr("ts_ms div 86400000"))
     Sketch.hllMergeBy(
         Sketch.hllRegistersBy(ev.filter(!col("late")), Seq("day"), "user_id"),
@@ -1539,12 +1538,13 @@ object AnalyticsQueries {
     * replays the split, both partials, and the full-outer merge.
     */
   def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Sampling
     import graft.operators.MvRefresh
+    // native md5Mod == Sampling.md5Bucket's declarative chain (fuzz-pinned);
+    // the split is harness-only — production late data arrives as its own files
     val o = table(s, dir, "orders")
       .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
         round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"),
-        (Sampling.md5Bucket(col("o_orderkey"), 10) === 0).as("late"))
+        (graft.plans.NativeHash.md5Mod(col("o_orderkey").cast("string"), 10L) === 0).as("late"))
     MvRefresh.refresh(
         MvRefresh.partial(o.filter(!col("late")), Seq("day"), col("rev_u")),
         MvRefresh.partial(o.filter(col("late")), Seq("day"), col("rev_u")),
