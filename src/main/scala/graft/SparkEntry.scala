@@ -83,6 +83,7 @@ object SparkEntry {
     "q_snm_dedup"          -> (LlmQueries.qSnmDedup _),
     "q_label_prop"         -> (LlmQueries.qLabelProp _),
     "q_quality_dup_rate"   -> (LlmQueries.qQualityDupRate _),
+    "q_chi2_independence"  -> (LlmQueries.qChi2Independence _),
     "q_label_prop_prod"    -> (LlmQueries.qLabelPropProd _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
@@ -298,6 +299,8 @@ object SparkEntry {
     "q_label_prop"         -> LlmQueries.qLabelPropSql,
     // quality x duplication calibration: value buckets x fingerprint groups
     "q_quality_dup_rate"   -> LlmQueries.qQualityDupRateSql,
+    // chi2 contingency audit: integer-pinned per-cell contributions
+    "q_chi2_independence"  -> LlmQueries.qChi2IndependenceSql,
     // production 8x16 posture of the same propagation (scale twin)
     "q_label_prop_prod"    -> LlmQueries.qLabelPropProdSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,

@@ -3513,6 +3513,56 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- chi-square independence audit ------------------------------------------
+  /** Is `lang` independent of `source`? — the contingency-table χ² test,
+    * the categorical cousin of [[AnalyticsQueries.qAbTest]]'s two-proportion
+    * z². Per-cell output: observed, expected (micro-units), and the cell's
+    * χ² contribution floored to nano-units — an INTEGER, so the final sum
+    * is order- and partition-invariant (a raw double Σ over cells would
+    * hash-differ under re-aggregation order; the AB-test z² avoided this by
+    * having one row, a luxury an R×C table doesn't have).
+    *
+    * Scale shape: one map-side-combined count to \|langs × sources\| cells;
+    * margins via two aggregations of that cell frame (control-plane sized);
+    * everything downstream is arithmetic on ≤ R·C rows.
+    */
+  /** Per-cell χ² contingency frame for any two categorical columns —
+    * reused by the spec on planted tables.
+    */
+  def chi2Cells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df
+      .groupBy(rowCol, colCol).agg(count(lit(1)).as("obs"))
+      .persist() // margins ×2 + the final select all read it
+    graft.operators.Caches.register(cells)
+    val rowm = cells.groupBy(rowCol).agg(sum("obs").as("row_n"))
+    val colm = cells.groupBy(colCol).agg(sum("obs").as("col_n"))
+    val tot = cells.agg(sum("obs").as("n"))
+    val exp = col("row_n").cast("double") * col("col_n").cast("double") / col("n").cast("double")
+    val dev = col("obs").cast("double") - exp
+    cells.join(rowm, rowCol).join(colm, colCol).crossJoin(broadcast(tot))
+      .select(col(rowCol), col(colCol), col("obs"),
+        floor(exp * lit(1000000.0)).cast("long").as("exp_micro"),
+        floor(dev * dev / exp * lit(1000000000.0)).cast("long").as("chi2_nano"))
+      .orderBy(rowCol, colCol)
+  }
+
+  def qChi2Independence(s: SparkSession, dir: String): DataFrame =
+    chi2Cells(table(s, dir, "documents"), "lang", "source")
+
+  val qChi2IndependenceSql: String =
+    """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_n FROM c GROUP BY 1),
+      |s AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_n FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c)
+      |SELECT c.lang, c.source, c.obs,
+      |  CAST(floor(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS exp_micro,
+      |  CAST(floor(
+      |    (CAST(obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS chi2_nano
+      |FROM c JOIN r USING (lang) JOIN s USING (source), t
+      |ORDER BY lang, source""".stripMargin
+
   // ---- quality × duplication calibration -------------------------------------
   /** Is low-quality text more duplicated? — the C4-era curation finding as
     * a report: docs bucketed by quality score (value buckets, floor(q·10),
