@@ -84,6 +84,7 @@ object SparkEntry {
     "q_label_prop"         -> (LlmQueries.qLabelProp _),
     "q_quality_dup_rate"   -> (LlmQueries.qQualityDupRate _),
     "q_chi2_independence"  -> (LlmQueries.qChi2Independence _),
+    "q_embed_norm_audit"   -> (LlmQueries.qEmbedNormAudit _),
     "q_label_prop_prod"    -> (LlmQueries.qLabelPropProd _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
@@ -301,6 +302,8 @@ object SparkEntry {
     "q_quality_dup_rate"   -> LlmQueries.qQualityDupRateSql,
     // chi2 contingency audit: integer-pinned per-cell contributions
     "q_chi2_independence"  -> LlmQueries.qChi2IndependenceSql,
+    // embedding norm QA: micro-unit norms through the histogram-CDF engine
+    "q_embed_norm_audit"   -> LlmQueries.qEmbedNormAuditSql,
     // production 8x16 posture of the same propagation (scale twin)
     "q_label_prop_prod"    -> LlmQueries.qLabelPropProdSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,

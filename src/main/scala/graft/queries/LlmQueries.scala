@@ -3513,6 +3513,59 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- embedding norm audit -----------------------------------------------------
+  /** Embedding-store QA: per label, the vector count, degenerate
+    * (zero-norm) count, and exact norm percentiles — the health report a
+    * vector store publishes before anyone trusts cosine math over it
+    * (zero vectors poison normalization; a drifting norm distribution
+    * flags a broken encoder batch).
+    *
+    * Norms land as FLOORED MICRO-UNIT integers (sequential fold over the
+    * array + one correctly-rounded sqrt — deterministic on both engines),
+    * then the lossless histogram-CDF engine does percentiles: no
+    * value-buffering aggregate, ~\|labels × distinct norms\| rows.
+    */
+  def qEmbedNormAudit(s: SparkSession, dir: String): DataFrame = {
+    val norms = table(s, dir, "embeddings")
+      .select(col("label"),
+        floor(sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))) * lit(1000000.0))
+          .cast("long").as("norm_u"))
+      .persist() // percentile histogram + the count/zero agg both read it
+    graft.operators.Caches.register(norms)
+    val pct = graft.operators.Curation.lengthPercentiles(norms, "label", "norm_u")
+    val stats = norms.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm_u") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    stats.join(pct, "label").orderBy("label")
+  }
+
+  val qEmbedNormAuditSql: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    CAST(floor(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |      (a, v) -> a + v)) * 1000000.0) AS BIGINT) AS v
+      |  FROM embeddings),
+      |hist AS (SELECT label, v, CAST(count(*) AS BIGINT) AS cnt FROM n GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT label, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY label ORDER BY v) AS hi,
+      |    sum(cnt) OVER (PARTITION BY label) AS nn
+      |  FROM hist),
+      |pct AS (
+      |  SELECT label,
+      |    CAST(min(CASE WHEN hi >= CEIL(nn * 0.5) THEN v END) AS BIGINT) AS p50,
+      |    CAST(min(CASE WHEN hi >= CEIL(nn * 0.9) THEN v END) AS BIGINT) AS p90,
+      |    CAST(min(CASE WHEN hi >= CEIL(nn * 0.99) THEN v END) AS BIGINT) AS p99
+      |  FROM cum GROUP BY 1),
+      |st AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |  FROM n GROUP BY 1)
+      |SELECT st.label, n_vecs, n_zero, p50, p90, p99
+      |FROM st JOIN pct USING (label)
+      |ORDER BY label""".stripMargin
+
   // ---- chi-square independence audit ------------------------------------------
   /** Is `lang` independent of `source`? — the contingency-table χ² test,
     * the categorical cousin of [[AnalyticsQueries.qAbTest]]'s two-proportion
