@@ -30,6 +30,7 @@ object SparkEntry {
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
+    "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
     "q_ship_lag"           -> (AnalyticsQueries.qShipLag _),
@@ -205,6 +206,8 @@ object SparkEntry {
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // calendar gap fill: dense spine + forward fill, filled flag
     "q_gap_fill"           -> AnalyticsQueries.qGapFillSql,
+    // hilbert layout audit: the xy->d walk unrolled as chained CTEs
+    "q_hilbert_layout"     -> AnalyticsQueries.qHilbertLayoutSql,
     // incremental MV refresh: delta partials + full-outer merge
     "q_mv_refresh"         -> AnalyticsQueries.qMvRefreshSql,
     // sketch-MV: per-(day,bucket) HLL register max-merge

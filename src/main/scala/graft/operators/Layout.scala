@@ -46,6 +46,53 @@ object Layout {
       Seq(s"(((($a) >> $i) & 1) << ${2 * i + 1})", s"(((($b) >> $i) & 1) << ${2 * i})")
     }.mkString(" + ")
 
+  /** Hilbert-curve index of the cell (x, y) on the 2^bits × 2^bits grid —
+    * the classic xy→d walk (Hilbert 1891; the iterative form is the one
+    * on every reference card), expressed as ONE fold over bit levels with
+    * a (x, y, d) struct accumulator: per level, quadrant bits rx/ry add
+    * s²·((3·rx) xor ry) to d, then the frame rotates/reflects. All
+    * integer, so the key is engine-exact. Hilbert beats Morton on
+    * locality because consecutive d are always ADJACENT cells (Morton
+    * jumps at quadrant seams) — aligned 4^j segments are exact subsquares
+    * either way, but straddling file boundaries cost less here.
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column = {
+    val levels = array((0 until bits).reverse.map(i => lit(1L << i)): _*)
+    val init = struct(x.cast("long").as("x"), y.cast("long").as("y"), lit(0L).as("d"))
+    aggregate(levels, init, (acc, s) => {
+      val ax = acc.getField("x"); val ay = acc.getField("y"); val ad = acc.getField("d")
+      val rx = when(ax.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(ay.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val d2 = ad + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+      // if ry==0: reflect when rx==1, then swap x/y; else unchanged
+      val nx = when(ry === 0, when(rx === 1, s - lit(1L) - ay).otherwise(ay)).otherwise(ax)
+      val ny = when(ry === 0, when(rx === 1, s - lit(1L) - ax).otherwise(ax)).otherwise(ay)
+      struct(nx.as("x"), ny.as("y"), d2.as("d"))
+    }).getField("d")
+  }
+
+  /** The same walk as chained SQL CTEs (oracle replay): one `SELECT *
+    * REPLACE` per bit level, every REPLACE expression reading the PREVIOUS
+    * level's row (standard SQL semantics), from a seed CTE named `fromCte`
+    * carrying columns x, y, d.
+    */
+  def hilbertSqlCtes(fromCte: String, bits: Int = 16): (String, String) = {
+    val ctes = (0 until bits).reverse.zipWithIndex.map { case (i, lvl) =>
+      val s = 1L << i
+      val prev = if (lvl == 0) fromCte else s"h${lvl - 1}"
+      s"""h$lvl AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN (y & $s) > 0 THEN x
+         |         WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END AS x,
+         |    CASE WHEN (y & $s) > 0 THEN y
+         |         WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END AS y,
+         |    d + CAST($s AS BIGINT) * $s * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |                      (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d
+         |  ) FROM $prev)""".stripMargin
+    }
+    (ctes.mkString(",\n"), s"h${bits - 1}")
+  }
+
   /** Per-layout pruning summary over equal-size files: one row with the
     * file count and, per dimension, the summed span and the average span
     * FRACTION of the domain (what a uniform point filter expects to
@@ -71,12 +118,12 @@ object Layout {
     * [0, 2^bits) over the observed domain — rank-free, engine-exact.
     * `tieCols` pins a total order under both layouts.
     */
-  def zorderAudit(df: DataFrame, dimA: String, dimB: String,
-                  rowsPerFile: Int, tieCols: Seq[String], bits: Int = 16): DataFrame = {
+  private def quantized(df: DataFrame, dimA: String, dimB: String,
+                        bits: Int): (DataFrame, DataFrame) = {
     val dom = df.agg(
       min(dimA).cast("long").as("a_lo"), max(dimA).cast("long").as("a_hi"),
       min(dimB).cast("long").as("b_lo"), max(dimB).cast("long").as("b_hi"))
-      .persist() // 1 row, read by both layout branches and the final select
+      .persist() // 1 row, read by every layout branch and the final select
     Caches.register(dom)
     val scale = 1L << bits
     val wide = df.crossJoin(broadcast(dom))
@@ -84,16 +131,37 @@ object Layout {
         s"CAST(((CAST($dimA AS BIGINT) - a_lo) * ${scale}L) DIV (a_hi - a_lo + 1) AS BIGINT)"))
       .withColumn("qb", expr(
         s"CAST(((CAST($dimB AS BIGINT) - b_lo) * ${scale}L) DIV (b_hi - b_lo + 1) AS BIGINT)"))
-    val ties = tieCols.map(col)
-    val zs = summary(wide.withColumn("zkey", zValue(col("qa"), col("qb"), bits)),
-      "zorder", rowsPerFile, dimA, dimB, col("zkey") +: ties)
-    val ls = summary(wide, "linear_" + dimA, rowsPerFile, dimA, dimB, col(dimA) +: ties)
-    zs.union(ls)
+    (wide, dom)
+  }
+
+  private def finish(summaries: DataFrame, dom: DataFrame): DataFrame =
+    summaries
       .crossJoin(broadcast(dom))
       .select(col("layout"), col("n_files"), col("n_rows"), col("span_a"), col("span_b"),
         (col("span_a").cast("double") /
           (col("n_files") * (col("a_hi") - col("a_lo") + lit(1L))).cast("double")).as("frac_a"),
         (col("span_b").cast("double") /
           (col("n_files") * (col("b_hi") - col("b_lo") + lit(1L))).cast("double")).as("frac_b"))
+
+  def zorderAudit(df: DataFrame, dimA: String, dimB: String,
+                  rowsPerFile: Int, tieCols: Seq[String], bits: Int = 16): DataFrame = {
+    val (wide, dom) = quantized(df, dimA, dimB, bits)
+    val ties = tieCols.map(col)
+    val zs = summary(wide.withColumn("zkey", zValue(col("qa"), col("qb"), bits)),
+      "zorder", rowsPerFile, dimA, dimB, col("zkey") +: ties)
+    val ls = summary(wide, "linear_" + dimA, rowsPerFile, dimA, dimB, col(dimA) +: ties)
+    finish(zs.union(ls), dom)
+  }
+
+  /** Same audit, Hilbert-keyed — one row, schema-aligned with
+    * [[zorderAudit]] so the two reports compare cell for cell.
+    */
+  def hilbertAudit(df: DataFrame, dimA: String, dimB: String,
+                   rowsPerFile: Int, tieCols: Seq[String], bits: Int = 16): DataFrame = {
+    val (wide, dom) = quantized(df, dimA, dimB, bits)
+    val hs = summary(
+      wide.withColumn("hkey", hilbertValue(col("qa"), col("qb"), bits)),
+      "hilbert", rowsPerFile, dimA, dimB, col("hkey") +: tieCols.map(col))
+    finish(hs, dom)
   }
 }

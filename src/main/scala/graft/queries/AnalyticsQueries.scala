@@ -1453,6 +1453,52 @@ object AnalyticsQueries {
       |  FROM ok) t
       |WHERE rn = 1 ORDER BY probe_id""".stripMargin
 
+  // ---- Hilbert layout audit -------------------------------------------------------
+  /** The Hilbert-curve twin of [[qZorderLayout]] (same dims, file size,
+    * and output schema, layout = 'hilbert') — consecutive Hilbert indexes
+    * are always ADJACENT cells where Morton jumps at quadrant seams, so
+    * straddling file boundaries cost less; this report measures whether
+    * that locality edge survives on real data.
+    */
+  def qHilbertLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.hilbertAudit(table(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", rowsPerFile = 4096,
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      .orderBy("layout")
+
+  val qHilbertLayoutSql: String = {
+    val (ctes, last) = graft.operators.Layout.hilbertSqlCtes("seed", 16)
+    s"""WITH dom AS (
+       |  SELECT CAST(min(l_partkey) AS BIGINT) AS a_lo, CAST(max(l_partkey) AS BIGINT) AS a_hi,
+       |         CAST(min(l_suppkey) AS BIGINT) AS b_lo, CAST(max(l_suppkey) AS BIGINT) AS b_hi
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+       |    ((CAST(l_partkey AS BIGINT) - a_lo) * 65536) // (a_hi - a_lo + 1) AS qa,
+       |    ((CAST(l_suppkey AS BIGINT) - b_lo) * 65536) // (b_hi - b_lo + 1) AS qb
+       |  FROM lineitem, dom),
+       |seed AS (
+       |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+       |    qa AS x, qb AS y, CAST(0 AS BIGINT) AS d
+       |  FROM q),
+       |$ctes,
+       |hf AS (
+       |  SELECT *, CAST((row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) - 1) // 4096 AS BIGINT) AS file_id
+       |  FROM $last),
+       |hs AS (
+       |  SELECT 'hilbert' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       |    CAST(sum(nr) AS BIGINT) AS n_rows,
+       |    CAST(sum(sa) AS BIGINT) AS span_a, CAST(sum(sb) AS BIGINT) AS span_b
+       |  FROM (SELECT file_id, max(l_partkey) - min(l_partkey) + 1 AS sa,
+       |               max(l_suppkey) - min(l_suppkey) + 1 AS sb, count(*) AS nr
+       |        FROM hf GROUP BY 1))
+       |SELECT layout, n_files, n_rows, span_a, span_b,
+       |  CAST(span_a AS DOUBLE) / CAST(n_files * (a_hi - a_lo + 1) AS DOUBLE) AS frac_a,
+       |  CAST(span_b AS DOUBLE) / CAST(n_files * (b_hi - b_lo + 1) AS DOUBLE) AS frac_b
+       |FROM hs, dom
+       |ORDER BY layout""".stripMargin
+  }
+
   // ---- fulfillment-lag percentiles ----------------------------------------------
   /** Ship-lag SLA report: p50/p90/p99 of (shipdate − orderdate) days per
     * order priority, via the lossless histogram-CDF percentile engine

@@ -50,6 +50,51 @@ class LayoutSpec extends SparkSpec {
     assert(zf._3 < 0.75 && zf._4 < 0.75)
   }
 
+  /** Reference xy→d (the classic iterative walk, independent coding). */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue matches the reference walk exhaustively on a 32x32 grid") {
+    val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong)).toDF("a", "b")
+    val got = grid.select(col("a"), col("b"), Layout.hilbertValue(col("a"), col("b"), bits = 5))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (a <- 0L until 32L; b <- 0L until 32L)
+      assert(got((a, b)) === hilbertRef(5, a, b), s"cell ($a,$b)")
+    // the curve is a bijection onto [0, 1024)
+    val ds = got.values.toSeq
+    assert(ds.distinct.size === 1024 && ds.min === 0L && ds.max === 1023L)
+  }
+
+  test("full grid: hilbert files are exact 4x4 subsquares too (aligned 4^j segments)") {
+    val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong)).toDF("a", "b")
+    val got = Layout.hilbertAudit(grid, "a", "b", rowsPerFile = 16, tieCols = Seq("a", "b"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))).head
+    assert(got === ((64L, 1024L, 4.0 / 32.0, 4.0 / 32.0)))
+  }
+
+  test("lineitem: hilbert bounds both dims; schema aligns with the z-order report") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val n = li.count()
+    val perFile = math.max(16, (n / 48).toInt)
+    val h = Layout.hilbertAudit(li, "l_partkey", "l_suppkey", perFile,
+      tieCols = Seq("l_orderkey", "l_linenumber")).collect().head
+    assert(h.getString(0) === "hilbert" && h.getLong(2) === n)
+    assert(h.getDouble(5) < 0.75 && h.getDouble(6) < 0.75)
+  }
+
   test("q_zorder_layout returns both layouts over the full table") {
     val got = graft.queries.AnalyticsQueries.qZorderLayout(spark, sfDir).collect()
     val n = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
