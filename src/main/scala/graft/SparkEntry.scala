@@ -86,6 +86,7 @@ object SparkEntry {
     "q_quality_dup_rate"   -> (LlmQueries.qQualityDupRate _),
     "q_chi2_independence"  -> (LlmQueries.qChi2Independence _),
     "q_embed_norm_audit"   -> (LlmQueries.qEmbedNormAudit _),
+    "q_quantile_map"       -> (LlmQueries.qQuantileMap _),
     "q_label_prop_prod"    -> (LlmQueries.qLabelPropProd _),
     "q_ngram_jaccard"      -> (LlmQueries.qNgramJaccard _),
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
@@ -307,6 +308,8 @@ object SparkEntry {
     "q_chi2_independence"  -> LlmQueries.qChi2IndependenceSql,
     // embedding norm QA: micro-unit norms through the histogram-CDF engine
     "q_embed_norm_audit"   -> LlmQueries.qEmbedNormAuditSql,
+    // quantile mapping: CDF matching across sources, distinct-value bounded
+    "q_quantile_map"       -> LlmQueries.qQuantileMapSql,
     // production 8x16 posture of the same propagation (scale twin)
     "q_label_prop_prod"    -> LlmQueries.qLabelPropProdSql,
     "q_ngram_jaccard"      -> LlmQueries.qNgramJaccardSql,

@@ -362,6 +362,45 @@ object Curation {
         (col("cum_le").cast("double") / col("n")).as("pct"))
   }
 
+  /** Quantile mapping: carry `fromGroup`'s values onto `toGroup`'s
+    * distribution — the rank-preserving transform behind cross-source
+    * score alignment (quantile normalization in bioinformatics, CDF
+    * matching in domain adaptation): a value at percentile p in the
+    * source group maps to the smallest target value whose ECDF ≥ p.
+    * [[rankNormalize]] puts every group on [0,1]; this goes the second
+    * step and lands one group's scale ON another's.
+    *
+    * Scale shape: both ECDFs come from the lossless frequency-histogram
+    * engine (windows over |distinct values| rows, never corpus rows); the
+    * mapping join is |V_from| × |V_to| over the two DISTINCT-VALUE
+    * frames — value-domain bounded, never corpus-sized — and rows join
+    * back on (value), co-keyed. Exact-double ECDF comparisons (one pinned
+    * division each side), so the mapped value is engine-exact.
+    * Returns (idCol, value, pct, mapped) for every `fromGroup` row.
+    */
+  def quantileMap(docs: DataFrame, idCol: String, groupCol: String, valueCol: String,
+                  fromGroup: String, toGroup: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cdf(g: String) = docs
+      .filter(col(groupCol) === g)
+      .select(col(valueCol).cast("long").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("__cnt"))
+      .withColumn("cum", sum(col("__cnt")).over(Window.orderBy("value")))
+      .withColumn("n", sum(col("__cnt")).over(Window.partitionBy(lit(1))))
+      .select(col("value"), (col("cum").cast("double") / col("n")).as("cdf"))
+    val from = cdf(fromGroup)
+    val to = cdf(toGroup)
+    val mapping = from.select(col("value").as("b_value"), col("cdf").as("pct"))
+      .join(to.select(col("value").as("a_value"), col("cdf").as("a_cdf")),
+        col("a_cdf") >= col("pct"))
+      .groupBy("b_value", "pct")
+      .agg(min("a_value").as("mapped"))
+    docs.filter(col(groupCol) === fromGroup)
+      .select(col(idCol), col(valueCol).cast("long").as("value"))
+      .join(mapping.withColumnRenamed("b_value", "value"), Seq("value"))
+      .select(col(idCol), col("value"), col("pct"), col("mapped"))
+  }
+
   /** Pairwise TOTAL-VARIATION distance between per-group unigram
     * distributions — the "which sources are distributionally
     * interchangeable?" mix diagnostic. KL/JS are the textbook choices but

@@ -3513,6 +3513,36 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- cross-source quantile mapping --------------------------------------------
+  /** src1's doc lengths mapped onto src0's length distribution — see
+    * [[graft.operators.Curation.quantileMap]]: rank-preserving CDF
+    * matching, the cross-source score-alignment transform.
+    */
+  def qQuantileMap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.quantileMap(table(s, dir, "documents"),
+        "doc_id", "source", "n_chars", fromGroup = "src1", toGroup = "src0")
+      .orderBy("doc_id")
+
+  val qQuantileMapSql: String =
+    """WITH b0 AS (SELECT CAST(n_chars AS BIGINT) AS value FROM documents WHERE source = 'src1'),
+      |a0 AS (SELECT CAST(n_chars AS BIGINT) AS value FROM documents WHERE source = 'src0'),
+      |bc AS (
+      |  SELECT value, CAST(sum(cnt) OVER (ORDER BY value) AS DOUBLE) /
+      |                CAST(sum(cnt) OVER () AS DOUBLE) AS pct
+      |  FROM (SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM b0 GROUP BY 1)),
+      |ac AS (
+      |  SELECT value, CAST(sum(cnt) OVER (ORDER BY value) AS DOUBLE) /
+      |                CAST(sum(cnt) OVER () AS DOUBLE) AS cdf
+      |  FROM (SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM a0 GROUP BY 1)),
+      |m AS (
+      |  SELECT bc.value, bc.pct, CAST(min(ac.value) AS BIGINT) AS mapped
+      |  FROM bc JOIN ac ON ac.cdf >= bc.pct
+      |  GROUP BY 1, 2)
+      |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS value, m.pct, m.mapped
+      |FROM documents d JOIN m ON m.value = CAST(d.n_chars AS BIGINT)
+      |WHERE d.source = 'src1'
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- embedding norm audit -----------------------------------------------------
   /** Embedding-store QA: per label, the vector count, degenerate
     * (zero-norm) count, and exact norm percentiles — the health report a
