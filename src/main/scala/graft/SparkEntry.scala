@@ -30,6 +30,8 @@ object SparkEntry {
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
+    "q_skyline"            -> (AnalyticsQueries.qSkyline _),
+    "q_concurrency"        -> (AnalyticsQueries.qConcurrency _),
     "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
@@ -66,6 +68,7 @@ object SparkEntry {
     "q_dedup_keep"         -> (LlmQueries.qDedupKeep _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_dedup_minhash_banded" -> (LlmQueries.qDedupMinhashBanded _),
+    "q_set_sim_join"       -> (LlmQueries.qSetSimJoin _),
     "q_dedup_near_keep"    -> (LlmQueries.qDedupNearKeep _),
     "q_dedup_incremental"  -> (LlmQueries.qDedupIncremental _),
     "q_decontaminate"      -> (LlmQueries.qDecontaminate _),
@@ -207,6 +210,10 @@ object SparkEntry {
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // calendar gap fill: dense spine + forward fill, filled flag
     "q_gap_fill"           -> AnalyticsQueries.qGapFillSql,
+    // 2-D Pareto front: ordered scan vs the oracle's O(n²) NOT EXISTS
+    "q_skyline"            -> AnalyticsQueries.qSkylineSql,
+    // sweep-line concurrency: distributed running sum over (ts, delta)
+    "q_concurrency"        -> AnalyticsQueries.qConcurrencySql,
     // hilbert layout audit: the xy->d walk unrolled as chained CTEs
     "q_hilbert_layout"     -> AnalyticsQueries.qHilbertLayoutSql,
     // incremental MV refresh: delta partials + full-outer merge
@@ -264,6 +271,9 @@ object SparkEntry {
     "q_dedup_keep"         -> LlmQueries.qDedupKeepSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
     "q_dedup_minhash_banded" -> LlmQueries.qDedupMinhashSql,
+    // exact prefix-filter join: zero-false-negative by THEOREM, so the
+    // same all-pairs oracle gates a completely different candidate path
+    "q_set_sim_join"       -> LlmQueries.qDedupMinhashSql,
     "q_dedup_near_keep"    -> LlmQueries.qDedupNearKeepSql,
     "q_dedup_incremental"  -> LlmQueries.qDedupIncrementalSql,
     "q_decontaminate"      -> LlmQueries.qDecontaminateSql,

@@ -1085,4 +1085,105 @@ object Dedup {
           size(array_union(col("a.words"), col("b.words"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT set-similarity self-join via PREFIX FILTERING (the AllPairs /
+    * PPJoin family — Bayardo, Ma & Srikant, WWW'07; Xiao et al., ICDE'08 —
+    * public formulations): emits exactly the pairs with word-set jaccard ≥
+    * tNum/tDen, with NO probabilistic recall argument. The deterministic
+    * twin of [[nearDupPairs]]: same threshold, same all-pairs oracle, but
+    * where minhash banding argues "P[miss] ≈ 1.3e-9", this route argues
+    * "misses are impossible" — the posture a decontamination gate with a
+    * hard guarantee requirement needs.
+    *
+    * Candidate generation: every distinct word set orders its tokens
+    * rarest-first (global df ascending, token tie-break) and indexes ONLY
+    * its prefix — the first |x| − ⌈t·|x|⌉ + 1 tokens. Prefix-filter
+    * theorem: jaccard ≥ t ⇒ overlap ≥ ⌈t·max(|x|,|y|)⌉ ≥ ⌈t·|x|⌉, and two
+    * sorted sets with overlap ≥ α share a token inside their
+    * (|·|−α+1)-prefixes (skipping a full prefix forfeits more tokens than
+    * the overlap can spare). Rarest-first ordering is the performance
+    * half: the stopword-grade tokens that would detonate an inverted-index
+    * self-join land at the END of every ordered set and never enter a
+    * prefix, so posting lists in the join stay df-of-rare-token short.
+    *
+    * Scale shape: one vocabulary-sized df agg, one bounded per-set sort,
+    * prefix explode (≤ ⌊(1−t)|x|⌋+1 rows per set), equi-join on the prefix
+    * token with the exact-integer size-ratio prune inside the join
+    * condition, candidate distinct, then the same single-scan merge verify
+    * as the minhash route. Never corpus²: candidate volume is Σ over
+    * prefix tokens of df², and canonicalization already collapsed
+    * identical sets so duplication factor never multiplies the join.
+    *
+    * The threshold is a RATIONAL (tNum/tDen): ⌈t·|x|⌉ runs in integer
+    * arithmetic (`DIV`). A binary-double 0.8 computes 0.8·10 =
+    * 8.000000000000002, ceils to 9, and silently shortens the prefix —
+    * a correctness bug that only fires on specific set sizes.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+                        tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen outside (0,1]")
+    val threshold = tNum.toDouble / tDen
+    val units = setUnits(shingleN)
+    // canonicalization — identical word sets collapse before any pairwise
+    // work (same substrate as setGraph: slim keyed frame, rep words derived
+    // from one representative doc so the corpus tokenizes once)
+    val keyed = docs.select(
+      col(idCol).as("id"),
+      md5(array_join(sort_array(units(col(textCol))), " ")).as("set_key"))
+      .persist()
+    Caches.register(keyed)
+    val groups = keyed.groupBy("set_key")
+      .agg(min(col("id")).as("gmin"))
+      .join(docs.select(col(idCol).as("gmin"), col(textCol).as("__text")), "gmin")
+      .select(col("set_key"), sort_array(units(col("__text"))).as("words"))
+      .persist()
+    Caches.register(groups)
+
+    // global rarest-first order: df over DISTINCT sets (any global total
+    // order is correct; df-ascending keeps the indexed prefixes cold)
+    val tokDf = groups.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val ordered = groups.select(col("set_key"), explode(col("words")).as("w"))
+      .join(tokDf, "w")
+      .groupBy("set_key")
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ow"))
+      .select(col("set_key"),
+        transform(col("ow"), s => s.getField("w")).as("ow"))
+    // prefix length |x| − ⌈t·|x|⌉ + 1; ⌈n·sz/d⌉ = (n·sz + d − 1) DIV d
+    val pref = ordered
+      .withColumn("sz", size(col("ow")))
+      .withColumn("p",
+        (col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1).cast("int"))
+      .select(col("set_key"), col("sz"), explode(slice(col("ow"), lit(1), col("p"))).as("w"))
+    // inverted-index equi-join on the prefix token; the size-ratio prune
+    // (min ≥ t·max ⇔ d·min ≥ n·max, exact integers) rides the condition
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.w") === col("b.w") &&
+        col("a.set_key") < col("b.set_key") &&
+        lit(tDen.toLong) * least(col("a.sz"), col("b.sz")) >=
+          lit(tNum.toLong) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.set_key").as("id_a"), col("b.set_key").as("id_b"))
+      .distinct()
+    // exact verify — identical single-scan merge contract as the minhash
+    // route (bail at −1 below threshold, else the exact |A∩B|)
+    val repPairs = cand
+      .join(groups.select(col("set_key").as("id_a"), col("words").as("words_a")), "id_a")
+      .join(groups.select(col("set_key").as("id_b"), col("words").as("words_b")), "id_b")
+      .withColumn("__i", NativeHash.sortedIntersectGe(col("words_a"), col("words_b"), threshold))
+      .filter(col("__i") >= 0)
+      .withColumn("jaccard",
+        col("__i").cast("double") /
+          (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+    // expand rep pairs to doc pairs; identical-set pairs are jaccard 1.0
+    val cross = repPairs
+      .join(keyed.select(col("set_key").as("id_a"), col("id").as("ia")), "id_a")
+      .join(keyed.select(col("set_key").as("id_b"), col("id").as("ib")), "id_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val intra = keyed.as("a")
+      .join(keyed.as("b"), col("a.set_key") === col("b.set_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
 }

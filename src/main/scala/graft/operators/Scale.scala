@@ -75,6 +75,93 @@ object Scale {
       .drop("__mid")
   }
 
+  /** Shared skeleton of the distributed running aggregates: range-partition
+    * on the order columns (equal keys land in one partition, so ties never
+    * straddle a boundary), stamp the partition id, persist. The per-pid
+    * groups are the units both the partition-local window and the
+    * driver-side prefix combine run over.
+    */
+  private def rangeStamped(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val cols = orderCols.map(col)
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val stamped = df.repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .persist()
+    Caches.register(stamped)
+    stamped
+  }
+
+  /** Distributed running SUM of `valueCol` in `orderCols` order (frame =
+    * unbounded preceding .. current row) — the scale-correct replacement
+    * for `SUM() OVER (ORDER BY …)` with an empty PARTITION BY, which moves
+    * every row to one task. Partition-local running sums ride a per-pid
+    * window; each partition's starting offset is a driver-side prefix sum
+    * over the ≤ `spark.sql.shuffle.partitions` per-partition totals,
+    * injected as a literal map (control-plane-sized, no broadcast join).
+    *
+    * Rows tying on `orderCols` scan in arbitrary relative order (exactly
+    * like the window formulation) — callers that need row-deterministic
+    * intermediate values must either pin a full tie-break in `orderCols`
+    * or make tied rows value-identical (then any permutation yields the
+    * same running sequence).
+    */
+  def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                 out: String): DataFrame = {
+    val stamped = rangeStamped(df, orderCols)
+    val totals = stamped.groupBy("__pid").agg(sum(col(valueCol).cast("long")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals
+      .scanLeft((-1L, 0L, 0L)) { case ((_, acc, _), (p, t)) => (p, acc + t, acc) }
+      .drop(1)
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.toIndexedSeq.flatMap { case (p, _, off) => Seq(lit(p), lit(off)) }: _*),
+        col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    stamped.withColumn(out, offExpr + sum(col(valueCol).cast("long")).over(w)).drop("__pid")
+  }
+
+  /** Distributed running MAX of `valueCol` over rows STRICTLY BEFORE the
+    * current one in `orderCols` order (null when nothing precedes) — the
+    * scan behind dominance/skyline tests ("best value among everything
+    * cheaper than me"). Same two-level shape as [[runningSum]]; the
+    * strict frame means equal order keys must NOT see each other, so
+    * `orderCols` must be unique per row (one row per distinct key —
+    * aggregate first).
+    */
+  def strictPrefixMax(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                      out: String): DataFrame = {
+    val stamped = rangeStamped(df, orderCols)
+    val maxes = stamped.groupBy("__pid").agg(max(col(valueCol).cast("long")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // prefix max over PRECEDING partitions: None for the first
+    val offsets = maxes
+      .scanLeft((-1L, Option.empty[Long], Option.empty[Long])) {
+        case ((_, acc, _), (p, m)) => (p, Some(acc.fold(m)(math.max(_, m))), acc)
+      }
+      .drop(1)
+    val offExpr =
+      if (offsets.isEmpty) lit(null).cast("long")
+      else element_at(
+        map(offsets.toIndexedSeq.flatMap { case (p, _, off) =>
+          Seq(lit(p), off.map(lit(_)).getOrElse(lit(null).cast("long"))) }: _*),
+        col("__pid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // greatest skips nulls: local-prefix null (first row of a partition) or
+    // offset null (first partition) fall back to the other side; both null
+    // (global first row) stays null
+    stamped
+      .withColumn(out, greatest(max(col(valueCol).cast("long")).over(w), offExpr))
+      .drop("__pid")
+  }
+
   /** Write a frame bucketed+sorted by the join key. Two tables bucketed the
     * same way join with ZERO exchange on either side — the layout-time
     * answer to "this key is joined every night".

@@ -1708,4 +1708,65 @@ object AnalyticsQueries {
        |FROM (SELECT * FROM zs UNION ALL SELECT * FROM ls), dom
        |ORDER BY layout""".stripMargin
   }
+
+  // ---- 2-D skyline (Pareto front) -----------------------------------------------
+  /** Pareto-optimal parts: no other part is both ≤ price and ≥ size with
+    * one strict. The oracle is the textbook O(n²) NOT-EXISTS dominance
+    * test; the Spark plan is [[graft.operators.Skyline.pareto2d]]'s
+    * ordered scan — distinct-price group max + a two-level strict-prefix
+    * max + one join back. Same rows, linear-ish work.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.pareto2d(table(s, dir, "part"), "p_retailprice", "p_size")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+
+  val qSkylineSql: String =
+    """SELECT p_partkey, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---- interval sweep: max concurrent open orders per day ------------------------
+  /** Classic sweep-line concurrency: each order is an interval
+    * [o_orderdate, max(l_shipdate)]; +1/−1 deltas sorted by (ts, delta)
+    * — ends apply before starts at the same instant (half-open
+    * intervals) — and a GLOBAL running sum gives the number of open
+    * orders at every event point; per-day max is the SLA-facing report.
+    * The running sum is [[graft.operators.Scale.runningSum]] (two-level:
+    * range partition + per-partition window + driver prefix over ≤
+    * `shuffle.partitions` totals) — no single-task ORDER-BY window at any
+    * size. Tied (ts, delta) rows are value-identical, so the per-day max
+    * is permutation-invariant.
+    */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(max(col("l_shipdate")).as("close_ts"))
+    val ev = iv.select(col("o_orderdate").as("ts"), lit(1).as("delta"))
+      .unionByName(iv.select(col("close_ts").as("ts"), lit(-1).as("delta")))
+    graft.operators.Scale.runningSum(ev, Seq("ts", "delta"), "delta", "open")
+      .groupBy(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      .agg(max(col("open")).as("max_open"))
+      .orderBy("day")
+  }
+
+  val qConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey, o_orderdate, max(l_shipdate) AS close_ts
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, o_orderdate),
+      |ev AS (
+      |  SELECT o_orderdate AS ts, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT close_ts AS ts, -1 AS delta FROM iv),
+      |sw AS (
+      |  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta ROWS UNBOUNDED PRECEDING) AS open
+      |  FROM ev)
+      |SELECT epoch_us(ts) // 86400000000 AS day, CAST(max(open) AS BIGINT) AS max_open
+      |FROM sw GROUP BY 1
+      |ORDER BY day""".stripMargin
 }

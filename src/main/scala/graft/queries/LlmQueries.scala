@@ -72,6 +72,17 @@ object LlmQueries {
        |      CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    * family): the deterministic twin of q_dedup_minhash — same threshold
+    * (4/5), same all-pairs oracle, but candidate completeness is a theorem
+    * (rarest-first prefix indexing), not a 1−(1−j^r)^b recall argument.
+    * Passing the SAME hash gate as the minhash route proves the two
+    * completely different candidate generators agree pair-for-pair.
+    */
+  def qSetSimJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", tNum = 4, tDen = 5)
+      .orderBy("id_a", "id_b")
+
   /** The near-dup MATERIALIZER: one surviving document per connected
     * component of the jaccard-≥0.8 graph (cluster-min id wins). The oracle
     * computes the same components with a recursive CTE over the all-pairs
