@@ -170,6 +170,9 @@ object SparkEntry {
     "q_cluster_balance"    -> (LlmQueries.qClusterBalance _),
     "q_weighted_sample"    -> (LlmQueries.qWeightedSample _),
     "q_concomp"            -> (AnalyticsQueries.qConcomp _),
+    "q_kcore"              -> (AnalyticsQueries.qKcore _),
+    "q_bfs_hops"           -> (AnalyticsQueries.qBfsHops _),
+    "q_hits"               -> (AnalyticsQueries.qHits _),
     "q_hll_intersect"      -> (SketchQueries.qHllIntersect _),
     "q_triangles"          -> (AnalyticsQueries.qTriangles _),
     "q_bm25"               -> (LlmQueries.qBm25 _),
@@ -427,6 +430,12 @@ object SparkEntry {
     "q_cluster_balance"    -> LlmQueries.qClusterBalanceSql,
     "q_weighted_sample"    -> LlmQueries.qWeightedSampleSql,
     "q_concomp"            -> AnalyticsQueries.qConcompSql,
+    // k-core peeling: 8 unrolled rounds (no-op past the fixed point)
+    "q_kcore"              -> AnalyticsQueries.qKcoreSql,
+    // bounded multi-source BFS: 3 frontier rounds unrolled
+    "q_bfs_hops"           -> AnalyticsQueries.qBfsHopsSql,
+    // HITS: both rounds + floor-renormalization totals replayed
+    "q_hits"               -> AnalyticsQueries.qHitsSql,
     "q_hll_intersect"      -> SketchQueries.qHllIntersectSql,
     "q_triangles"          -> AnalyticsQueries.qTrianglesSql,
     "q_bm25"               -> LlmQueries.qBm25Sql,

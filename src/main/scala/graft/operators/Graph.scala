@@ -292,4 +292,137 @@ object Graph {
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** k-CORE decomposition membership: the maximal subgraph where every
+    * node keeps degree ≥ k — the standard "dense nucleus" filter (spam
+    * farms, tightly-coupled supplier rings, community cores; Seidman 1983,
+    * the public formulation). Returns (node, deg) for the members, deg =
+    * the node's WITHIN-CORE degree.
+    *
+    * Peeling: repeatedly delete nodes with current degree < k; the fixed
+    * point is the k-core (order of deletion provably doesn't matter, so
+    * the result is a pure function of the edge set). Each round is one
+    * semi-join of the persisted symmetric edge frame against the alive
+    * set (both endpoints), a map-side-combined degree count, and a
+    * filter; the alive frame `localCheckpoint`s per round (constant-depth
+    * lineage, the [[connectedComponents]] contract) and convergence is
+    * one control-plane scalar (removed == 0). Extra peel rounds past the
+    * fixed point are no-ops — which is what lets a fixed-unroll SQL
+    * replay gate a run-to-convergence operator.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    Caches.register(e)
+    var alive = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var removed = 1L
+    var rounds = 0
+    while (removed > 0 && rounds < maxRounds) {
+      val degNow = e
+        .join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node")
+      val next = degNow.filter(col("deg") >= k).localCheckpoint()
+      removed = alive.count() - next.count()
+      alive = next.select("node", "deg").localCheckpoint()
+      rounds += 1
+    }
+    require(removed == 0, s"kCore: peeling did not converge in $maxRounds rounds")
+    alive
+  }
+
+  /** Multi-source BFS hop distance, bounded at `rounds` hops: (node, hops)
+    * for every node reachable from the seed set within `rounds` edges —
+    * the neighborhood-expansion primitive (fraud blast radius, "expand a
+    * trusted domain list by ≤ 3 links", contamination spread). Fixed
+    * round count like [[pageRank]] — run time is not data-dependent, and
+    * hop distances already found are final (BFS frontier monotonicity),
+    * so round r output = exact min-hop distance for every node within r.
+    *
+    * Per round: one equi-join of the frontier against the persisted
+    * symmetric edge frame + a min agg merged with the settled set —
+    * work ∝ frontier out-degree, never graph². Lineage bounded per round
+    * by `localCheckpoint` (the distance frame is read twice per round).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: Seq[String], rounds: Int): DataFrame = {
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    Caches.register(e)
+    val nodes = e.select(col("src").as("node")).distinct()
+    var dist = nodes.filter(col("node").isin(seeds: _*))
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val nbr = e.join(dist.select(col("node").as("src"), col("hops")), "src")
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.unionByName(nbr)
+        .groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, the public formulation) over
+    * a DIRECTED edge set, exact-integer: scores live in fixed-point units
+    * and each half-step renormalizes to total mass `scale` by floor
+    * division — sum order can't move a bit, so the result is a pure
+    * function of the edge set (the same argument as [[pageRank]]'s
+    * floor-division contract). auth(v) = Σ hub(u) over in-edges, then
+    * auth ← auth·scale div Σauth; hub(u) = Σ auth(v) over out-edges, then
+    * the same normalization. Returns (node, hub, auth) for every node.
+    *
+    * Overflow headroom: post-normalization scores sum to ≤ scale, so a
+    * raw half-step value is ≤ scale and the normalization multiply is
+    * bounded by scale² — keep scale ≤ 3e9 to stay inside Long.
+    *
+    * Per round: two slim edge⋈score joins + map-side-combined sums; the
+    * two normalization totals are control-plane scalars (one driver
+    * `first()` each, like [[connectedComponents]]' changed-count).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 0 && scale <= 3000000000L, s"scale out of Long headroom: $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    Caches.register(e)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    Caches.register(nodes)
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("hub"), lit(0L).as("auth"))
+    var hub = nodes.select(col("node"), lit(scale / n).as("s")).localCheckpoint()
+    var auth = hub
+    for (_ <- 0 until iters) {
+      val rawA = nodes.join(
+          e.join(hub.select(col("node").as("src"), col("s")), "src")
+            .groupBy(col("dst").as("node")).agg(sum("s").as("raw")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint()
+      val totA = math.max(1L, rawA.agg(sum("raw")).first().getLong(0))
+      auth = rawA.select(col("node"), expr(s"(raw * $scale) div $totA").as("s"))
+        .localCheckpoint()
+      val rawH = nodes.join(
+          e.join(auth.select(col("node").as("dst"), col("s")), "dst")
+            .groupBy(col("src").as("node")).agg(sum("s").as("raw")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint()
+      val totH = math.max(1L, rawH.agg(sum("raw")).first().getLong(0))
+      hub = rawH.select(col("node"), expr(s"(raw * $scale) div $totH").as("s"))
+        .localCheckpoint()
+    }
+    nodes
+      .join(hub.withColumnRenamed("s", "hub"), "node")
+      .join(auth.withColumnRenamed("s", "auth"), "node")
+  }
 }

@@ -1349,6 +1349,137 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---- k-core nucleus of the repeat-business graph ------------------------
+  /** 2-core of the REPEAT-business trade graph (edges = customer–supplier
+    * pairs with ≥ 2 distinct orders): shave pendant chains until every
+    * remaining participant has ≥ 2 steady counterparties — the dense
+    * nucleus the one-off noise hides. [[graft.operators.Graph.kCore]]
+    * runs peeling to the fixed point; the oracle unrolls 8 peel rounds
+    * (measured fixed point: 2 at sf0.01, 4 at sf0.1 — rounds past the
+    * fixed point are no-ops, so over-unrolling is safe, which is what
+    * lets a fixed-depth SQL replay gate a run-to-convergence operator).
+    */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val edges = table(s, dir, "orders").join(table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(countDistinct(col("o_orderkey")).as("no"))
+      .filter(col("no") >= 2)
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    graft.operators.Graph.kCore(edges, "src", "dst", k = 2)
+      .orderBy("node")
+  }
+
+  val qKcoreSql: String = {
+    val rounds = (1 to 8).map { r =>
+      val prev = if (r == 1) "a0" else s"a${r - 1}"
+      s"""a$r AS MATERIALIZED (
+         |  SELECT eb.src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM eb JOIN $prev x ON x.node = eb.src JOIN $prev y ON y.node = eb.dst
+         |  GROUP BY eb.src HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey, l_suppkey HAVING count(DISTINCT o_orderkey) >= 2),
+       |eb AS MATERIALIZED (SELECT src, dst FROM e0 UNION
+       |      SELECT dst AS src, src AS dst FROM e0),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM eb),
+       |$rounds
+       |SELECT node, deg FROM a8 ORDER BY node""".stripMargin
+  }
+
+  // ---- multi-source BFS neighborhood ---------------------------------------
+  /** Hop distance from a three-customer seed cohort over the trade graph,
+    * bounded at 3 hops — the blast-radius / trusted-list-expansion
+    * primitive. Fixed round count ([[graft.operators.Graph.bfsHops]]):
+    * settled distances are final under frontier monotonicity, so round-3
+    * output is the exact min-hop distance for everything within 3.
+    */
+  def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = table(s, dir, "orders").join(table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    graft.operators.Graph.bfsHops(edges, "src", "dst",
+        seeds = Seq("c1", "c2", "c3"), rounds = 3)
+      .orderBy("node")
+  }
+
+  val qBfsHopsSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = s"d${r - 1}"
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+         |    SELECT eb.dst AS node, p.hops + 1 AS hops FROM eb JOIN $prev p ON p.node = eb.src
+         |    UNION ALL SELECT node, hops FROM $prev) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |eb AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS hops
+       |  FROM (SELECT DISTINCT src AS node FROM eb)
+       |  WHERE node IN ('c1', 'c2', 'c3')),
+       |$rounds
+       |SELECT node, hops FROM d3 ORDER BY node""".stripMargin
+  }
+
+  // ---- HITS hubs & authorities over the directed trade graph ---------------
+  /** Exact-integer HITS on the directed customer→supplier order graph:
+    * authorities = suppliers many strong buyers rely on, hubs = customers
+    * whose baskets concentrate on strong suppliers. Two mutual-
+    * reinforcement rounds, each half-step floor-renormalized to 10⁶ total
+    * mass ([[graft.operators.Graph.hits]]) — the oracle replays both
+    * rounds including the normalization totals as scalar subqueries.
+    */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = table(s, dir, "orders").join(table(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    graft.operators.Graph.hits(edges, "src", "dst", iters = 2)
+      .orderBy("node")
+  }
+
+  val qHitsSql: String = {
+    def round(i: Int) = {
+      val ph = s"h${i - 1}"
+      s"""ra$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(t.raw, 0) AS raw FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+         |    FROM e JOIN $ph h ON h.node = e.src GROUP BY e.dst) t ON t.node = n.node),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, (raw * 1000000) // greatest(1, (SELECT sum(raw) FROM ra$i)) AS s
+         |  FROM ra$i),
+         |rh$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(t.raw, 0) AS raw FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+         |    FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src) t ON t.node = n.node),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, (raw * 1000000) // greatest(1, (SELECT sum(raw) FROM rh$i)) AS s
+         |  FROM rh$i)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT node, 1000000 // (SELECT count(*) FROM nodes) AS s FROM nodes),
+       |${round(1)},
+       |${round(2)}
+       |SELECT n.node, CAST(h2.s AS BIGINT) AS hub, CAST(a2.s AS BIGINT) AS auth
+       |FROM nodes n JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   // ---- triangle counts over the part co-order graph ----------------------
   /** Per-part triangle counts on the co-purchase graph: parts are linked
     * when some order contains both, with the edge set thinned to a
