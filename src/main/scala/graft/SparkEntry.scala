@@ -32,6 +32,9 @@ object SparkEntry {
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_skyline"            -> (AnalyticsQueries.qSkyline _),
     "q_concurrency"        -> (AnalyticsQueries.qConcurrency _),
+    "q_seasonality"        -> (AnalyticsQueries.qSeasonality _),
+    "q_profile_drift"      -> (SourceQueries.qProfileDrift _),
+    "q_sample_exact_k"     -> (LlmQueries.qSampleExactK _),
     "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
@@ -217,6 +220,12 @@ object SparkEntry {
     "q_skyline"            -> AnalyticsQueries.qSkylineSql,
     // sweep-line concurrency: distributed running sum over (ts, delta)
     "q_concurrency"        -> AnalyticsQueries.qConcurrencySql,
+    // dow seasonal index: mirrored IEEE tree over four exact integers
+    "q_seasonality"        -> AnalyticsQueries.qSeasonalitySql,
+    // snapshot drift: per-column TV distance, one pinned division
+    "q_profile_drift"      -> SourceQueries.qProfileDriftSql,
+    // exact-k per-source hash-priority sample (TopKRewriteRule path)
+    "q_sample_exact_k"     -> LlmQueries.qSampleExactKSql,
     // hilbert layout audit: the xy->d walk unrolled as chained CTEs
     "q_hilbert_layout"     -> AnalyticsQueries.qHilbertLayoutSql,
     // incremental MV refresh: delta partials + full-outer merge

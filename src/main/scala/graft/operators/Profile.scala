@@ -76,4 +76,43 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Distribution DRIFT between two snapshots of the same table: per
+    * monitored column, the total-variation distance between the two
+    * value distributions — the monitoring gate that catches a crawl,
+    * lang-ID, or upstream-schema regression BEFORE the new snapshot
+    * enters a training mix. Returns one (column, tv) row per monitored
+    * column; tv ∈ [0, 1], 0 = identical distributions.
+    *
+    * Exactness: TV = ½·Σ|pA − pB| computed as ONE division of exact
+    * integers — Σ|cntA·totB − cntB·totA| / (2·totA·totB) — with the
+    * products summed as decimal(38,0) (the [[Pca]] overflow contract:
+    * cnt·tot exceeds Long past ~3e9-row snapshots). Numeric columns
+    * drift-monitor through an exact bucketing BEFORE calling this (a
+    * categorical lens keeps the metric distribution-free).
+    *
+    * Scale: per column one value-grain count agg per side, one
+    * full-outer join on the value (vocabulary-sized), totals broadcast
+    * back as a 1-row frame. Snapshot rows never move twice.
+    */
+  def drift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val perCol = cols.map { c =>
+      val ca = a.groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("cb"))
+      val j = ca.join(cb, Seq("v"), "full_outer")
+        .select(coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+        .persist()
+      Caches.register(j)
+      val tot = j.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      j.crossJoin(broadcast(tot))
+        .agg(
+          sum(abs(col("ca").cast("decimal(19,0)") * col("tb") -
+            col("cb").cast("decimal(19,0)") * col("ta"))).as("num"),
+          max("ta").as("ta"), max("tb").as("tb"))
+        .select(lit(c).as("column"),
+          (col("num").cast("double") /
+            (lit(2).cast("decimal(19,0)") * col("ta") * col("tb")).cast("double")).as("tv"))
+    }
+    perCol.reduce(_.unionByName(_))
+  }
 }

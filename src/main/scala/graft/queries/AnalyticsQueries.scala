@@ -1840,6 +1840,47 @@ object AnalyticsQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  // ---- day-of-week seasonality index ---------------------------------------------
+  /** Weekly seasonality of shipment revenue: per day-of-week, how the
+    * average daily revenue compares to the overall average (index > 1 =
+    * above-trend weekday). Dow = epoch-day mod 7 (engine-free — both
+    * engines' dayofweek() disagree on numbering); revenue in exact cents;
+    * the index is a MIRRORED IEEE tree over four exact integers —
+    * (rev_d/days_d)/(rev_tot/days_tot) — the [[qAbTest]] determinism
+    * recipe. One day-grain agg, one 7-row agg, totals broadcast back.
+    */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    val daily = table(s, dir, "lineitem")
+      .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("day"))
+      .agg(sum(cents).as("rev"))
+    val dow = daily.groupBy(pmod(col("day"), lit(7)).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("rev").as("rev_cents"))
+    val tot = dow.agg(sum("n_days").as("td"), sum("rev_cents").as("tr"))
+    dow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("rev_cents"),
+        ((col("rev_cents").cast("double") / col("n_days").cast("double")) /
+          (col("tr").cast("double") / col("td").cast("double"))).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
+  val qSeasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |dw AS (
+      |  SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(rev) AS BIGINT) AS rev_cents
+      |  FROM daily GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_days) AS BIGINT) AS td,
+      |             CAST(sum(rev_cents) AS BIGINT) AS tr FROM dw)
+      |SELECT dow, n_days, rev_cents,
+      |  (CAST(rev_cents AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+      |  (CAST(tr AS DOUBLE) / CAST(td AS DOUBLE)) AS seasonal_index
+      |FROM dw, t
+      |ORDER BY dow""".stripMargin
+
   // ---- 2-D skyline (Pareto front) -----------------------------------------------
   /** Pareto-optimal parts: no other part is both ≤ price and ≥ size with
     * one strict. The oracle is the textbook O(n²) NOT-EXISTS dominance

@@ -726,6 +726,39 @@ object LlmQueries {
       |  CASE WHEN lang = 'en' THEN 25 WHEN lang = 'de' THEN 70 ELSE 50 END
       |ORDER BY doc_id""".stripMargin
 
+  /** EXACT-k per-stratum downsample: each source keeps exactly its 100
+    * hash-first documents (fewer if the source is smaller) — the "cap
+    * every source at k docs" draw where a percentage can't promise a
+    * count. Rank = md5-priority order with doc_id tie-break, so the
+    * sample is deterministic, engine-stable, and INCREMENTAL (adding
+    * docs can only displace from the boundary, never reshuffle). The
+    * Filter(row_number ≤ k) form lowers to Spark's WindowGroupLimit
+    * (partial mode runs BEFORE the exchange, so the shuffle carries ≤ k
+    * rows per source per input partition, never the corpus — the same
+    * bounded-shuffle property TopKRewriteRule gives attribute-ordered
+    * windows; the computed md5 order key keeps that rule out here,
+    * plan-asserted in DriftSampleSpec).
+    */
+  def qSampleExactK(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(graft.functions.Sampling.md5Lower(col("doc_id")), col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  }
+
+  val qSampleExactKSql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, doc_id FROM r WHERE rn <= 100
+      |ORDER BY source, doc_id""".stripMargin
+
   // ---- token-budget corpus mixing -----------------------------------------
   /** Assemble a training mix: 400 tokens from src0, 900 from src1, 700
     * from every other source — hash-priority order, so the draw is

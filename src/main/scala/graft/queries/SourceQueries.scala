@@ -306,6 +306,59 @@ object SourceQueries {
   def qProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(table(s, dir, "orders")).orderBy("col_name")
 
+  /** Snapshot-over-snapshot distribution drift on the documents feed: the
+    * "new crawl" snapshot plants a deletion wave (doc_id % 9), a lang-ID
+    * regression (every 6th doc re-tagged 'xx'), and a length shift (every
+    * 4th doc +50 chars) — [[graft.operators.Profile.drift]] reports the
+    * total-variation distance per monitored column (n_chars through an
+    * exact 100-char bucket lens). The gate that catches a bad crawl
+    * BEFORE it enters a mix; every count and the pinned division replay
+    * in SQL.
+    */
+  def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val a = table(s, dir, "documents")
+      .select(col("lang"), col("source"), expr("n_chars div 100").as("n_chars_bucket"))
+    val b = table(s, dir, "documents")
+      .filter(col("doc_id") % 9 =!= 0)
+      .select(
+        when(col("doc_id") % 6 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+        col("source"),
+        expr("(n_chars + (CASE WHEN doc_id % 4 = 0 THEN 50 ELSE 0 END)) div 100")
+          .as("n_chars_bucket"))
+    graft.operators.Profile.drift(a, b, Seq("lang", "source", "n_chars_bucket"))
+      .orderBy("column")
+  }
+
+  val qProfileDriftSql: String = {
+    def tv(c: String) =
+      s"""SELECT '$c' AS "column",
+         |  CAST(sum(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta)) AS DOUBLE) /
+         |  CAST(2 * (SELECT ta FROM t_$c) * (SELECT tb FROM t_$c) AS DOUBLE) AS tv
+         |FROM j_$c, (SELECT ta, tb FROM t_$c)""".stripMargin
+    def cte(c: String) =
+      s"""ca_$c AS (SELECT $c AS v, CAST(count(*) AS BIGINT) AS ca FROM a GROUP BY 1),
+         |cb_$c AS (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+         |j_$c AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |         FROM ca_$c FULL OUTER JOIN cb_$c USING (v)),
+         |t_$c AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j_$c)""".stripMargin
+    s"""WITH a AS (
+       |  SELECT lang, source, CAST(n_chars // 100 AS VARCHAR) AS n_chars_bucket
+       |  FROM documents),
+       |b AS (
+       |  SELECT CASE WHEN doc_id % 6 = 0 THEN 'xx' ELSE lang END AS lang, source,
+       |    CAST((n_chars + (CASE WHEN doc_id % 4 = 0 THEN 50 ELSE 0 END)) // 100 AS VARCHAR)
+       |      AS n_chars_bucket
+       |  FROM documents WHERE doc_id % 9 <> 0),
+       |${cte("lang")},
+       |${cte("source")},
+       |${cte("n_chars_bucket")}
+       |SELECT * FROM (
+       |  ${tv("lang")}
+       |  UNION ALL ${tv("source")}
+       |  UNION ALL ${tv("n_chars_bucket")})
+       |ORDER BY "column"""".stripMargin
+  }
+
   val qProfileSql: String = {
     def num(c: String, expr: String) =
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
