@@ -409,8 +409,10 @@ object Graph {
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
         .localCheckpoint()
       val totA = math.max(1L, rawA.agg(sum("raw")).first().getLong(0))
+      // auth/hub are one-projection derivatives of the checkpointed raw
+      // frames — re-checkpointing them would pay a second eager
+      // materialization per half-step for depth-1 lineage
       auth = rawA.select(col("node"), expr(s"(raw * $scale) div $totA").as("s"))
-        .localCheckpoint()
       val rawH = nodes.join(
           e.join(auth.select(col("node").as("dst"), col("s")), "dst")
             .groupBy(col("src").as("node")).agg(sum("s").as("raw")),
@@ -419,7 +421,6 @@ object Graph {
         .localCheckpoint()
       val totH = math.max(1L, rawH.agg(sum("raw")).first().getLong(0))
       hub = rawH.select(col("node"), expr(s"(raw * $scale) div $totH").as("s"))
-        .localCheckpoint()
     }
     nodes
       .join(hub.withColumnRenamed("s", "hub"), "node")
