@@ -35,6 +35,8 @@ object SparkEntry {
     "q_seasonality"        -> (AnalyticsQueries.qSeasonality _),
     "q_profile_drift"      -> (SourceQueries.qProfileDrift _),
     "q_sample_exact_k"     -> (LlmQueries.qSampleExactK _),
+    "q_simhash_eval"       -> (LlmQueries.qSimhashEval _),
+    "q_kanon"              -> (SourceQueries.qKanon _),
     "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
@@ -226,6 +228,10 @@ object SparkEntry {
     "q_profile_drift"      -> SourceQueries.qProfileDriftSql,
     // exact-k per-source hash-priority sample (TopKRewriteRule path)
     "q_sample_exact_k"     -> LlmQueries.qSampleExactKSql,
+    // blocking-quality confusion: simhash candidates vs exact truth
+    "q_simhash_eval"       -> LlmQueries.qSimhashEvalSql,
+    // k-anonymity exposure: class sizes below k per quasi-id combo
+    "q_kanon"              -> SourceQueries.qKanonSql,
     // hilbert layout audit: the xy->d walk unrolled as chained CTEs
     "q_hilbert_layout"     -> AnalyticsQueries.qHilbertLayoutSql,
     // incremental MV refresh: delta partials + full-outer merge

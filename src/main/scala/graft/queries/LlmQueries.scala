@@ -83,6 +83,64 @@ object LlmQueries {
     Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", tNum = 4, tDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** Blocking-quality confusion matrix: simhash hamming-≤3 candidates vs
+    * the EXACT jaccard-≥0.8 truth set (the prefix-filter join — itself
+    * zero-false-negative by theorem, so the truth leg needs no recall
+    * caveat). tp/fp/fn plus precision/recall as pinned divisions — the
+    * `q_ann_recall` sibling for text blocking: before shipping a cheap
+    * 64-bit blocker at 100 TB, this is the query that says what it costs
+    * in misses and wasted verifies.
+    */
+  def qSimhashEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val cand = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), lit(1).as("c"))
+    val truth = Dedup.prefixFilterPairs(docs, "doc_id", "text", 4, 5)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    cand.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("c").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("c").isNotNull && col("t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("c").isNull && col("t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).as("recall"))
+  }
+
+  val qSimhashEvalSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |fp AS (
+       |  SELECT doc_id, list_reduce(list_transform(range(0, 64), b ->
+       |    CASE WHEN list_sum(list_transform(t, w ->
+       |           CASE WHEN (md5_number_lower(w) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END),
+       |    (a, b) -> a | b) AS sim
+       |  FROM toks),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fp a, fp b
+       |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3),
+       |w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |j AS (
+       |  SELECT c.id_a IS NOT NULL AS inc, t.id_a IS NOT NULL AS intr
+       |  FROM cand c FULL OUTER JOIN truth t USING (id_a, id_b)),
+       |m AS (
+       |  SELECT CAST(sum(CASE WHEN inc AND intr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN inc AND NOT intr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN NOT inc AND intr THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM j)
+       |SELECT tp, fp, fn,
+       |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall
+       |FROM m""".stripMargin
+
   /** The near-dup MATERIALIZER: one surviving document per connected
     * component of the jaccard-≥0.8 graph (cluster-min id wins). The oracle
     * computes the same components with a recursive CTE over the all-pairs

@@ -306,6 +306,47 @@ object SourceQueries {
   def qProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(table(s, dir, "orders")).orderBy("col_name")
 
+  /** k-anonymity risk audit over the customer feed's quasi-identifiers
+    * (nation × market segment × account-balance bucket): for k ∈ {2, 5,
+    * 10}, how many equivalence classes fall below k members and how many
+    * customers sit in them — the re-identification exposure report a
+    * privacy review runs BEFORE a dataset leaves the boundary. One
+    * group-by builds the class-size frame (persisted — three k-thresholds
+    * read it); everything after is class-grain, never row-grain.
+    */
+  def qKanon(s: SparkSession, dir: String): DataFrame = {
+    val g = table(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    graft.operators.Caches.register(g)
+    Seq(2, 5, 10).map { k =>
+      g.agg(
+        lit(k).as("k"),
+        coalesce(sum(when(col("n") < k, 1L)), lit(0L)).as("classes_at_risk"),
+        coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("rows_at_risk"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  val qKanonSql: String = {
+    def level(k: Int) =
+      s"""SELECT $k AS k,
+         |  CAST(coalesce(sum(CASE WHEN n < $k THEN 1 END), 0) AS BIGINT) AS classes_at_risk,
+         |  CAST(coalesce(sum(CASE WHEN n < $k THEN n END), 0) AS BIGINT) AS rows_at_risk
+         |FROM g""".stripMargin
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT * FROM (
+       |  ${level(2)}
+       |  UNION ALL ${level(5)}
+       |  UNION ALL ${level(10)})
+       |ORDER BY k""".stripMargin
+  }
+
   /** Snapshot-over-snapshot distribution drift on the documents feed: the
     * "new crawl" snapshot plants a deletion wave (doc_id % 9), a lang-ID
     * regression (every 6th doc re-tagged 'xx'), and a length shift (every
