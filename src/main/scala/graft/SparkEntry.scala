@@ -28,6 +28,7 @@ object SparkEntry {
     "q_range_join"         -> (AnalyticsQueries.qRangeJoin _),
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
+    "q_golden_record"      -> (AnalyticsQueries.qGoldenRecord _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_skyline"            -> (AnalyticsQueries.qSkyline _),
@@ -214,6 +215,8 @@ object SparkEntry {
     "q_salted_join"        -> AnalyticsQueries.qSaltedJoinSql,
     // fuzzy linkage: SymSpell deletion-variant equi-join + levenshtein verify
     "q_fuzzy_link"         -> AnalyticsQueries.qFuzzyLinkSql,
+    // golden record: name-grain linkage + closure + survivorship
+    "q_golden_record"      -> AnalyticsQueries.qGoldenRecordSql,
     // z-order audit: Morton interleave, per-file min/max pruning stats
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // calendar gap fill: dense spine + forward fill, filled flag

@@ -1881,6 +1881,89 @@ object AnalyticsQueries {
       |FROM dw, t
       |ORDER BY dow""".stripMargin
 
+  // ---- entity resolution: golden-record materializer ------------------------------
+  /** The merge/purge MATERIALIZER (Hernández & Stolfo's survivorship step):
+    * catalog records arriving under different keys with name typos
+    * (planted: every 5th part re-keyed with one character deleted at a
+    * hash-pinned position) collapse to one golden record per fuzzy-name
+    * cluster — golden id = min member id, golden name = the cluster's
+    * lexicographic-min name, plus name/member counts.
+    *
+    * Scale shape mirrors [[graft.operators.Dedup]]'s canonicalization:
+    * linkage runs on the DISTINCT-NAME grain (equal-name record pairs
+    * would grow duplication², and a catalog's duplication factor is the
+    * whole point), SymSpell deletion variants + levenshtein-≤1 verify
+    * produce name edges, [[graft.operators.Graph.connectedComponents]]
+    * labels name clusters, and records join back by name — bodies move
+    * once. The oracle replays variants, verify, a recursive-CTE closure,
+    * and survivorship.
+    */
+  def qGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    val part = table(s, dir, "part")
+    val base = part.select(col("p_partkey").as("rid"), col("p_name").as("name"))
+    val pos0 = pmod(Sampling.md5Lower(concat(lit("gr:"), col("p_partkey").cast("string"))),
+      length(col("p_name")).cast("decimal(20,0)")).cast("int")
+    val dupes = part.filter(pmod(Sampling.md5Lower(col("p_partkey")), lit(5)) === 0)
+      .select((col("p_partkey") + 10000000L).as("rid"),
+        concat(col("p_name").substr(lit(1), pos0),
+          col("p_name").substr(pos0 + lit(2), length(col("p_name")))).as("name"))
+    val records = base.unionByName(dupes).persist()
+    graft.operators.Caches.register(records)
+    val names = records.select(col("name")).distinct()
+    val v = names.withColumn("variant",
+      explode(graft.operators.FuzzyLink.deletionVariants(col("name"))))
+    val edges = v.as("a").hint("shuffle_hash").join(v.as("b"),
+        col("a.variant") === col("b.variant") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("src"), col("b.name").as("dst")).distinct()
+      .filter(levenshtein(col("src"), col("dst")) <= 1)
+    val labels = graft.operators.Graph.connectedComponents(edges, "src", "dst")
+      .withColumnRenamed("node", "name")
+    records.join(labels, Seq("name"), "left")
+      .select(col("rid"), col("name"), coalesce(col("comp"), col("name")).as("cluster"))
+      .groupBy("cluster")
+      .agg(min(col("rid")).as("golden_id"), min(col("name")).as("golden_name"),
+        countDistinct(col("name")).as("n_names"), count(lit(1)).as("n_members"))
+      .select("golden_id", "golden_name", "n_names", "n_members")
+      .orderBy("golden_id")
+  }
+
+  val qGoldenRecordSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT p_partkey AS rid, p_name AS name FROM part),
+      |dupes AS (
+      |  SELECT p_partkey + 10000000 AS rid,
+      |    substr(p_name, 1, pos0) || substr(p_name, pos0 + 2, length(p_name)) AS name
+      |  FROM (
+      |    SELECT p_partkey, p_name,
+      |      CAST(md5_number_lower('gr:' || CAST(p_partkey AS VARCHAR)) % length(p_name) AS INT) AS pos0
+      |    FROM part
+      |    WHERE md5_number_lower(CAST(p_partkey AS VARCHAR)) % 5 = 0)),
+      |records AS (SELECT * FROM base UNION ALL SELECT * FROM dupes),
+      |names AS (SELECT DISTINCT name FROM records),
+      |v AS (
+      |  SELECT DISTINCT name,
+      |    CASE WHEN i = 0 THEN name
+      |         ELSE substr(name, 1, i - 1) || substr(name, i + 1, length(name)) END AS variant
+      |  FROM names, unnest(range(0, length(name) + 1)) AS r(i)),
+      |p AS (
+      |  SELECT DISTINCT a.name AS src, b.name AS dst
+      |  FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name),
+      |e AS (
+      |  SELECT src, dst FROM p WHERE levenshtein(src, dst) <= 1
+      |  UNION ALL SELECT dst, src FROM p WHERE levenshtein(src, dst) <= 1),
+      |reach(n, r) AS (
+      |  SELECT name, name FROM names
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.n),
+      |cl AS (SELECT n AS name, min(r) AS cluster FROM reach GROUP BY n)
+      |SELECT CAST(min(rid) AS BIGINT) AS golden_id, min(rec.name) AS golden_name,
+      |  CAST(count(DISTINCT rec.name) AS BIGINT) AS n_names,
+      |  CAST(count(*) AS BIGINT) AS n_members
+      |FROM records rec JOIN cl USING (name)
+      |GROUP BY cluster
+      |ORDER BY golden_id""".stripMargin
+
   // ---- 2-D skyline (Pareto front) -----------------------------------------------
   /** Pareto-optimal parts: no other part is both ≤ price and ≥ size with
     * one strict. The oracle is the textbook O(n²) NOT-EXISTS dominance
