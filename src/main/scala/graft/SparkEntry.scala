@@ -37,6 +37,8 @@ object SparkEntry {
     "q_profile_drift"      -> (SourceQueries.qProfileDrift _),
     "q_sample_exact_k"     -> (LlmQueries.qSampleExactK _),
     "q_simhash_eval"       -> (LlmQueries.qSimhashEval _),
+    "q_corr_matrix"        -> (LlmQueries.qCorrMatrix _),
+    "q_lang_mismatch"      -> (LlmQueries.qLangMismatch _),
     "q_kanon"              -> (SourceQueries.qKanon _),
     "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
@@ -233,6 +235,10 @@ object SparkEntry {
     "q_sample_exact_k"     -> LlmQueries.qSampleExactKSql,
     // blocking-quality confusion: simhash candidates vs exact truth
     "q_simhash_eval"       -> LlmQueries.qSimhashEvalSql,
+    // one-pass Pearson matrix over decimal(38,0)/HUGEINT exact moments
+    "q_corr_matrix"        -> LlmQueries.qCorrMatrixSql,
+    // declared-vs-detected language confusion rollup
+    "q_lang_mismatch"      -> LlmQueries.qLangMismatchSql,
     // k-anonymity exposure: class sizes below k per quasi-id combo
     "q_kanon"              -> SourceQueries.qKanonSql,
     // hilbert layout audit: the xy->d walk unrolled as chained CTEs

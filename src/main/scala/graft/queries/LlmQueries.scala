@@ -83,6 +83,110 @@ object LlmQueries {
     Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", tNum = 4, tDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** Pairwise Pearson correlation matrix over three exact document
+    * metrics (chars, whitespace tokens, distinct tokens) in ONE
+    * aggregation pass — the profiling companion to `q_trend_fit`'s OLS:
+    * all nine moments (sums, squares, cross-products) accumulate as
+    * decimal(38,0)/HUGEINT exact integers, and each correlation is a
+    * MIRRORED IEEE tree (two sqrt, one division) over them, so the
+    * doubles agree bit for bit cross-engine. Corpus rows move once; the
+    * moment frame is one row.
+    */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(
+      col("n_chars").as("x"),
+      size(TF.tokens(col("text"))).cast("long").as("y"),
+      size(TF.wordSet(col("text"))).cast("long").as("z"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(20,0)")
+    val m = d.agg(
+      count(lit(1)).cast("decimal(20,0)").as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"), sum(dec(col("z"))).as("sz"),
+      sum(dec(col("x") * col("x"))).as("qx"), sum(dec(col("y") * col("y"))).as("qy"),
+      sum(dec(col("z") * col("z"))).as("qz"),
+      sum(dec(col("x") * col("y"))).as("pxy"), sum(dec(col("x") * col("z"))).as("pxz"),
+      sum(dec(col("y") * col("z"))).as("pyz"))
+      .persist()
+    graft.operators.Caches.register(m)
+    def corr(name: String, sa: String, sb: String, qa: String, qb: String, p: String) =
+      m.select(lit(name).as("pair"),
+        ((col("n") * col(p) - col(sa) * col(sb)).cast("double") /
+          (sqrt((col("n") * col(qa) - col(sa) * col(sa)).cast("double")) *
+            sqrt((col("n") * col(qb) - col(sb) * col(sb)).cast("double")))).as("corr"))
+    corr("chars_tokens", "sx", "sy", "qx", "qy", "pxy")
+      .unionByName(corr("chars_distinct", "sx", "sz", "qx", "qz", "pxz"))
+      .unionByName(corr("tokens_distinct", "sy", "sz", "qy", "qz", "pyz"))
+      .orderBy("pair")
+  }
+
+  val qCorrMatrixSql: String = {
+    def corr(name: String, sa: String, sb: String, qa: String, qb: String, p: String) =
+      s"""SELECT '$name' AS pair,
+         |  CAST(n * $p - $sa * $sb AS DOUBLE) /
+         |  (sqrt(CAST(n * $qa - $sa * $sa AS DOUBLE)) *
+         |   sqrt(CAST(n * $qb - $sb * $sb AS DOUBLE))) AS corr
+         |FROM m""".stripMargin
+    s"""WITH d AS (
+       |  SELECT n_chars AS x,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS y,
+       |    CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS z
+       |  FROM documents),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(z AS HUGEINT)) AS sz,
+       |    sum(CAST(x * x AS HUGEINT)) AS qx, sum(CAST(y * y AS HUGEINT)) AS qy,
+       |    sum(CAST(z * z AS HUGEINT)) AS qz,
+       |    sum(CAST(x * y AS HUGEINT)) AS pxy, sum(CAST(x * z AS HUGEINT)) AS pxz,
+       |    sum(CAST(y * z AS HUGEINT)) AS pyz
+       |  FROM d)
+       |SELECT * FROM (
+       |  ${corr("chars_tokens", "sx", "sy", "qx", "qy", "pxy")}
+       |  UNION ALL ${corr("chars_distinct", "sx", "sz", "qx", "qz", "pxz")}
+       |  UNION ALL ${corr("tokens_distinct", "sy", "sz", "qy", "qz", "pyz")})
+       |ORDER BY pair""".stripMargin
+  }
+
+  /** Declared-vs-detected language confusion matrix — the rollup of
+    * `q_lang_id` a corpus QA review actually reads: per (labeled,
+    * detected) cell, the document count and its share of the labeled
+    * language (one pinned division). The report that catches a mislabeled
+    * crawl slice or a lang-ID regression at a glance.
+    */
+  def qLangMismatch(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+      .select(col("lang").as("labeled_lang"), TF.langId(col("text")).as("detected_lang"))
+      .groupBy("labeled_lang", "detected_lang").agg(count(lit(1)).as("n"))
+      .persist()
+    graft.operators.Caches.register(d)
+    val tot = d.groupBy("labeled_lang").agg(sum("n").as("t"))
+    d.join(tot, "labeled_lang")
+      .select(col("labeled_lang"), col("detected_lang"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("share"))
+      .orderBy("labeled_lang", "detected_lang")
+  }
+
+  val qLangMismatchSql: String = {
+    val hits = TF.langMarkers.map { case (lang, re) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$re')) AS INT) AS ${lang}_h"
+    }.mkString(",\n  ")
+    val gm = "greatest(" + TF.langMarkers.map(_._1 + "_h").mkString(", ") + ")"
+    val cases = TF.langMarkers.map { case (lang, _) => s"WHEN ${lang}_h = gm THEN '$lang'" }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, lang, $hits FROM documents),
+       |g AS (SELECT *, $gm AS gm FROM h),
+       |det AS (
+       |  SELECT lang AS labeled_lang,
+       |    CASE WHEN gm = 0 THEN 'und' $cases END AS detected_lang
+       |  FROM g),
+       |m AS (
+       |  SELECT labeled_lang, detected_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM det GROUP BY 1, 2),
+       |t AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS t FROM m GROUP BY 1)
+       |SELECT m.labeled_lang, m.detected_lang, m.n,
+       |  CAST(m.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+       |FROM m JOIN t USING (labeled_lang)
+       |ORDER BY labeled_lang, detected_lang""".stripMargin
+  }
+
   /** Blocking-quality confusion matrix: simhash hamming-≤3 candidates vs
     * the EXACT jaccard-≥0.8 truth set (the prefix-filter join — itself
     * zero-false-negative by theorem, so the truth leg needs no recall
