@@ -29,6 +29,8 @@ object SparkEntry {
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
     "q_golden_record"      -> (AnalyticsQueries.qGoldenRecord _),
+    "q_small_qty_revenue"  -> (AnalyticsQueries.qSmallQtyRevenue _),
+    "q_attribution"        -> (AnalyticsQueries.qAttribution _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_skyline"            -> (AnalyticsQueries.qSkyline _),
@@ -219,6 +221,10 @@ object SparkEntry {
     "q_fuzzy_link"         -> AnalyticsQueries.qFuzzyLinkSql,
     // golden record: name-grain linkage + closure + survivorship
     "q_golden_record"      -> AnalyticsQueries.qGoldenRecordSql,
+    // TPC-H Q17 shape: correlated subquery decorrelated, exact-integer 0.2*avg
+    "q_small_qty_revenue"  -> AnalyticsQueries.qSmallQtyRevenueSql,
+    // last-touch attribution: asof via union + last(ignoreNulls) window
+    "q_attribution"        -> AnalyticsQueries.qAttributionSql,
     // z-order audit: Morton interleave, per-file min/max pruning stats
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // calendar gap fill: dense spine + forward fill, filled flag

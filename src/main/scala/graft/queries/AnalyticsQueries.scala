@@ -1881,6 +1881,113 @@ object AnalyticsQueries {
       |FROM dw, t
       |ORDER BY dow""".stripMargin
 
+  // ---- correlated-subquery decorrelation: small-quantity revenue (TPC-H Q17 shape)
+  /** Average yearly revenue lost if small orders (below 20% of the part's
+    * average quantity) stopped shipping — the canonical CORRELATED
+    * subquery, decorrelated by hand into one per-part aggregate + one
+    * equi-join (what an optimizer must do; here the plan states it). The
+    * 0.2·avg comparison runs in EXACT integers: quantities are integral,
+    * so qty < 0.2·(sumq/cnt) ⇔ 5·qty·cnt < sumq — no double average
+    * whose value depends on sum order. Brand filter broadcasts; per-part
+    * stats aggregate AFTER the brand join (the correlation is on
+    * partkey, so restricting to the brand's parts first is equivalent
+    * and skips 96% of the stats work).
+    */
+  def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pb = table(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val li = table(s, dir, "lineitem")
+      .join(broadcast(pb), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .persist()
+    graft.operators.Caches.register(li)
+    val stats = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"), sum("qty").as("sumq"))
+    li.join(stats, "l_partkey")
+      .filter(col("qty") * 5L * col("cnt") < col("sumq"))
+      .agg(sum("cents").as("revenue_cents"))
+      .select(col("revenue_cents"),
+        (col("revenue_cents").cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  val qSmallQtyRevenueSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |st AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(qty) AS BIGINT) AS sumq
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM li JOIN st USING (l_partkey)
+      |WHERE qty * 5 * cnt < sumq""".stripMargin
+
+  // ---- last-touch attribution over the event stream -------------------------------
+  /** Marketing attribution: every purchase credits the user's most recent
+    * prior click/view within 7 days (same-instant touches count; ties at
+    * one instant break by highest event id — pinned, not arbitrary).
+    * Report: per touch type (+ 'none'), attributed purchases and revenue.
+    *
+    * The as-of machinery is the union + last(ignoreNulls) window over ONE
+    * struct payload (the `q_asof_join` shape): per-user event streams
+    * sort inside their partition, no cross-join, no range explosion —
+    * at 100 TB the shuffle is one hash exchange on user_id.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    val ev = raw.select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+      col("event_id"), col("event_type"),
+      round(col("value") * lit(1000000.0)).cast("long").as("value_u"))
+    val frame = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"), lit(0).as("isp"),
+        struct(col("ts_ms").as("tts"), col("event_type").as("ttype")).as("touch"),
+        lit(null).cast("long").as("value_u"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), col("event_id"), lit(1).as("isp"),
+          lit(null).cast("struct<tts:long,ttype:string>").as("touch"), col("value_u")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("isp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame.withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("isp") === 1)
+      .select(
+        when(col("lt").isNotNull && col("ts_ms") - col("lt.tts") <= 7L * 86400000L,
+          col("lt.ttype")).otherwise(lit("none")).as("touch_type"),
+        col("value_u"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"), sum("value_u").as("revenue_u"))
+      .orderBy("touch_type")
+  }
+
+  val qAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id, event_type,
+      |    CAST(round(value * 1000000.0) AS BIGINT) AS value_u
+      |  FROM events),
+      |frame AS (
+      |  SELECT user_id, ts_ms, event_id, 0 AS isp,
+      |    {'tts': ts_ms, 'ttype': event_type} AS touch, CAST(NULL AS BIGINT) AS value_u
+      |  FROM ev WHERE event_type IN ('click', 'view')
+      |  UNION ALL
+      |  SELECT user_id, ts_ms, event_id, 1 AS isp,
+      |    NULL AS touch, value_u
+      |  FROM ev WHERE event_type = 'purchase'),
+      |att AS (
+      |  SELECT *, last_value(touch IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_ms, isp, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+      |  FROM frame)
+      |SELECT CASE WHEN lt IS NOT NULL AND ts_ms - lt.tts <= 7 * 86400000
+      |            THEN lt.ttype ELSE 'none' END AS touch_type,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(value_u) AS BIGINT) AS revenue_u
+      |FROM att WHERE isp = 1
+      |GROUP BY 1
+      |ORDER BY touch_type""".stripMargin
+
   // ---- entity resolution: golden-record materializer ------------------------------
   /** The merge/purge MATERIALIZER (Hernández & Stolfo's survivorship step):
     * catalog records arriving under different keys with name typos
