@@ -31,6 +31,8 @@ object SparkEntry {
     "q_golden_record"      -> (AnalyticsQueries.qGoldenRecord _),
     "q_small_qty_revenue"  -> (AnalyticsQueries.qSmallQtyRevenue _),
     "q_attribution"        -> (AnalyticsQueries.qAttribution _),
+    "q_pareto_share"       -> (AnalyticsQueries.qParetoShare _),
+    "q_dedup_sweep"        -> (LlmQueries.qDedupSweep _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_skyline"            -> (AnalyticsQueries.qSkyline _),
@@ -225,6 +227,10 @@ object SparkEntry {
     "q_small_qty_revenue"  -> AnalyticsQueries.qSmallQtyRevenueSql,
     // last-touch attribution: asof via union + last(ignoreNulls) window
     "q_attribution"        -> AnalyticsQueries.qAttributionSql,
+    // 80/20 concentration: two-level running sum over (rev desc, key)
+    "q_pareto_share"       -> AnalyticsQueries.qParetoShareSql,
+    // exact threshold-sensitivity curve off one prefix-join pass
+    "q_dedup_sweep"        -> LlmQueries.qDedupSweepSql,
     // z-order audit: Morton interleave, per-file min/max pruning stats
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // calendar gap fill: dense spine + forward fill, filled flag

@@ -1881,6 +1881,62 @@ object AnalyticsQueries {
       |FROM dw, t
       |ORDER BY dow""".stripMargin
 
+  // ---- revenue concentration (Pareto 80/20 report) ---------------------------------
+  /** How concentrated is revenue across customers: for each coverage
+    * target (50/80/90% of total revenue), the minimum number of
+    * top-revenue customers that reach it and their share of the customer
+    * base — the 80/20 report. Exact: per-customer revenue in cents, the
+    * cumulative axis is [[graft.operators.Scale.runningSum]] over the
+    * (revenue DESC, custkey) total order (two-level — no single-task
+    * window), and k = #{cum·100 < pct·total} + 1 compares exact
+    * decimal(38,0) integers (cum is strictly increasing — revenues are
+    * positive — so the rank identity is exact).
+    */
+  def qParetoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = table(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).as("rev"))
+      .withColumn("negrev", -col("rev"))
+    val cum = graft.operators.Scale.runningSum(rev, Seq("negrev", "o_custkey"), "rev", "cum")
+      .persist()
+    graft.operators.Caches.register(cum)
+    val tot = cum.agg(sum("rev").cast("decimal(38,0)").as("tot"),
+      count(lit(1)).as("n_cust"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    Seq(50, 80, 90).map { pct =>
+      cum.crossJoin(broadcast(tot))
+        .agg(lit(pct).as("pct"),
+          (coalesce(sum(when(dec(col("cum")) * 100 < lit(pct) * col("tot"), 1L)), lit(0L)) + 1L)
+            .as("n_customers"),
+          max("n_cust").as("__n"))
+        .select(col("pct"), col("n_customers"),
+          (col("n_customers").cast("double") / col("__n").cast("double")).as("share_of_base"))
+    }.reduce(_.unionByName(_)).orderBy("pct")
+  }
+
+  val qParetoShareSql: String = {
+    def level(pct: Int) =
+      s"""SELECT $pct AS pct,
+         |  CAST(coalesce(sum(CASE WHEN CAST(cum AS HUGEINT) * 100 < $pct * (SELECT tot FROM t) THEN 1 END), 0) + 1 AS BIGINT) AS n_customers,
+         |  CAST(CAST(coalesce(sum(CASE WHEN CAST(cum AS HUGEINT) * 100 < $pct * (SELECT tot FROM t) THEN 1 END), 0) + 1 AS BIGINT) AS DOUBLE) /
+         |  CAST((SELECT n_cust FROM t) AS DOUBLE) AS share_of_base
+         |FROM c""".stripMargin
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |c AS (
+       |  SELECT rev, sum(rev) OVER (ORDER BY -rev, o_custkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM rev),
+       |t AS (SELECT CAST(sum(rev) AS HUGEINT) AS tot, CAST(count(*) AS BIGINT) AS n_cust FROM rev)
+       |SELECT * FROM (
+       |  ${level(50)}
+       |  UNION ALL ${level(80)}
+       |  UNION ALL ${level(90)})
+       |ORDER BY pct""".stripMargin
+  }
+
   // ---- correlated-subquery decorrelation: small-quantity revenue (TPC-H Q17 shape)
   /** Average yearly revenue lost if small orders (below 20% of the part's
     * average quantity) stopped shipping — the canonical CORRELATED

@@ -83,6 +83,43 @@ object LlmQueries {
     Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", tNum = 4, tDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** Threshold-sensitivity curve for near-dup dedup: pair counts at
+    * jaccard ≥ 0.7 / 0.8 / 0.9 from ONE exact pass — the tuning report
+    * that shows what moving the dedup threshold would actually delete
+    * BEFORE committing a corpus rebuild. The generator is the
+    * prefix-filter join at the curve's floor (exact at every threshold
+    * above it, by the same theorem), so the curve carries no recall
+    * caveat at any point; a minhash-banded generator could not say that
+    * at 0.7 (recall 1−(1−0.49)²⁰ leaves measurable false-negative mass).
+    */
+  def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", 7, 10)
+      .persist()
+    graft.operators.Caches.register(pairs)
+    Seq(0.7, 0.8, 0.9).map { t =>
+      pairs.agg(lit(t).as("threshold"),
+        coalesce(sum(when(col("jaccard") >= t, 1L)), lit(0L)).as("n_pairs"))
+    }.reduce(_.unionByName(_)).orderBy("threshold")
+  }
+
+  val qDedupSweepSql: String = {
+    def level(t: String) =
+      s"SELECT $t AS threshold, CAST(coalesce(sum(CASE WHEN j >= $t THEN 1 END), 0) AS BIGINT) AS n_pairs FROM p"
+    s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |p AS (
+       |  SELECT CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |         CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS j
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.7)
+       |SELECT * FROM (
+       |  ${level("0.7")}
+       |  UNION ALL ${level("0.8")}
+       |  UNION ALL ${level("0.9")})
+       |ORDER BY threshold""".stripMargin
+  }
+
   /** Pairwise Pearson correlation matrix over three exact document
     * metrics (chars, whitespace tokens, distinct tokens) in ONE
     * aggregation pass — the profiling companion to `q_trend_fit`'s OLS:
