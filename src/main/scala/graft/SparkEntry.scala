@@ -32,6 +32,8 @@ object SparkEntry {
     "q_small_qty_revenue"  -> (AnalyticsQueries.qSmallQtyRevenue _),
     "q_attribution"        -> (AnalyticsQueries.qAttribution _),
     "q_pareto_share"       -> (AnalyticsQueries.qParetoShare _),
+    "q_sole_blame"         -> (AnalyticsQueries.qSoleBlame _),
+    "q_anova_lag"          -> (AnalyticsQueries.qAnovaLag _),
     "q_dedup_sweep"        -> (LlmQueries.qDedupSweep _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
@@ -229,6 +231,10 @@ object SparkEntry {
     "q_attribution"        -> AnalyticsQueries.qAttributionSql,
     // 80/20 concentration: two-level running sum over (rev desc, key)
     "q_pareto_share"       -> AnalyticsQueries.qParetoShareSql,
+    // TPC-H Q21 shape: two correlated EXISTS as one conditional agg
+    "q_sole_blame"         -> AnalyticsQueries.qSoleBlameSql,
+    // one-way ANOVA F over exact moments, pinned-order 5-term sum
+    "q_anova_lag"          -> AnalyticsQueries.qAnovaLagSql,
     // exact threshold-sensitivity curve off one prefix-join pass
     "q_dedup_sweep"        -> LlmQueries.qDedupSweepSql,
     // z-order audit: Morton interleave, per-file min/max pruning stats

@@ -1881,6 +1881,117 @@ object AnalyticsQueries {
       |FROM dw, t
       |ORDER BY dow""".stripMargin
 
+  // ---- multi-EXISTS decorrelation: sole-blame supplier (TPC-H Q21 shape) ----------
+  /** Suppliers who were the ONLY late shipper on a multi-supplier order
+    * (ship lag > 60 days), counted per supplier — the TPC-H Q21 pattern:
+    * EXISTS (another supplier on the order) AND NOT EXISTS (another LATE
+    * supplier on the order). Decorrelated into ONE per-order conditional
+    * aggregate (suppliers, late suppliers, the single late suppkey via a
+    * conditional min — exact because the filter pins n_late = 1) joined
+    * back nowhere: the aggregate IS the answer, so the two correlated
+    * subqueries cost one map-side-combined pass instead of two
+    * re-executions per outer row.
+    */
+  def qSoleBlame(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").join(table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000") -
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") > 60)
+          .as("late"))
+    li.groupBy("ok")
+      .agg(countDistinct(col("sk")).as("n_supp"),
+        countDistinct(when(col("late"), col("sk"))).as("n_late"),
+        min(when(col("late"), col("sk"))).as("blame"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("blame").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
+  }
+
+  val qSoleBlameSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+      |    (epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000) > 60 AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |po AS (
+      |  SELECT ok, count(DISTINCT sk) AS n_supp,
+      |    count(DISTINCT CASE WHEN late THEN sk END) AS n_late,
+      |    min(CASE WHEN late THEN sk END) AS blame
+      |  FROM li GROUP BY ok)
+      |SELECT blame AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+      |FROM po WHERE n_supp > 1 AND n_late = 1
+      |GROUP BY blame
+      |ORDER BY numwait DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
+  // ---- one-way ANOVA over exact integer moments ------------------------------------
+  /** Does order priority actually move ship lag? One-way ANOVA F
+    * statistic over the per-priority lag-day groups — the numeric-
+    * response complement of `q_chi2_independence`'s categorical test.
+    * All sums of squares reduce to per-group (count, sum) plus one
+    * global sum-of-squares in exact decimal(38,0)/HUGEINT integers:
+    * SSB = Σ s_g²/n_g − S²/n and SSW = Q − Σ s_g²/n_g. The only
+    * non-integer stage, Σ s_g²/n_g, is five doubles — added in PINNED
+    * literal-domain order (explicit left-to-right over the closed
+    * priority list; a 5-row SUM would order arbitrarily and can drift
+    * an ulp cross-engine) — so F agrees bit for bit. One corpus pass
+    * (map-side-combined conditional aggregates); output is one row.
+    */
+  private val prioDomain = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def qAnovaLag(s: SparkSession, dir: String): DataFrame = {
+    val lag = table(s, dir, "lineitem").join(table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("g"),
+        (expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000") -
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")).as("v"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val aggs = prioDomain.zipWithIndex.flatMap { case (p, i) =>
+      Seq(count(when(col("g") === p, 1)).as(s"n$i"),
+        coalesce(sum(when(col("g") === p, col("v"))), lit(0L)).as(s"s$i"))
+    } ++ Seq(sum(dec(col("v") * col("v"))).as("q"), count(lit(1)).as("n"))
+    val m = lag.agg(aggs.head, aggs.tail: _*)
+    def term(i: Int) =
+      (dec(col(s"s$i")) * col(s"s$i")).cast("double") / col(s"n$i").cast("double")
+    val ssg = prioDomain.indices.map(term).reduce(_ + _)
+    val stot = prioDomain.indices.map(i => dec(col(s"s$i"))).reduce(_ + _)
+    m.select(lit(prioDomain.size.toLong).as("k"), col("n"),
+        (ssg - (stot * stot).cast("double") / col("n").cast("double")).as("ssb"),
+        (col("q").cast("double") - ssg).as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        ((col("ssb") / lit((prioDomain.size - 1).toDouble)) /
+          (col("ssw") / (col("n") - prioDomain.size).cast("double"))).as("f_stat"))
+  }
+
+  val qAnovaLagSql: String = {
+    val ns = prioDomain.indices
+    val condAggs = prioDomain.zipWithIndex.map { case (p, i) =>
+      s"CAST(count(*) FILTER (WHERE g = '$p') AS BIGINT) AS n$i,\n" +
+      s"    CAST(coalesce(sum(v) FILTER (WHERE g = '$p'), 0) AS BIGINT) AS s$i"
+    }.mkString(",\n    ")
+    val ssg = ns.map(i => s"(CAST(CAST(s$i AS HUGEINT) * s$i AS DOUBLE) / CAST(n$i AS DOUBLE))")
+      .reduce((a, b) => s"($a + $b)")
+    val stot = ns.map(i => s"CAST(s$i AS HUGEINT)").reduce((a, b) => s"($a + $b)")
+    s"""WITH lag AS (
+       |  SELECT o_orderpriority AS g,
+       |    epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000 AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |m AS (
+       |  SELECT $condAggs,
+       |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q, CAST(count(*) AS BIGINT) AS n
+       |  FROM lag),
+       |b AS (
+       |  SELECT CAST(${prioDomain.size} AS BIGINT) AS k, n,
+       |    $ssg - CAST($stot * $stot AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+       |    CAST(q AS DOUBLE) - $ssg AS ssw
+       |  FROM m)
+       |SELECT k, n, ssb, ssw,
+       |  (ssb / CAST(${prioDomain.size - 1} AS DOUBLE)) /
+       |  (ssw / CAST(n - ${prioDomain.size} AS DOUBLE)) AS f_stat
+       |FROM b""".stripMargin
+  }
+
   // ---- revenue concentration (Pareto 80/20 report) ---------------------------------
   /** How concentrated is revenue across customers: for each coverage
     * target (50/80/90% of total revenue), the minimum number of
