@@ -35,6 +35,7 @@ object SparkEntry {
     "q_sole_blame"         -> (AnalyticsQueries.qSoleBlame _),
     "q_anova_lag"          -> (AnalyticsQueries.qAnovaLag _),
     "q_dedup_sweep"        -> (LlmQueries.qDedupSweep _),
+    "q_keep_sweep"         -> (LlmQueries.qKeepSweep _),
     "q_zorder_layout"      -> (AnalyticsQueries.qZorderLayout _),
     "q_gap_fill"           -> (AnalyticsQueries.qGapFill _),
     "q_skyline"            -> (AnalyticsQueries.qSkyline _),
@@ -237,6 +238,8 @@ object SparkEntry {
     "q_anova_lag"          -> AnalyticsQueries.qAnovaLagSql,
     // exact threshold-sensitivity curve off one prefix-join pass
     "q_dedup_sweep"        -> LlmQueries.qDedupSweepSql,
+    // survivor counts per threshold: set-grain components vs 3 closures
+    "q_keep_sweep"         -> LlmQueries.qKeepSweepSql,
     // z-order audit: Morton interleave, per-file min/max pruning stats
     "q_zorder_layout"      -> AnalyticsQueries.qZorderLayoutSql,
     // calendar gap fill: dense spine + forward fill, filled flag

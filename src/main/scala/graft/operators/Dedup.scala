@@ -1121,6 +1121,28 @@ object Dedup {
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame = {
+    val (keyed, repPairs) = prefixRepPairs(docs, idCol, textCol, tNum, tDen, shingleN)
+    // expand rep pairs to doc pairs; identical-set pairs are jaccard 1.0
+    val cross = repPairs
+      .join(keyed.select(col("set_key").as("id_a"), col("id").as("ia")), "id_a")
+      .join(keyed.select(col("set_key").as("id_b"), col("id").as("ib")), "id_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val intra = keyed.as("a")
+      .join(keyed.as("b"), col("a.set_key") === col("b.set_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The prefix-filter join's SET-GRAIN substrate: (keyed, repPairs) where
+    * keyed = slim (id, set_key) and repPairs = exact verified
+    * (id_a, id_b, jaccard) over DISTINCT-set keys — for consumers that
+    * work at the canonical grain (keep-count sweeps, cluster reports)
+    * and must not pay the doc-pair expansion.
+    */
+  private[graft] def prefixRepPairs(docs: DataFrame, idCol: String, textCol: String,
+                                    tNum: Int, tDen: Int,
+                                    shingleN: Int = 1): (DataFrame, DataFrame) = {
     require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen outside (0,1]")
     val threshold = tNum.toDouble / tDen
     val units = setUnits(shingleN)
@@ -1188,15 +1210,6 @@ object Dedup {
         col("__i").cast("double") /
           (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
       .select("id_a", "id_b", "jaccard")
-    // expand rep pairs to doc pairs; identical-set pairs are jaccard 1.0
-    val cross = repPairs
-      .join(keyed.select(col("set_key").as("id_a"), col("id").as("ia")), "id_a")
-      .join(keyed.select(col("set_key").as("id_b"), col("id").as("ib")), "id_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
-    val intra = keyed.as("a")
-      .join(keyed.as("b"), col("a.set_key") === col("b.set_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
-    cross.unionByName(intra)
+    (keyed, repPairs)
   }
 }

@@ -120,6 +120,67 @@ object LlmQueries {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** Keep-count sweep: how many documents SURVIVE near-dup dedup at
+    * jaccard ≥ 0.7 / 0.8 / 0.9 — the corpus-planning companion to
+    * `q_dedup_sweep`'s pair counts (pairs say how much similarity exists;
+    * this says what the deduped corpus would actually be). One exact
+    * set-grain rep-pair pass at the floor threshold, then per threshold:
+    * filter edges, connected components at the DISTINCT-SET grain (the
+    * canonicalization means identical-set docs always collapse, so
+    * survivors = set-components — the doc-pair expansion never runs),
+    * n_kept = n_sets − touched + components. The oracle replays each
+    * threshold's transitive closure with a recursive CTE at the doc
+    * grain — result-equal because identical-set docs are jaccard-1.0
+    * connected at every threshold.
+    */
+  def qKeepSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val (keyed, repPairs) = Dedup.prefixRepPairs(docs, "doc_id", "text", 7, 10)
+    val rp = repPairs.persist()
+    graft.operators.Caches.register(rp)
+    val nSets = keyed.select("set_key").distinct().agg(count(lit(1)).as("n_sets"))
+    Seq(0.7, 0.8, 0.9).map { t =>
+      val e0 = rp.filter(col("jaccard") >= t)
+        .select(col("id_a").as("ga"), col("id_b").as("gb")).persist()
+      graft.operators.Caches.register(e0)
+      val comps = Dedup.ccMinWinners(e0, "set_key", maxRounds = 50,
+        collectEdgeThreshold = 1L << 22).agg(count(lit(1)).as("ncomp"))
+      val touched = e0.select(col("ga").as("k")).unionByName(e0.select(col("gb").as("k")))
+        .distinct().agg(count(lit(1)).as("touched"))
+      nSets.crossJoin(comps).crossJoin(touched)
+        .select(lit(t).as("threshold"),
+          (col("n_sets") - col("touched") + col("ncomp")).as("n_kept"))
+    }.reduce(_.unionByName(_)).orderBy("threshold")
+  }
+
+  val qKeepSweepSql: String = {
+    def closure(tag: String, t: String) =
+      s"""p$tag AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM w a, w b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= $t),
+         |e$tag AS (SELECT id_a AS src, id_b AS dst FROM p$tag
+         |          UNION ALL SELECT id_b, id_a FROM p$tag),
+         |r$tag(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e$tag.dst, r$tag.r FROM r$tag JOIN e$tag ON e$tag.src = r$tag.id),
+         |k$tag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_kept FROM (
+         |    SELECT id, min(r) AS m FROM r$tag GROUP BY id) x WHERE x.m = x.id)""".stripMargin
+    s"""WITH RECURSIVE w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |${closure("7", "0.7")},
+       |${closure("8", "0.8")},
+       |${closure("9", "0.9")}
+       |SELECT * FROM (
+       |  SELECT 0.7 AS threshold, n_kept FROM k7
+       |  UNION ALL SELECT 0.8, n_kept FROM k8
+       |  UNION ALL SELECT 0.9, n_kept FROM k9)
+       |ORDER BY threshold""".stripMargin
+  }
+
   /** Pairwise Pearson correlation matrix over three exact document
     * metrics (chars, whitespace tokens, distinct tokens) in ONE
     * aggregation pass — the profiling companion to `q_trend_fit`'s OLS:

@@ -21,6 +21,20 @@ class SweepParetoSpec extends SparkSpec {
       s"sweep 0.8 point ${curve(0.8)} != minhash route $at08")
   }
 
+  test("keep sweep: monotone increasing in threshold, 0.8 point equals the near-keep materializer") {
+    val curve = LlmQueries.qKeepSweep(spark, sfDir).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    Caches.release()
+    // higher threshold deletes less → more survivors
+    assert(curve(0.7) <= curve(0.8) && curve(0.8) <= curve(0.9))
+    val kept08 = LlmQueries.qDedupNearKeep(spark, sfDir).count()
+    Caches.release()
+    assert(curve(0.8) == kept08,
+      s"keep-sweep 0.8 point ${curve(0.8)} != near-keep materializer $kept08")
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(curve(0.9) <= nDocs)
+  }
+
   test("pareto report: rank identity on a closed-form ladder") {
     // revenues 100, 50, 30, 10, 10 (total 200): 50% needs 1 (100 ≥ 100),
     // 80% needs 3 (180 ≥ 160), 90% also 3 (180 hits 180 EXACTLY — the
