@@ -220,6 +220,34 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.Caches.release()
   }
 
+  test("prefix-filter join: candidate stage is an equi join, never a nested loop") {
+    val df = graft.queries.LlmQueries.qSetSimJoin(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidate generation degraded to a product join:\n$s")
+    graft.operators.Caches.release()
+  }
+
+  test("two-level running aggregates never run an unpartitioned window") {
+    // skyline + concurrency + pareto ride Scale.strictPrefixMax/runningSum;
+    // a global ORDER BY window (empty PARTITION BY) would move every row
+    // to one task — the exact failure mode the helpers exist to prevent
+    for (q <- Seq(AnalyticsQueries.qSkyline _, AnalyticsQueries.qConcurrency _,
+                  AnalyticsQueries.qParetoShare _)) {
+      val df = q(spark, sfDir)
+      df.collect()
+      val s = executed(df).toString
+      // every window in these plans comes from the two-level helpers, so
+      // each spec must be partitioned on the stamped __pid column
+      val bad = s.linesIterator
+        .filter(_.contains("windowspecdefinition("))
+        .filterNot(_.contains("__pid")).toSeq
+      assert(bad.isEmpty, s"window without __pid partitioning:\n${bad.mkString("\n")}")
+      graft.operators.Caches.release()
+    }
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)
