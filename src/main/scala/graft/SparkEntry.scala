@@ -99,6 +99,7 @@ object SparkEntry {
     "q_shard_assign"       -> (LlmQueries.qShardAssign _),
     "q_compaction_plan"    -> (LlmQueries.qCompactionPlan _),
     "q_ann_recall"         -> (LlmQueries.qAnnRecall _),
+    "q_ann_recall_ivf"     -> (LlmQueries.qAnnRecallIvf _),
     "q_snm_dedup"          -> (LlmQueries.qSnmDedup _),
     "q_label_prop"         -> (LlmQueries.qLabelProp _),
     "q_quality_dup_rate"   -> (LlmQueries.qQualityDupRate _),
@@ -356,6 +357,8 @@ object SparkEntry {
     "q_compaction_plan"    -> LlmQueries.qCompactionPlanSql,
     // ANN recall: LSH result ∩ brute-force truth, both legs SQL-replayed
     "q_ann_recall"         -> LlmQueries.qAnnRecallSql,
+    // IVF probe sweep: nprobe 2 vs 4 recall over the pinned fixture
+    "q_ann_recall_ivf"     -> LlmQueries.qAnnRecallIvfSql,
     // sorted-neighborhood pass: global order + (w-1) offset equi-join
     "q_snm_dedup"          -> LlmQueries.qSnmDedupSql,
     // label propagation: per-round vote join + window, seeds pinned

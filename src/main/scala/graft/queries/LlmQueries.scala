@@ -2244,7 +2244,12 @@ object LlmQueries {
     * [[Ann.ivfTopKWithCentroids]] stage for stage; cosine is the same
     * left-fold double formula as every other embedding oracle.
     */
-  def qAnnIvfSql: String = {
+  def qAnnIvfSql: String = ivfSqlAt(4)
+
+  /** The IVF oracle at a given nprobe — shared by the registered nprobe-4
+    * entry and the recall report's probe-sweep legs.
+    */
+  private def ivfSqlAt(nprobe: Int): String = {
     def cosSql(a: String, b: String): String =
       s"""(list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)), (acc,v) -> acc+v)
          | / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v))
@@ -2263,7 +2268,7 @@ object LlmQueries {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${cosSql("q.embedding", "t.centroid")} DESC, t.cid) AS pr
        |    FROM embeddings q CROSS JOIN cent t WHERE q.vec_id < 5) x
-       |  WHERE pr <= 4),
+       |  WHERE pr <= $nprobe),
        |s AS (
        |  SELECT p.query_id, a.vid AS neighbor_id,
        |    ${cosSql("q.embedding", "c.embedding")} AS cosine
@@ -4124,6 +4129,55 @@ object LlmQueries {
        |${agg("lsh_1x4", "a1")}
        |UNION ALL
        |${agg("lsh_8x4", "a8")}
+       |ORDER BY method, query_id""".stripMargin
+  }
+
+  /** IVF recall report — the probe-sweep companion to `q_ann_recall`'s
+    * LSH postures: recall@10 of nprobe = 2 vs 4 (of 16 cells) against the
+    * brute-force truth, per query. Both legs and the truth replay in SQL
+    * over the SAME pinned centroid fixture, so the recall numbers
+    * themselves are hash-gated; nprobe-4 recall provably dominates
+    * nprobe-2 per query (its probed cells are a superset and the exact
+    * rescoring makes recall = \|truth ∩ candidates\|).
+    */
+  def qAnnRecallIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10).persist()
+    graft.operators.Caches.register(truth)
+    val fixture = ivfCentroidFixture(dir)
+    lastIvfDir.set(dir)
+    pinFixtureOnce(() => Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      nlist = 16, iters = 1), fixture, s)
+    val pinned = s.read.parquet(fixture)
+    def leg(nprobe: Int, name: String) =
+      Ann.recallAtK(truth,
+          Ann.ivfTopKWithCentroids(q, emb, pinned, "vec_id", "embedding",
+            k = 10, nprobe = nprobe))
+        .withColumn("method", lit(name))
+    leg(2, "ivf_p2").union(leg(4, "ivf_p4"))
+      .select("method", "query_id", "n_truth", "n_hit", "recall")
+      .orderBy("method", "query_id")
+  }
+
+  // def, not val: the fixture path inside ivfSqlAt resolves from
+  // lastIvfDir, which the query sets at run time — a val would freeze the
+  // default before any query ran (same contract as qAnnIvfSql)
+  def qAnnRecallIvfSql: String = {
+    def agg(name: String, tbl: String) =
+      s"""SELECT '$name' AS method, t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN $tbl a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY 2""".stripMargin
+    s"""WITH truth AS ($qAnnCosineSql),
+       |p2 AS (${ivfSqlAt(2)}),
+       |p4 AS (${ivfSqlAt(4)})
+       |${agg("ivf_p2", "p2")}
+       |UNION ALL
+       |${agg("ivf_p4", "p4")}
        |ORDER BY method, query_id""".stripMargin
   }
 

@@ -42,4 +42,21 @@ class AnnRecallSpec extends SparkSpec {
     r1.keySet.foreach(q => assert(r8(q) >= r1(q),
       s"query $q: 8-table recall ${r8(q)} < 1-table ${r1(q)}"))
   }
+
+  test("ivf probe sweep: nprobe-4 recall dominates nprobe-2 per query (superset cells)") {
+    val rows = graft.queries.LlmQueries.qAnnRecallIvf(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    graft.operators.Caches.release()
+    val byMethod = rows.groupBy(_._1)
+    assert(byMethod.keySet === Set("ivf_p2", "ivf_p4"))
+    rows.foreach { case (_, _, nTruth, nHit, recall) =>
+      assert(nTruth === 10L)
+      assert(math.abs(recall - nHit.toDouble / nTruth) < 1e-15)
+    }
+    val p2 = byMethod("ivf_p2").map(r => r._2 -> r._5).toMap
+    val p4 = byMethod("ivf_p4").map(r => r._2 -> r._5).toMap
+    assert(p2.keySet === p4.keySet)
+    p2.keySet.foreach(q => assert(p4(q) >= p2(q),
+      s"query $q: nprobe-4 recall ${p4(q)} < nprobe-2 ${p2(q)} — probed cells are a superset"))
+  }
 }
