@@ -191,13 +191,13 @@ object TfIdf {
       .agg(sum((col("qtf") * col("ctf") * col("idf_u")).cast("decimal(38,0)"))
         .as("score_u"))
     val sim = pairs
-      .join(norms.select(col("doc_id").as("query_id"), col("norm_u").as("qn")), "query_id")
-      .join(norms.select(col("doc_id").as("cand_id"), col("norm_u").as("cn")), "cand_id")
+      .join(norms.select(col("doc_id").as("query_id"), col("norm_u").as("qn_u")), "query_id")
+      .join(norms.select(col("doc_id").as("cand_id"), col("norm_u").as("cn_u")), "cand_id")
       .withColumn("sim", col("score_u").cast("double") /
-        (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+        (sqrt(col("qn_u").cast("double")) * sqrt(col("cn_u").cast("double"))))
     val win = Window.partitionBy("query_id").orderBy(col("score_u").desc, col("cand_id"))
     sim.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "score_u", "sim", "rank")
+      .select("query_id", "cand_id", "score_u", "qn_u", "cn_u", "sim", "rank")
   }
 }

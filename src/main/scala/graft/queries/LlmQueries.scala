@@ -1601,10 +1601,18 @@ object LlmQueries {
   /** Doc-to-doc retrieval: top-10 most similar documents for each of five
     * query docs — see [[TfIdf.moreLikeThis]] for the exact-integer
     * idf-weighted dot ranking and the query-bounded posting join.
+    *
+    * Determinism: the gated projection is ALL exact integers — the dot
+    * `score_u` plus both squared norms `qn_u`/`cn_u` (decimal(38,0) /
+    * HUGEINT). The cosine is derivable as score_u/(√qn_u·√cn_u) but the
+    * raw double stays OUT of the hash gate: r9's only red row was this
+    * query's unpinned sqrt-divide double drifting on the driver while
+    * value-exact locally, so the contract is now integers-only.
     */
   def qMoreLikeThis(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.moreLikeThis(table(s, dir, "documents"), "doc_id", "text",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .select("query_id", "cand_id", "score_u", "qn_u", "cn_u", "rank")
       .orderBy("query_id", "rank")
 
   val qMoreLikeThisSql: String =
@@ -1626,11 +1634,10 @@ object LlmQueries {
       |  GROUP BY 1, 2),
       |s AS (
       |  SELECT p.query_id, p.cand_id, p.score_u,
-      |    CAST(p.score_u AS DOUBLE) /
-      |      (sqrt(CAST(nq.norm_u AS DOUBLE)) * sqrt(CAST(nc.norm_u AS DOUBLE))) AS sim
+      |    nq.norm_u AS qn_u, nc.norm_u AS cn_u
       |  FROM p JOIN nrm nq ON nq.doc_id = p.query_id
       |         JOIN nrm nc ON nc.doc_id = p.cand_id)
-      |SELECT query_id, cand_id, score_u, sim, rank FROM (
+      |SELECT query_id, cand_id, score_u, qn_u, cn_u, rank FROM (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, cand_id) AS INT) AS rank
       |  FROM s) t
       |WHERE rank <= 10

@@ -32,15 +32,17 @@ class MoreLikeThisSpec extends SparkSpec {
       }.filter(_._2 > 0)
       scores.sortBy { case (c, s) => (-s, c) }.take(10).zipWithIndex.map {
         case ((c, s), i) =>
-          val sim = s.toDouble / (math.sqrt(norm(q).toDouble) * math.sqrt(norm(c).toDouble))
-          (q, c, s, sim, i + 1)
+          val qn = norm(q); val cn = norm(c)
+          val sim = s.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(cn.toDouble))
+          (q, c, s, qn, cn, sim, i + 1)
       }
     }.toSet
     val got = operators.TfIdf.moreLikeThis(
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", queries, 10)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
-        r.getDouble(3), r.getInt(4)))
+        BigInt(r.getDecimal(3).toBigInteger), BigInt(r.getDecimal(4).toBigInteger),
+        r.getDouble(5), r.getInt(6)))
       .toSet
     assert(got === model)
     assert(got.nonEmpty)
