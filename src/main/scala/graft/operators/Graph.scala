@@ -357,8 +357,11 @@ object Graph {
     val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     Caches.register(e)
-    val nodes = e.select(col("src").as("node")).distinct()
-    var dist = nodes.filter(col("node").isin(seeds: _*))
+    // seed the round-0 frame from the literal seed list, NOT the
+    // edge-incident node set: a seed with no edges is still at distance 0
+    // ("every node reachable from the seed set" includes the seeds)
+    import edges.sparkSession.implicits._
+    var dist = seeds.distinct.toDF("node")
       .select(col("node"), lit(0L).as("hops")).localCheckpoint()
     for (_ <- 0 until rounds) {
       val nbr = e.join(dist.select(col("node").as("src"), col("hops")), "src")

@@ -97,9 +97,12 @@ object Profile {
     */
   def drift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
     val perCol = cols.map { c =>
-      val ca = a.groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("ca"))
-      val cb = b.groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("cb"))
-      val j = ca.join(cb, Seq("v"), "full_outer")
+      val ca = a.groupBy(col(c).cast("string").as("va")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col(c).cast("string").as("vb")).agg(count(lit(1)).as("cb"))
+      // null-safe key: NULL is a real distribution value here (a column
+      // that is 30% null in both snapshots must report tv = 0, not 0.3);
+      // a plain equi-join would orphan both null rows and double-count
+      val j = ca.join(cb, ca("va") <=> cb("vb"), "full_outer")
         .select(coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
         .persist()
       Caches.register(j)

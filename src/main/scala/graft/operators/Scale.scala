@@ -92,6 +92,16 @@ object Scale {
     stamped
   }
 
+  /** The prefix scans accumulate `valueCol` as long; a fractional value
+    * column would silently truncate, so integral input types only.
+    */
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    val t = df.schema(c).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(t.toString),
+      s"$op valueCol '$c' must be integral, got $t")
+  }
+
   /** Distributed running SUM of `valueCol` in `orderCols` order (frame =
     * unbounded preceding .. current row) — the scale-correct replacement
     * for `SUM() OVER (ORDER BY …)` with an empty PARTITION BY, which moves
@@ -108,6 +118,7 @@ object Scale {
     */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
                  out: String): DataFrame = {
+    requireIntegral(df, valueCol, "runningSum")
     val stamped = rangeStamped(df, orderCols)
     val totals = stamped.groupBy("__pid").agg(sum(col(valueCol).cast("long")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -136,6 +147,7 @@ object Scale {
     */
   def strictPrefixMax(df: DataFrame, orderCols: Seq[String], valueCol: String,
                       out: String): DataFrame = {
+    requireIntegral(df, valueCol, "strictPrefixMax")
     val stamped = rangeStamped(df, orderCols)
     val maxes = stamped.groupBy("__pid").agg(max(col(valueCol).cast("long")).as("m"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

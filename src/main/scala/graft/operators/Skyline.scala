@@ -22,6 +22,12 @@ object Skyline {
     * survive together (no strict dominator), matching the definition.
     */
   def pareto2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    // the scan compares maxCol as long; a fractional axis would truncate
+    // and silently return wrong skyline rows, so integral types only
+    val maxType = df.schema(maxCol).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(maxType.toString),
+      s"pareto2d maxCol '$maxCol' must be integral, got $maxType")
     val g = df.groupBy(col(minCol).as("__x")).agg(max(col(maxCol).cast("long")).as("__gmax"))
     val scanned = Scale.strictPrefixMax(g, Seq("__x"), "__gmax", "__before")
     df.join(scanned, df(minCol) === scanned("__x"))

@@ -1359,6 +1359,13 @@ object AnalyticsQueries {
     * fixed point are no-ops, so over-unrolling is safe, which is what
     * lets a fixed-depth SQL replay gate a run-to-convergence operator).
     */
+  /** Peel rounds the SQL oracle unrolls — must upper-bound the operator's
+    * measured convergence on every gated fixture (2 at sf0.01, 4 at
+    * sf0.1; GraphExtraSpec gates kCore(maxRounds = kcoreUnrollRounds)
+    * so a fixture needing more rounds fails the spec, not the oracle).
+    */
+  val kcoreUnrollRounds = 8
+
   def qKcore(s: SparkSession, dir: String): DataFrame = {
     val edges = table(s, dir, "orders").join(table(s, dir, "lineitem"),
         col("l_orderkey") === col("o_orderkey"))
@@ -1372,7 +1379,7 @@ object AnalyticsQueries {
   }
 
   val qKcoreSql: String = {
-    val rounds = (1 to 8).map { r =>
+    val rounds = (1 to kcoreUnrollRounds).map { r =>
       val prev = if (r == 1) "a0" else s"a${r - 1}"
       s"""a$r AS MATERIALIZED (
          |  SELECT eb.src AS node, CAST(count(*) AS BIGINT) AS deg
@@ -1388,7 +1395,7 @@ object AnalyticsQueries {
        |      SELECT dst AS src, src AS dst FROM e0),
        |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM eb),
        |$rounds
-       |SELECT node, deg FROM a8 ORDER BY node""".stripMargin
+       |SELECT node, deg FROM a$kcoreUnrollRounds ORDER BY node""".stripMargin
   }
 
   // ---- multi-source BFS neighborhood ---------------------------------------
@@ -1424,8 +1431,7 @@ object AnalyticsQueries {
        |eb AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |d0 AS (
        |  SELECT node, CAST(0 AS BIGINT) AS hops
-       |  FROM (SELECT DISTINCT src AS node FROM eb)
-       |  WHERE node IN ('c1', 'c2', 'c3')),
+       |  FROM (VALUES ('c1'), ('c2'), ('c3')) v(node)),
        |$rounds
        |SELECT node, hops FROM d3 ORDER BY node""".stripMargin
   }

@@ -380,7 +380,8 @@ object SourceQueries {
       s"""ca_$c AS (SELECT $c AS v, CAST(count(*) AS BIGINT) AS ca FROM a GROUP BY 1),
          |cb_$c AS (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
          |j_$c AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-         |         FROM ca_$c FULL OUTER JOIN cb_$c USING (v)),
+         |         FROM ca_$c FULL OUTER JOIN cb_$c
+         |           ON ca_$c.v IS NOT DISTINCT FROM cb_$c.v),
          |t_$c AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j_$c)""".stripMargin
     s"""WITH a AS (
        |  SELECT lang, source, CAST(n_chars // 100 AS VARCHAR) AS n_chars_bucket

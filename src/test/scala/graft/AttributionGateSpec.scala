@@ -16,7 +16,10 @@ class AttributionGateSpec extends SparkSpec {
     val in = MemoryStream[(Long, Long, Long, String, Long)]
     val ev = in.toDF().toDF("user_id", "ts_ms", "event_id", "event_type", "value_u")
     val name = s"attr_out_${batches.map(_.size).sum}_${batches.size}"
-    val q = AttributionGate.attribute(ev)
+    // fixture timestamps sit near the 1970 epoch across wildly different
+    // "days", so park the watermark below them all: these tests pin the
+    // credit semantics, not the eviction (which has its own test below)
+    val q = AttributionGate.attribute(ev, lateness = "3650 days")
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
@@ -39,6 +42,31 @@ class AttributionGateSpec extends SparkSpec {
     ))
     assert(got == Map(3L -> "click", 6L -> "click", 8L -> "none",
       10L -> "none", 11L -> "none"))
+  }
+
+  test("state is evicted once the watermark passes touch + 7d (bounded to active users)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Long)]
+    val ev = in.toDF().toDF("user_id", "ts_ms", "event_id", "event_type", "value_u")
+    val q = AttributionGate.attribute(ev, lateness = "1 day")
+      .writeStream.format("memory").queryName("attr_evict").outputMode("append").start()
+    try {
+      // base > 0: the initial watermark is epoch 0 and the event-time
+      // timeout path filters rows at-or-under the watermark as late
+      val base = 400L * day
+      in.addData((1L, base, 1L, "click", 0L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L)
+      // watermark moves to base+1d — under touch+7d, user 1's state kept
+      in.addData((2L, base + 2L * day, 2L, "click", 0L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2L)
+      // watermark moves to base+19d — past user 1's timeout, cell evicted
+      // (processAllAvailable includes the no-data batch the advance triggers)
+      in.addData((2L, base + 20L * day, 3L, "view", 0L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L)
+    } finally q.stop()
   }
 
   test("one batch of the real stream equals the batch query's per-purchase credit") {

@@ -28,6 +28,21 @@ class DriftSampleSpec extends SparkSpec {
     assert(one == 1.0)
   }
 
+  test("drift: identical null mass on both sides is zero drift, not double-counted") {
+    // 50% null in BOTH snapshots: a null-unsafe join would orphan each
+    // side's null row and report tv = 0.5; the null-safe key gives 0
+    val a = Seq(Some("a"), None).toDF("v")
+    val b = Seq(Some("a"), None).toDF("v")
+    val tv = Profile.drift(a, b, Seq("v")).first().getDouble(1)
+    Caches.release()
+    assert(tv == 0.0)
+    // and null mass still drifts like any other value: A 1/2 null, B 0 null
+    val c = Seq(Some("a"), Some("a")).toDF("v")
+    val tv2 = Profile.drift(a, c, Seq("v")).first().getDouble(1)
+    Caches.release()
+    assert(tv2 == 0.5)
+  }
+
   test("drift: value present in only one snapshot contributes its full mass") {
     val a = Seq("a", "b").toDF("v")
     val b = Seq("a", "a").toDF("v")

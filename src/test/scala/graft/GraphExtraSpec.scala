@@ -54,7 +54,11 @@ class GraphExtraSpec extends SparkSpec {
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
     val pairs = edges.collect().map(r => r.getString(0) -> r.getString(1)).toSeq
-    val got = Graph.kCore(edges, "src", "dst", k = 2)
+    // maxRounds = the oracle's unroll depth: the operator's own
+    // convergence require fails here if the gated fixture ever needs
+    // more peel rounds than qKcoreSql replays
+    val got = Graph.kCore(edges, "src", "dst", k = 2,
+        maxRounds = graft.queries.AnalyticsQueries.kcoreUnrollRounds)
       .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
     Caches.release()
     assert(got == kCoreRef(pairs, 2))
@@ -62,8 +66,8 @@ class GraphExtraSpec extends SparkSpec {
 
   private def bfsRef(edges: Seq[(String, String)], seeds: Seq[String],
                      rounds: Int): Map[String, Long] = {
-    val adj = sym(edges)
-    var dist = seeds.filter(adj.contains).map(_ -> 0L).toMap
+    val adj = sym(edges).withDefaultValue(Set.empty[String])
+    var dist = seeds.map(_ -> 0L).toMap
     for (r <- 1 to rounds) {
       val nf = dist.filter(_._2 == r - 1).keys
         .flatMap(adj(_)).filterNot(dist.contains)
@@ -86,6 +90,16 @@ class GraphExtraSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     Caches.release()
     assert(g3 == Map("s" -> 0L, "a" -> 1L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("bfsHops: a seed with no edges is reported at distance 0, not dropped") {
+    val edges = Seq("a" -> "b")
+    val got = Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        Seq("a", "z"), 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    Caches.release()
+    assert(got == Map("a" -> 0L, "b" -> 1L, "z" -> 0L))
+    assert(got == bfsRef(edges, Seq("a", "z"), 2))
   }
 
   private def hitsRef(edges: Seq[(String, String)], iters: Int,
