@@ -128,6 +128,7 @@ object SparkEntry {
     "q_knn_graph"          -> (LlmQueries.qKnnGraph _),
     "q_knn_graph_prod"     -> (LlmQueries.qKnnGraphProd _),
     "q_label_purity"       -> (LlmQueries.qLabelPurity _),
+    "q_label_purity_prod"  -> (LlmQueries.qLabelPurityProd _),
     "q_dedup_embed_lsh"    -> (LlmQueries.qDedupEmbedLsh _),
     "q_dedup_embed_lsh_prod" -> (LlmQueries.qDedupEmbedLshProd _),
     "q_semdedup"           -> (LlmQueries.qSemdedup _),
@@ -335,6 +336,7 @@ object SparkEntry {
     "q_knn_graph_prod"     -> LlmQueries.qKnnGraphProdSql,
     // per-label neighbor agreement over the knn edge list
     "q_label_purity"       -> LlmQueries.qLabelPuritySql,
+    "q_label_purity_prod"  -> LlmQueries.qLabelPurityProdSql,
     // multi-table LSH route forced under the brute all-pairs oracle — the
     // (32 tables × 2 planes) config saturates recall on this corpus
     "q_dedup_embed_lsh"    -> LlmQueries.qDedupEmbedSql,

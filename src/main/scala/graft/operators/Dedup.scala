@@ -16,20 +16,34 @@ object Dedup {
 
   /** Exact duplicate groups by content fingerprint. One groupBy shuffle with
     * map-side combine; at 100 TB the md5 keys shuffle, not the documents.
-    * The id-list payload is per-fingerprint-bounded — this is the audit
-    * view; the dedup MATERIALIZER ([[dropDuplicatesExact]]) aggregates only
-    * min(id) per fingerprint and is safe under pathological duplication
-    * (a boilerplate page with 10⁸ copies costs one min, not a 10⁸ array).
+    * `n_docs`/`keep_id` are exact; the `doc_ids` audit sample carries only
+    * the `sampleCap` numerically-lowest ids (string-sorted for display,
+    * with the cap published as `sample_cap`), so the payload is BOUNDED
+    * under pathological duplication — a boilerplate page with 10⁸ copies
+    * contributes 16 ids, not a 10⁸-element array. The cap rides Spark's
+    * WindowGroupLimit (row_number ≤ cap pushes a partial limit BEFORE the
+    * exchange), so oversize groups are trimmed map-side, not just at agg
+    * time. The dedup MATERIALIZER ([[dropDuplicatesExact]]) aggregates
+    * only min(id) per fingerprint.
     */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol), TextFunctions.contentFingerprint(col(textCol)).as("fingerprint"))
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+                  sampleCap: Int = 16): DataFrame = {
+    require(sampleCap >= 1, s"sampleCap must be >= 1, got $sampleCap")
+    val fp = docs.select(col(idCol).as("__id"),
+      TextFunctions.contentFingerprint(col(textCol)).as("fingerprint"))
+    val stats = fp.groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("keep_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fingerprint").orderBy("__id")
+    val sample = fp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= sampleCap)
       .groupBy("fingerprint")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        min(col(idCol)).as("keep_id"),
-        array_join(sort_array(collect_list(col(idCol).cast("string"))), ",").as("doc_ids")
-      )
+      .agg(array_join(sort_array(collect_list(col("__id").cast("string"))), ",")
+        .as("doc_ids"))
+    stats.join(sample, "fingerprint")
+      .select(col("fingerprint"), col("n_docs"), col("keep_id"), col("doc_ids"),
+        lit(sampleCap).as("sample_cap"))
+  }
 
   /** The dedup OUTPUT: one surviving row per distinct content fingerprint
     * (lowest id wins). Shuffles only (fingerprint, id) pairs, then

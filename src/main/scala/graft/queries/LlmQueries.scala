@@ -15,16 +15,30 @@ object LlmQueries {
   private val wordSetSql = """list_distinct(string_split_regex(lower(trim(text)), '\s+'))"""
 
   // ---- exact dedup -------------------------------------------------------
+  /** `n_docs`/`keep_id` exact; `doc_ids` is the sampleCap=16 bounded audit
+    * sample (numerically-lowest ids, string-sorted for display) — see
+    * [[Dedup.exactGroups]] for the WindowGroupLimit bound.
+    */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")
       .orderBy("fingerprint")
 
   val qDedupExactSql: String =
-    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-      |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
-      |  array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
-      |FROM documents
-      |GROUP BY fingerprint
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents),
+      |st AS (SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |       FROM fp GROUP BY fingerprint),
+      |capped AS (
+      |  SELECT fingerprint, doc_id FROM (
+      |    SELECT fingerprint, doc_id,
+      |      row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      |    FROM fp) t WHERE rn <= 16),
+      |ids AS (SELECT fingerprint,
+      |          array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
+      |        FROM capped GROUP BY fingerprint)
+      |SELECT st.fingerprint, st.n_docs, st.keep_id, ids.doc_ids, 16 AS sample_cap
+      |FROM st JOIN ids USING (fingerprint)
       |ORDER BY fingerprint""".stripMargin
 
   def qDedupKeep(s: SparkSession, dir: String): DataFrame =
@@ -1538,10 +1552,11 @@ object LlmQueries {
     * label) columns join the edge list twice, one per-label aggregation
     * (distinct sources + edge/match counts), ONE pinned division.
     */
-  def qLabelPurity(s: SparkSession, dir: String): DataFrame = {
+  private def labelPurityAt(s: SparkSession, dir: String,
+                            nTables: Int, planes: Int): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val g = Ann.knnGraph(emb, "vec_id", "embedding", k = 5,
-      nTables = 2, planesPerTable = 4)
+      nTables = nTables, planesPerTable = planes)
     val lab = emb.select(col("vec_id"), col("label"))
     g.join(lab.select(col("vec_id").as("src_id"), col("label").as("label")), "src_id")
       .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
@@ -1554,9 +1569,22 @@ object LlmQueries {
       .orderBy("label")
   }
 
-  val qLabelPuritySql: String =
+  def qLabelPurity(s: SparkSession, dir: String): DataFrame =
+    labelPurityAt(s, dir, nTables = 2, planes = 4)
+
+  /** The purity report a production run would ship: same aggregation over
+    * the PRODUCTION 8×16 knn graph ([[qKnnGraphProd]]) — the embedding-
+    * quality number you'd gate a training mix on rides the scale posture,
+    * not the oracle-saturation 2×4 twin (which stays registered as
+    * [[qLabelPurity]]). Config-only on the same machinery, the
+    * `q_knn_graph_prod` precedent.
+    */
+  def qLabelPurityProd(s: SparkSession, dir: String): DataFrame =
+    labelPurityAt(s, dir, nTables = 8, planes = 16)
+
+  private def labelPuritySqlAt(nTables: Int, planes: Int): String =
     s"""WITH g AS (
-       |${knnGraphInnerSql(2, 4)}),
+       |${knnGraphInnerSql(nTables, planes)}),
        |j AS (
        |  SELECT sl.label AS label, g.src_id, nl.label AS n_label
        |  FROM g JOIN embeddings sl ON sl.vec_id = g.src_id
@@ -1567,6 +1595,9 @@ object LlmQueries {
        |  CAST(sum(CASE WHEN label = n_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS purity
        |FROM j GROUP BY label
        |ORDER BY label""".stripMargin
+
+  val qLabelPuritySql: String = labelPuritySqlAt(2, 4)
+  val qLabelPurityProdSql: String = labelPuritySqlAt(8, 16)
 
   // ---- positional phrase search ---------------------------------------------
   /** Exact-phrase retrieval over the corpus — see

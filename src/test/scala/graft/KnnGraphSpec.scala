@@ -53,6 +53,26 @@ class KnnGraphSpec extends SparkSpec {
     gotPurity.foreach { case (_, _, _, _, p) => assert(p >= 0.0 && p <= 1.0) }
   }
 
+  test("prod purity report aggregates the prod (8x16) graph exactly") {
+    // the production purity numbers must be the per-label aggregation of
+    // the PRODUCTION graph (q_knn_graph_prod's edges), not the 2x4 one
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = queries.LlmQueries.qKnnGraphProd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val model = edges.groupBy(e => labels(e._1)).map { case (l, es) =>
+      val matches = es.count(e => labels(e._2) == l)
+      (l, es.map(_._1).distinct.size.toLong, es.size.toLong, matches.toLong,
+        matches.toDouble / es.size)
+    }.toSet
+    val got = queries.LlmQueries.qLabelPurityProd(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === model)
+    assert(got.nonEmpty)
+  }
+
   test("prod posture (8x16): planted twins collide in every table and rank first") {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").orderBy("vec_id").limit(20)

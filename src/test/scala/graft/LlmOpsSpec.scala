@@ -22,6 +22,29 @@ class LlmOpsSpec extends SparkSpec {
     val out = Dedup.exactGroups(docs, "doc_id", "text").orderBy("keep_id").collect()
     assert(out.length == 2)
     assert(out.head.getAs[Long]("n_docs") == 2 && out.head.getAs[String]("doc_ids") == "1,2")
+    assert(out.head.getAs[Int]("sample_cap") == 16)
+  }
+
+  test("exact dedup audit sample is bounded under a planted mega-group") {
+    // 100 copies of the same page: stats stay exact, the id sample carries
+    // only the cap lowest ids, and the cap is pushed below the exchange
+    val docs = ((1L to 100L).map(i => (i, "boiler plate page")) :+ (200L, "unique"))
+      .toDF("doc_id", "text")
+    val df = Dedup.exactGroups(docs, "doc_id", "text", sampleCap = 5)
+    // the house TopKRewriteRule turns the row_number window into the native
+    // graft_topk heap aggregate (partial heaps BEFORE the exchange — even
+    // tighter than Spark's WindowGroupLimit); accept either bounded plan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_topk") || opt.contains("WindowGroupLimit"),
+      s"no group-limit pushdown:\n$opt")
+    val out = df.orderBy("keep_id").collect()
+    assert(out.length == 2)
+    val mega = out.head
+    assert(mega.getAs[Long]("n_docs") == 100L)
+    assert(mega.getAs[Long]("keep_id") == 1L)
+    assert(mega.getAs[String]("doc_ids") == "1,2,3,4,5")
+    assert(mega.getAs[Int]("sample_cap") == 5)
+    assert(out(1).getAs[String]("doc_ids") == "200")
   }
 
   test("minhash-LSH finds near-dup pair, exact jaccard filters") {
