@@ -50,6 +50,8 @@ object SparkEntry {
     "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
+    "q_mv_quantile_refresh" -> (AnalyticsQueries.qMvQuantileRefresh _),
+    "q_quantile_sketch_read" -> (AnalyticsQueries.qQuantileSketchRead _),
     "q_ship_lag"           -> (AnalyticsQueries.qShipLag _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
@@ -270,6 +272,8 @@ object SparkEntry {
     "q_mv_refresh"         -> AnalyticsQueries.qMvRefreshSql,
     // sketch-MV: per-(day,bucket) HLL register max-merge
     "q_mv_hll_refresh"     -> AnalyticsQueries.qMvHllRefreshSql,
+    "q_mv_quantile_refresh" -> AnalyticsQueries.qMvQuantileRefreshSql,
+    "q_quantile_sketch_read" -> AnalyticsQueries.qQuantileSketchReadSql,
     // ship-lag SLA percentiles: histogram-CDF per priority
     "q_ship_lag"           -> AnalyticsQueries.qShipLagSql,
     // skew audit: integer bit-length buckets, pinned share division

@@ -1751,6 +1751,84 @@ object AnalyticsQueries {
       |FROM mv FULL OUTER JOIN d ON mv.day = d.day
       |ORDER BY day""".stripMargin
 
+  // ---- incremental quantile-sketch MV refresh --------------------------------
+  /** Percentile MV maintained INCREMENTALLY — the gap the r9 verdict named:
+    * [[qMvHllRefresh]] maintains DISTINCT counts by register max-merge,
+    * but every percentile operator re-reads the full value-grain histogram
+    * per refresh. [[graft.operators.Hdr]]'s log2-linear sketch closes it:
+    * per-(priority, bucket) counts merge by ADDITION, so refresh ≡ rebuild
+    * bitwise (spec-asserted) and the standing sketch is
+    * |keys|·O(64·2^s)-bounded at ANY corpus scale. Same harness split as
+    * [[qMvRefresh]]: 90% "already ingested" builds the MV, the md5-selected
+    * 10% "late batch" merges in. Output is the refreshed sketch table.
+    */
+  def qMvQuantileRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Hdr
+    val o = table(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"),
+        (graft.plans.NativeHash.md5Mod(col("o_orderkey").cast("string"), 10L) === 0).as("late"))
+    Hdr.mergeBy(
+        Hdr.sketchBy(o.filter(!col("late")), Seq("o_orderpriority"), "rev_u", subBits = 5),
+        Hdr.sketchBy(o.filter(col("late")), Seq("o_orderpriority"), "rev_u", subBits = 5),
+        Seq("o_orderpriority"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
+  private val hdrBucketSql =
+    """CASE WHEN v < 32 THEN v
+      |     ELSE (length(bin(v)) - 1 - 5) * 32
+      |          + v // CAST(power(2, length(bin(v)) - 1 - 5) AS BIGINT) END""".stripMargin
+
+  private val hdrSketchSql =
+    s"""o AS (
+       |  SELECT o_orderpriority, CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS v,
+       |    md5_number_lower(CAST(o_orderkey AS VARCHAR)) % 10 = 0 AS late
+       |  FROM orders),
+       |b AS (SELECT o_orderpriority, late, $hdrBucketSql AS bucket FROM o),
+       |mv AS (SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM b WHERE NOT late GROUP BY 1, 2),
+       |d AS (SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM b WHERE late GROUP BY 1, 2),
+       |m AS (SELECT o_orderpriority, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+       |      FROM (SELECT * FROM mv UNION ALL SELECT * FROM d) u GROUP BY 1, 2)""".stripMargin
+
+  val qMvQuantileRefreshSql: String =
+    s"""WITH $hdrSketchSql
+       |SELECT o_orderpriority, bucket, cnt FROM m
+       |ORDER BY o_orderpriority, bucket""".stripMargin
+
+  /** The quantile READ off the refreshed sketch: per priority, n plus the
+    * p50/p95/p99 bucket lower bounds (true quantile ∈ [reported, next
+    * bucket) — relative error ≤ 2⁻⁵, spec-asserted vs the exact driver
+    * percentile). Thresholds compare cum·den ≥ n·num in integers; the
+    * whole chain (split, sketch build, merge, CDF walk, inverse-bucket
+    * map) replays in SQL.
+    */
+  def qQuantileSketchRead(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hdr.quantiles(qMvQuantileRefresh(s, dir), Seq("o_orderpriority"),
+        subBits = 5, ps = Seq((1, 2, "p50_lb"), (19, 20, "p95_lb"), (99, 100, "p99_lb")))
+      .orderBy("o_orderpriority")
+
+  val qQuantileSketchReadSql: String =
+    s"""WITH $hdrSketchSql,
+       |cum AS (
+       |  SELECT o_orderpriority, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS hi,
+       |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM m),
+       |lb AS (
+       |  SELECT *, CASE WHEN bucket < 32 THEN bucket
+       |                 ELSE (bucket - (bucket // 32 - 1) * 32)
+       |                      * CAST(power(2, bucket // 32 - 1) AS BIGINT) END AS lo
+       |  FROM cum)
+       |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_rows,
+       |  CAST(min(CASE WHEN hi * 2 >= n THEN lo END) AS BIGINT) AS p50_lb,
+       |  CAST(min(CASE WHEN hi * 20 >= n * 19 THEN lo END) AS BIGINT) AS p95_lb,
+       |  CAST(min(CASE WHEN hi * 100 >= n * 99 THEN lo END) AS BIGINT) AS p99_lb
+       |FROM lb GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ---- calendar gap fill ----------------------------------------------------
   /** Forward-filled daily revenue over a dense calendar spine — the
     * panel-data operator behind every "carry last observation forward"
