@@ -52,6 +52,9 @@ object SparkEntry {
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
     "q_mv_quantile_refresh" -> (AnalyticsQueries.qMvQuantileRefresh _),
     "q_quantile_sketch_read" -> (AnalyticsQueries.qQuantileSketchRead _),
+    "q_range_split_plan"   -> (AnalyticsQueries.qRangeSplitPlan _),
+    "q_dict_encode"        -> (AnalyticsQueries.qDictEncode _),
+    "q_orc_roundtrip"      -> (SourceQueries.qOrcRoundtrip _),
     "q_ship_lag"           -> (AnalyticsQueries.qShipLag _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
     "q_pivot"              -> (AnalyticsQueries.qPivot _),
@@ -274,6 +277,9 @@ object SparkEntry {
     "q_mv_hll_refresh"     -> AnalyticsQueries.qMvHllRefreshSql,
     "q_mv_quantile_refresh" -> AnalyticsQueries.qMvQuantileRefreshSql,
     "q_quantile_sketch_read" -> AnalyticsQueries.qQuantileSketchReadSql,
+    "q_range_split_plan"   -> AnalyticsQueries.qRangeSplitPlanSql,
+    "q_dict_encode"        -> AnalyticsQueries.qDictEncodeSql,
+    "q_orc_roundtrip"      -> SourceQueries.qOrcRoundtripSql,
     // ship-lag SLA percentiles: histogram-CDF per priority
     "q_ship_lag"           -> AnalyticsQueries.qShipLagSql,
     // skew audit: integer bit-length buckets, pinned share division

@@ -79,6 +79,32 @@ object Hdr {
       .groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(sum("cnt").as("cnt"))
 
+  /** Range-partition SPLIT PLAN off a sketch: per key, the `parts − 1`
+    * boundary values (bucket lower bounds) where the CDF crosses j·n/parts,
+    * plus the exact row count at-or-under each boundary's bucket. This is
+    * the deterministic replacement for Spark's sampled RangePartitioner at
+    * 100 TB: the standing sketch already knows the distribution, so split
+    * points cost one |sketch|-sized walk — no re-sampling pass over the
+    * corpus, no sampling nondeterminism between runs, and each resulting
+    * range holds n/parts rows within one bucket's mass (≤ 2⁻ˢ relative).
+    */
+  def splitPlan(sketch: DataFrame, keyCols: Seq[String], subBits: Int,
+                parts: Int): DataFrame = {
+    require(parts >= 2, s"parts must be >= 2, got $parts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy("bucket")
+    val cum = sketch
+      .withColumn("hi", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
+      .withColumn("lo", lowerBound(col("bucket"), subBits))
+      // |keys|·|buckets|·(parts−1) rows — control-plane sized
+      .withColumn("split_no", explode(sequence(lit(1), lit(parts - 1))))
+      .filter(col("hi") * lit(parts) >= col("n") * col("split_no"))
+    cum.groupBy((keyCols :+ "split_no").map(col): _*)
+      .agg(min("lo").as("split_lb"), min("hi").as("rows_le"))
+  }
+
   /** Quantile read off a sketch: per key, the lower bound of the bucket
     * holding the ⌈num/den·n⌉-th value, for each (num, den, name) —
     * integer threshold compare (cum·den ≥ n·num), windows partitioned by

@@ -1829,6 +1829,58 @@ object AnalyticsQueries {
        |FROM lb GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---- range-partition split plan off the quantile sketch --------------------
+  /** Balanced range-partitioning boundaries WITHOUT a sampling pass — the
+    * planner behind "repartitionByRange this 100 TB fact table into 16
+    * balanced shards": Spark's RangePartitioner re-samples the corpus per
+    * job and is run-nondeterministic; [[graft.operators.Hdr.splitPlan]]
+    * reads the standing quantile-sketch MV instead, so split points cost a
+    * |sketch|-sized walk, are bit-stable across runs, and each range holds
+    * n/16 rows within one bucket's mass (≤ 2⁻⁵ relative, spec-asserted).
+    */
+  def qRangeSplitPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hdr.splitPlan(qMvQuantileRefresh(s, dir), Seq("o_orderpriority"),
+        subBits = 5, parts = 16)
+      .orderBy("o_orderpriority", "split_no")
+
+  val qRangeSplitPlanSql: String =
+    s"""WITH $hdrSketchSql,
+       |cum AS (
+       |  SELECT o_orderpriority, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS hi,
+       |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM m),
+       |lb AS (
+       |  SELECT *, CASE WHEN bucket < 32 THEN bucket
+       |                 ELSE (bucket - (bucket // 32 - 1) * 32)
+       |                      * CAST(power(2, bucket // 32 - 1) AS BIGINT) END AS lo
+       |  FROM cum),
+       |x AS (
+       |  SELECT o_orderpriority, split_no, lo, hi
+       |  FROM lb, unnest(range(1, 16)) AS r(split_no)
+       |  WHERE hi * 16 >= n * split_no)
+       |SELECT o_orderpriority, CAST(split_no AS INT) AS split_no,
+       |  CAST(min(lo) AS BIGINT) AS split_lb, CAST(min(hi) AS BIGINT) AS rows_le
+       |FROM x GROUP BY 1, 2
+       |ORDER BY o_orderpriority, split_no""".stripMargin
+
+  // ---- stable dictionary encoding ---------------------------------------------
+  /** Frequency-ordered dense codes for a categorical column — see
+    * [[graft.operators.Dict]]: code 0 = most frequent, lexicographic tie
+    * break, so the assignment is a pure function of the distribution
+    * (unlike first-seen StringIndexer-style encoders). Gated on part.p_type
+    * (a real 150-value vocabulary); the corpus collapses to the
+    * vocabulary frame before the rank window.
+    */
+  def qDictEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dict.build(table(s, dir, "part"), "p_type")
+      .orderBy("code")
+
+  val qDictEncodeSql: String =
+    """SELECT value, n, CAST(row_number() OVER (ORDER BY n DESC, value) - 1 AS BIGINT) AS code
+      |FROM (SELECT p_type AS value, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1) c
+      |ORDER BY code""".stripMargin
+
   // ---- calendar gap fill ----------------------------------------------------
   /** Forward-filled daily revenue over a dense calendar spine — the
     * panel-data operator behind every "carry last observation forward"

@@ -57,6 +57,28 @@ object SourceQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- ORC: columnar-binary roundtrip through real files ----------------
+  /** ORC write → read roundtrip through REAL files (Spark's built-in
+    * columnar binary source — the interchange format next to parquet in
+    * every warehouse): the part table written as ORC under
+    * target/bench_fixtures, read back, and hash-gated against the plain
+    * parquet projection. Types survive losslessly (int64/int32/string/
+    * double); the write is re-done per run (overwrite) so the gate never
+    * reads a stale fixture.
+    */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"target/bench_fixtures/orc_roundtrip_${new java.io.File(dir).getName}"
+    table(s, dir, "part").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   // ---- Morris XML: build docs per order, parse back ---------------------
   def qMorrisXml(s: SparkSession, dir: String): DataFrame = {
     val fragment = concat(

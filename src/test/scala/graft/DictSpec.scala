@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Dict
+import org.apache.spark.sql.functions._
+
+/** Dictionary encoding (`Dict`): frequency-desc dense codes with the
+  * lexicographic tie break, OOV null contract, and broadcast encode plan.
+  */
+class DictSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codes are dense, frequency-desc, value-asc on ties") {
+    val rows = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("z") ++ Seq("m"))
+      .toDF("v")
+    val d = Dict.build(rows, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    // ties (a,b both 5) break lexicographically: a first
+    assert(d.toSeq == Seq(("a", 5L, 0L), ("b", 5L, 1L), ("z", 2L, 2L), ("m", 1L, 3L)))
+  }
+
+  test("encode joins codes back; out-of-vocabulary is null, not miscoded") {
+    val dict = Dict.build(Seq("a", "a", "b").toDF("v"), "v")
+    val enc = Dict.encode(Seq("a", "b", "NEW").toDF("v"), dict, "v")
+    val opt = enc.queryExecution.optimizedPlan.toString
+    val got = enc.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map("a" -> Some(0L), "b" -> Some(1L), "NEW" -> None))
+  }
+
+  test("dictionary on the real vocabulary is a pure function of counts") {
+    val d = queries.AnalyticsQueries.qDictEncode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // dense from 0
+    assert(d.map(_._3).toSeq == d.indices.map(_.toLong))
+    // counts non-increasing along codes; equal counts ordered by value
+    d.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    }
+    // driver model: recompute the assignment from raw counts
+    val counts = spark.read.parquet(s"$sfDir/part.parquet")
+      .groupBy("p_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val model = counts.sortBy { case (v, n) => (-n, v) }.zipWithIndex
+      .map { case ((v, n), i) => (v, n, i.toLong) }
+    assert(d.toSeq == model.toSeq)
+  }
+}

@@ -57,6 +57,35 @@ class HdrSpec extends SparkSpec {
     assert(refreshed.nonEmpty)
   }
 
+  test("split plan: ranges are balanced to n/parts within one bucket's mass") {
+    val parts = 16
+    val plan = AnalyticsQueries.qRangeSplitPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("rev_u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byKey = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    byKey.foreach { case (k, vs) =>
+      val n = vs.length.toLong
+      val splits = plan.filter(_._1 == k).sortBy(_._2)
+      assert(splits.map(_._2).toSeq == (1 until parts), k)
+      // split values are non-decreasing; rows_le is the exact count at or
+      // under the split bucket and crosses j*n/parts
+      splits.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3 && a._4 <= b._4) }
+      splits.foreach { case (_, j, lb, rowsLe) =>
+        assert(rowsLe * parts >= n * j, s"$k split $j undershoots")
+        // the range below the split holds <= rows_le rows and rows_le
+        // overshoots the target by at most one bucket's mass: everything
+        // under the split's bucket upper bound counts into rows_le
+        val under = vs.count(_ < lb)
+        assert(under.toLong * parts < n * j + n, s"$k split $j: $under before lb")
+        assert(under <= rowsLe)
+      }
+    }
+    assert(plan.nonEmpty)
+  }
+
   test("quantile read brackets the exact driver percentile within one bucket") {
     val rows = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderpriority"),
