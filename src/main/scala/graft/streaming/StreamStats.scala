@@ -42,6 +42,27 @@ object StreamStats {
       .withColumn("p", lit(p))
   }
 
+  /** Per-event-time-window log2-linear QUANTILE sketch for a streaming
+    * frame: (window, bucket, cnt) — the streaming twin of the
+    * [[graft.operators.Hdr]] percentile MV. Bucket counts are a plain
+    * SUM aggregation (associative + commutative), so Structured Streaming
+    * maintains them per window with ordinary watermark state, bounded at
+    * ≤ 64·2^subBits rows per window regardless of stream volume; a
+    * settled window's sketch is IDENTICAL to [[graft.operators.Hdr
+    * .sketchBy]] of the same rows (StreamStatsSpec proves it), window
+    * tables roll up hour→day→corpus via [[graft.operators.Hdr.mergeBy]],
+    * and [[graft.operators.Hdr.quantiles]] reads any of them.
+    */
+  def hdrSketchWindowed(stream: DataFrame, tsCol: String, valueCol: String,
+                        windowDur: String, watermarkDelay: String,
+                        subBits: Int = 5): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        graft.operators.Hdr.bucketOf(col(valueCol), subBits).as("bucket"))
+      .groupBy(window(col(tsCol), windowDur), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Per-event-time-window Count-Min counter table for a streaming frame:
     * (window, i, slot, cnt). Counter increments are an associative,
     * commutative SUM — the same mergeability that lets batch CMS shards

@@ -73,6 +73,42 @@ class StreamStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed streaming quantile sketch == batch Hdr sketch of the same rows") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Hdr
+    val vb1 = Seq((ts(1), 10L), (ts(2), 500L), (ts(3), 12L), (ts(11), 99999L))
+    val vb2 = Seq((ts(4), 7L), (ts(2), 500L), (ts(13), 1L << 30), (ts(14), 31L))
+    val in = MemoryStream[(Timestamp, Long)]
+    val sk = StreamStats.hdrSketchWindowed(
+      in.toDF().toDF("ts", "v"), "ts", "v", "10 minutes", "30 minutes")
+    val q = sk.writeStream.format("memory").queryName("hdr_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(vb1: _*); q.processAllAvailable()
+      in.addData(vb2: _*); q.processAllAvailable()
+      val got = spark.table("hdr_stream")
+        .select(col("window.start").cast("long").as("ws"), col("bucket"), col("cnt"))
+        .orderBy("ws", "bucket").collect().toSeq
+      val want = (vb1 ++ vb2).toDF("ts", "v")
+        .select(window(col("ts"), "10 minutes").as("window"),
+          Hdr.bucketOf(col("v"), 5).as("bucket"))
+        .groupBy("window", "bucket").agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("long").as("ws"), col("bucket"), col("cnt"))
+        .orderBy("ws", "bucket").collect().toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+      // window tables feed the same downstream algebra as batch sketches
+      val merged = Hdr.mergeBy(
+        spark.table("hdr_stream").select(lit("all").as("k"), col("bucket"), col("cnt")),
+        spark.table("hdr_stream").limit(0).select(lit("all").as("k"), col("bucket"), col("cnt")),
+        Seq("k"))
+      val rebuilt = Hdr.sketchBy(
+        (vb1 ++ vb2).toDF("ts", "v").select(lit("all").as("k"), col("v")), Seq("k"), "v", 5)
+      assert(merged.collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq ==
+        rebuilt.collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq)
+    } finally q.stop()
+  }
+
   test("estimate over merged window tables == estimate over the union") {
     val a = Sketch.hllRegisters((1 to 3000).map(i => s"a$i").toDF("v"), "v")
     val b = Sketch.hllRegisters((1 to 2000).map(i => s"b$i").toDF("v"), "v")
