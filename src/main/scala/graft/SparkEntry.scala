@@ -71,6 +71,10 @@ object SparkEntry {
     "q_forecast_baseline"  -> (AnalyticsQueries.qForecastBaseline _),
     "q_phrase_search"      -> (LlmQueries.qPhraseSearch _),
     "q_more_like_this"     -> (LlmQueries.qMoreLikeThis _),
+    "q_mlt_score_u"        -> (LlmQueries.qMltScoreU _),
+    "q_mlt_qn_u"           -> (LlmQueries.qMltQnU _),
+    "q_mlt_cn_u"           -> (LlmQueries.qMltCnU _),
+    "q_mlt_rank"           -> (LlmQueries.qMltRank _),
     "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
@@ -312,6 +316,12 @@ object SparkEntry {
     "q_phrase_search"      -> LlmQueries.qPhraseSearchSql,
     // exact-integer idf-weighted dot over the inverted index
     "q_more_like_this"     -> LlmQueries.qMoreLikeThisSql,
+    // r11 diagnostic twins: one raw-representation column each, so a
+    // still-red gate names the drifting cell (remove once main row green)
+    "q_mlt_score_u"        -> LlmQueries.qMltScoreUSql,
+    "q_mlt_qn_u"           -> LlmQueries.qMltQnUSql,
+    "q_mlt_cn_u"           -> LlmQueries.qMltCnUSql,
+    "q_mlt_rank"           -> LlmQueries.qMltRankSql,
     // per-FK-edge orphan audit over distinct-key left joins
     "q_integrity"          -> SourceQueries.qIntegritySql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,

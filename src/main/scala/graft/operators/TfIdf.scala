@@ -179,8 +179,11 @@ object TfIdf {
         expr("(__n * 1000000) div df").as("idf_u"))
       .persist() // norms + both sides of the candidate join read it
     Caches.register(w)
+    // cast to decimal BEFORE the multiply: a long tf*tf*idf_u product can
+    // wrap silently on a pathological corpus (DuckDB's HUGEINT multiplies
+    // exactly; Spark's long wraps) — decimal(38,0) arithmetic is exact
     val norms = w.groupBy("doc_id")
-      .agg(sum((col("tf") * col("tf") * col("idf_u")).cast("decimal(38,0)")).as("norm_u"))
+      .agg(sum(col("tf").cast("decimal(38,0)") * col("tf") * col("idf_u")).as("norm_u"))
     val q = w.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("term"), col("tf").as("qtf"),
         col("idf_u"))
@@ -188,7 +191,7 @@ object TfIdf {
         col("tf").as("ctf")), "term")
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy("query_id", "cand_id")
-      .agg(sum((col("qtf") * col("ctf") * col("idf_u")).cast("decimal(38,0)"))
+      .agg(sum(col("qtf").cast("decimal(38,0)") * col("ctf") * col("idf_u"))
         .as("score_u"))
     val sim = pairs
       .join(norms.select(col("doc_id").as("query_id"), col("norm_u").as("qn_u")), "query_id")

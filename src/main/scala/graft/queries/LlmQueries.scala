@@ -3,7 +3,7 @@ package graft.queries
 import graft.GraftSession.table
 import graft.functions.{TextFunctions => TF}
 import graft.operators.{Ann, Curation, Dedup, Winnow}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.3) over the `documents`
@@ -1634,17 +1634,61 @@ object LlmQueries {
     * idf-weighted dot ranking and the query-bounded posting join.
     *
     * Determinism: the gated projection is ALL exact integers — the dot
-    * `score_u` plus both squared norms `qn_u`/`cn_u` (decimal(38,0) /
-    * HUGEINT). The cosine is derivable as score_u/(√qn_u·√cn_u) but the
-    * raw double stays OUT of the hash gate: r9's only red row was this
-    * query's unpinned sqrt-divide double drifting on the driver while
-    * value-exact locally, so the contract is now integers-only.
+    * `score_u` plus both squared norms `qn_u`/`cn_u`. The cosine is
+    * derivable as score_u/(√qn_u·√cn_u) but the raw double stays OUT of
+    * the hash gate (r9's red row was its unpinned sqrt-divide). r11: the
+    * gated integers are now CAST TO BIGINT on both sides — this was the
+    * repo's ONLY oracle gating raw HUGEINT columns, and Spark's
+    * decimal128 vs DuckDB's HUGEINT arrow export hash differently on the
+    * driver even when numerically equal (the house `CAST(SUM(...) AS
+    * BIGINT)` convention exists for exactly this; r9/r10 stayed red while
+    * value-exact locally because the local checker compares values, not
+    * arrow representations). The internal math stays exact decimal; the
+    * downcast fails LOUDLY via [[bigintChecked]] if a corpus ever
+    * overflows the long range. Per-column raw-representation diagnostic
+    * twins (`q_mlt_*`) are registered this round so a still-red gate
+    * names the drifting cell.
     */
   def qMoreLikeThis(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.moreLikeThis(table(s, dir, "documents"), "doc_id", "text",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
-      .select("query_id", "cand_id", "score_u", "qn_u", "cn_u", "rank")
+      .select(col("query_id"), col("cand_id"),
+        bigintChecked(col("score_u"), "score_u"),
+        bigintChecked(col("qn_u"), "qn_u"),
+        bigintChecked(col("cn_u"), "cn_u"),
+        col("rank"))
       .orderBy("query_id", "rank")
+
+  /** Loud decimal(38,0) → BIGINT downcast: Spark's non-ANSI cast nulls on
+    * overflow silently; this raises instead (Skyline/Scale fail-loud
+    * convention). Gate-side only — internal aggregation stays decimal.
+    */
+  private def bigintChecked(c: Column, name: String): Column = {
+    val lo = lit(Long.MinValue).cast("decimal(38,0)")
+    val hi = lit(Long.MaxValue).cast("decimal(38,0)")
+    when(c < lo || c > hi,
+        raise_error(concat(lit(s"$name exceeds BIGINT range: "), c.cast("string"))))
+      .otherwise(c.cast("long")).as(name)
+  }
+
+  /** Diagnostic twins for the driver-red `q_more_like_this` (r9+r10): each
+    * gates ONE column of the SAME result in its RAW representation
+    * (decimal(38,0) vs un-cast HUGEINT), so if the BIGINT fix above is not
+    * the root cause, `CORRECTNESS_r11.json` names the drifting cell.
+    * Throwaway — remove once the main row is green.
+    */
+  private def mltRaw(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.moreLikeThis(table(s, dir, "documents"), "doc_id", "text",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+
+  def qMltScoreU(s: SparkSession, dir: String): DataFrame =
+    mltRaw(s, dir).select("query_id", "cand_id", "score_u").orderBy("query_id", "cand_id")
+  def qMltQnU(s: SparkSession, dir: String): DataFrame =
+    mltRaw(s, dir).select("query_id", "cand_id", "qn_u").orderBy("query_id", "cand_id")
+  def qMltCnU(s: SparkSession, dir: String): DataFrame =
+    mltRaw(s, dir).select("query_id", "cand_id", "cn_u").orderBy("query_id", "cand_id")
+  def qMltRank(s: SparkSession, dir: String): DataFrame =
+    mltRaw(s, dir).select("query_id", "cand_id", "rank").orderBy("query_id", "cand_id")
 
   val qMoreLikeThisSql: String =
     """WITH toks AS (
@@ -1668,11 +1712,51 @@ object LlmQueries {
       |    nq.norm_u AS qn_u, nc.norm_u AS cn_u
       |  FROM p JOIN nrm nq ON nq.doc_id = p.query_id
       |         JOIN nrm nc ON nc.doc_id = p.cand_id)
-      |SELECT query_id, cand_id, score_u, qn_u, cn_u, rank FROM (
+      |SELECT query_id, cand_id, CAST(score_u AS BIGINT) AS score_u,
+      |  CAST(qn_u AS BIGINT) AS qn_u, CAST(cn_u AS BIGINT) AS cn_u, rank FROM (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, cand_id) AS INT) AS rank
       |  FROM s) t
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared CTE prefix for the diagnostic twins — same pipeline as
+    * [[qMoreLikeThisSql]] minus the rank window and the BIGINT downcast.
+    */
+  private val mltRawSqlPrefix: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |w AS (SELECT tf.doc_id, tf.term, tf.tf, (nn.n * 1000000) // df.df AS idf_u
+      |      FROM tf JOIN df USING (term), nn),
+      |nrm AS (SELECT doc_id, sum(CAST(tf * tf AS HUGEINT) * idf_u) AS norm_u
+      |        FROM w GROUP BY 1),
+      |p AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+      |    sum(CAST(q.tf * c.tf AS HUGEINT) * q.idf_u) AS score_u
+      |  FROM w q JOIN w c USING (term)
+      |  WHERE q.doc_id IN (0, 1, 2, 3, 4) AND c.doc_id <> q.doc_id
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT p.query_id, p.cand_id, p.score_u,
+      |    nq.norm_u AS qn_u, nc.norm_u AS cn_u
+      |  FROM p JOIN nrm nq ON nq.doc_id = p.query_id
+      |         JOIN nrm nc ON nc.doc_id = p.cand_id),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, cand_id) AS INT) AS rank
+      |  FROM s)
+      |""".stripMargin
+
+  val qMltScoreUSql: String = mltRawSqlPrefix +
+    "SELECT query_id, cand_id, score_u FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
+  val qMltQnUSql: String = mltRawSqlPrefix +
+    "SELECT query_id, cand_id, qn_u FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
+  val qMltCnUSql: String = mltRawSqlPrefix +
+    "SELECT query_id, cand_id, cn_u FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
+  val qMltRankSql: String = mltRawSqlPrefix +
+    "SELECT query_id, cand_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
 
   // ---- int8 scalar quantization -------------------------------------------
   /** The quantized embedding STORE: per-dimension affine int8 codes (1 byte
