@@ -23,8 +23,9 @@ object Dedup {
     * contributes 16 ids, not a 10⁸-element array. The cap rides Spark's
     * WindowGroupLimit (row_number ≤ cap pushes a partial limit BEFORE the
     * exchange), so oversize groups are trimmed map-side, not just at agg
-    * time. The dedup MATERIALIZER ([[dropDuplicatesExact]]) aggregates
-    * only min(id) per fingerprint.
+    * time. The dedup MATERIALIZER ([[dropDuplicatesExact]]) does NOT go
+    * through this report — it aggregates only min(id) per fingerprint,
+    * skipping the sample window entirely.
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String,
                   sampleCap: Int = 16): DataFrame = {
@@ -51,7 +52,15 @@ object Dedup {
     * 100 TB the document bodies move at most once.
     */
   def dropDuplicatesExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    // min(id) straight off the (fingerprint, id) projection — ONE
+    // map-side-combined agg; the audit-sample window pass + join that
+    // exactGroups pays for its report has no place in the materializer
+    val keep = docs
+      .select(col(idCol).as("__id"),
+        TextFunctions.contentFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col("__id")).as(idCol))
+      .select(idCol)
     docs.join(keep, idCol)
   }
 

@@ -37,15 +37,25 @@ object Hdr {
     * The shift ⌊v / 2^(e−s)⌋ is a double division by an exact power of two
     * below 2^53 (only the exponent changes), then truncation — bit-exact,
     * and the same arithmetic DuckDB's `//` replays as integer division.
-    * Values must stay under 2^53 (micro-unit prices ≈ 2^40 do).
+    *
+    * Domain is GUARDED, not assumed (the Scale.requireIntegral /
+    * Skyline fail-loud convention): a negative value would silently land
+    * in the small-value branch as a negative index, and a value ≥ 2^53
+    * would silently lose bits in the double divide — both now raise
+    * instead of mis-bucketing, since [[hdrSketchWindowed]]-style callers
+    * expose this to arbitrary user columns.
     */
   def bucketOf(v: Column, subBits: Int): Column = {
     require(subBits >= 1 && subBits <= 16, s"subBits out of range: $subBits")
     val base = 1L << subBits
-    val e = (length(bin(v.cast("long"))) - lit(1)).cast("int")
-    when(v < lit(base), v.cast("long"))
+    val vl = v.cast("long")
+    val e = (length(bin(vl)) - lit(1)).cast("int")
+    when(vl < lit(0L) || vl >= lit(1L << 53),
+        raise_error(concat(lit("Hdr.bucketOf: value out of [0, 2^53) domain: "),
+          vl.cast("string"))).cast("long"))
+      .when(vl < lit(base), vl)
       .otherwise((e - lit(subBits)).cast("long") * lit(base) +
-        (v.cast("double") / pow(lit(2.0), (e - lit(subBits)).cast("double"))).cast("long"))
+        (vl.cast("double") / pow(lit(2.0), (e - lit(subBits)).cast("double"))).cast("long"))
   }
 
   /** Inclusive lower bound of bucket index `i` — the value the quantile

@@ -27,6 +27,41 @@ class DictSpec extends SparkSpec {
     assert(got == Map("a" -> Some(0L), "b" -> Some(1L), "NEW" -> None))
   }
 
+  test("nulls are not vocabulary: excluded from build, encode to null code") {
+    val dict = Dict.build(Seq(Some("a"), Some("a"), None, Some("b")).toDF("v"), "v")
+    // the null group must NOT hold a code (it would be dead: === never matches)
+    assert(dict.collect().forall(r => r.getString(0) != null))
+    assert(dict.count() == 2)
+    val enc = Dict.encode(Seq(Some("a"), None).toDF("v"), dict, "v").collect()
+      .map(r => Option(r.getString(0)) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(enc == Map(Some("a") -> Some(0L), (None: Option[String]) -> None))
+  }
+
+  test("bigVocab route: two-level rank assigns identical codes, no broadcast in encode") {
+    // skewed counts + a tie block — (n desc, value) is total post-agg, so
+    // the two-level numbering must agree with the window exactly
+    val rows = (1 to 400).flatMap(i => Seq.fill(1 + i % 7)(s"v${i % 97}")).toDF("v")
+    val small = Dict.build(rows, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    val big = Dict.build(rows, "v", bigVocab = true).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(big == small)
+    // big-vocab build must not run a single global window over the vocab
+    val bigPlan = Dict.build(rows, "v", bigVocab = true).queryExecution.optimizedPlan.toString
+    assert(!bigPlan.contains("Window"), s"bigVocab build still windows globally:\n$bigPlan")
+    // non-broadcast encode: no broadcast HINT on the dict side (the planner
+    // may still pick broadcast for a genuinely tiny frame from stats — the
+    // contract is that a corpus-scale dictionary is never FORCED through one)
+    val dictBig = Dict.build(rows, "v", bigVocab = true)
+    val encNoHint = Dict.encode(rows, dictBig, "v", broadcastDict = false)
+    val hinted = Dict.encode(rows, dictBig, "v")
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("broadcast"))
+    assert(!encNoHint.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      s"broadcastDict=false still hints broadcast:\n${encNoHint.queryExecution.optimizedPlan}")
+    assert(encNoHint.filter(col("code").isNull).count() == 0)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("dictionary on the real vocabulary is a pure function of counts") {
     val d = queries.AnalyticsQueries.qDictEncode(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -47,6 +47,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1).getAs[String]("doc_ids") == "200")
   }
 
+  test("dropDuplicatesExact materializer is one agg — no audit window in the plan") {
+    val docs = Seq((2L, "Hello  World"), (1L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val df = Dedup.dropDuplicatesExact(docs, "doc_id", "text")
+    // the materializer must NOT pay the report's sample window + join:
+    // min(id) per fingerprint is a single map-side-combined aggregate
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Window") && !opt.contains("graft_topk"),
+      s"materializer plan carries the report's audit-sample pass:\n$opt")
+    assert(df.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("minhash-LSH finds near-dup pair, exact jaccard filters") {
     val a = (1 to 40).map(i => s"w$i").mkString(" ")
     val b = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2" // j = 38/42 ≈ 0.90

@@ -27,29 +27,40 @@ def main():
     flagged = []
     for q in common:
         c0, c1 = qa_c[q], qb_c[q]
-        w0, w1 = qa_w.get(q, -1), qb_w.get(q, -1)
+        # absent warm measurements publish null, never a -1 sentinel (a -1
+        # would make warm_ratio a negative nonsense value)
+        w0, w1 = qa_w.get(q), qb_w.get(q)
         row = {
             "sf01_cold": round(c0, 3), "sf1_cold": round(c1, 3),
             "cold_ratio": round(c1 / c0, 2) if c0 > 0 else None,
-            "sf01_warm": round(w0, 3), "sf1_warm": round(w1, 3),
-            "warm_ratio": round(w1 / w0, 2) if w0 > 0 else None,
+            "sf01_warm": round(w0, 3) if w0 is not None else None,
+            "sf1_warm": round(w1, 3) if w1 is not None else None,
+            "warm_ratio": round(w1 / w0, 2)
+                          if w0 is not None and w1 is not None and w0 > 0 and w1 > 0
+                          else None,
         }
         per[q] = row
-        # flag on the warm axis when the query is fast enough for JIT noise
-        # to dominate cold (the r9 convention: cold first-run noise on a
-        # sub-second query is not a scale signal)
+        # flag only when BOTH axes exceed 12x: cold first-run noise on a
+        # sub-second query is not a scale signal by itself, and a warm-only
+        # spike without a cold echo is cache-state noise
         if row["cold_ratio"] and row["cold_ratio"] > 12 and \
                 row["warm_ratio"] and row["warm_ratio"] > 12:
             flagged.append(q)
+    # warm totals over the queries measured warm on BOTH SFs, so the two
+    # sums cover the same set (a one-sided miss would skew the ratio)
+    warm_common = [q for q in common if q in qa_w and q in qb_w]
     tot = {
         "sf01_totals": {"cold": round(sum(qa_c[q] for q in common), 1),
-                        "warm": round(sum(qa_w.get(q, 0) for q in common), 1)},
+                        "warm": round(sum(qa_w[q] for q in warm_common), 1)},
         "sf1_totals": {"cold": round(sum(qb_c[q] for q in common), 1),
-                       "warm": round(sum(qb_w.get(q, 0) for q in common), 1)},
+                       "warm": round(sum(qb_w[q] for q in warm_common), 1)},
+        "n_warm_queries": len(warm_common),
     }
     tot["total_ratios"] = {
-        "cold": round(tot["sf1_totals"]["cold"] / tot["sf01_totals"]["cold"], 2),
-        "warm": round(tot["sf1_totals"]["warm"] / tot["sf01_totals"]["warm"], 2),
+        "cold": round(tot["sf1_totals"]["cold"] / tot["sf01_totals"]["cold"], 2)
+                if tot["sf01_totals"]["cold"] > 0 else None,
+        "warm": round(tot["sf1_totals"]["warm"] / tot["sf01_totals"]["warm"], 2)
+                if tot["sf01_totals"]["warm"] > 0 else None,
     }
     doc = {
         "note": note,
