@@ -64,6 +64,25 @@ class GraphExtraSpec extends SparkSpec {
     assert(got == kCoreRef(pairs, 2))
   }
 
+  test("kCore converges within the oracle's unroll depth on the DRIVER-GATED sf0.01 fixture") {
+    // the driver's DuckDB gate replays kcoreUnrollRounds fixed peel rounds
+    // at sf0.01; kCore's own convergence require fails this spec if that
+    // fixture ever needs more rounds than the oracle unrolls
+    val out = graft.queries.AnalyticsQueries.qKcore(spark, "/root/testdata/sf0.01")
+    val kc = Graph.kCore(
+      spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .join(spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(countDistinct(col("o_orderkey")).as("no")).filter(col("no") >= 2)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst")),
+      "src", "dst", k = 2,
+      maxRounds = graft.queries.AnalyticsQueries.kcoreUnrollRounds)
+    assert(kc.count() == out.count())
+    Caches.release()
+  }
+
   private def bfsRef(edges: Seq[(String, String)], seeds: Seq[String],
                      rounds: Int): Map[String, Long] = {
     val adj = sym(edges).withDefaultValue(Set.empty[String])
