@@ -54,6 +54,8 @@ object SparkEntry {
     "q_quantile_sketch_read" -> (AnalyticsQueries.qQuantileSketchRead _),
     "q_range_split_plan"   -> (AnalyticsQueries.qRangeSplitPlan _),
     "q_dict_encode"        -> (AnalyticsQueries.qDictEncode _),
+    "q_table_log"          -> (AnalyticsQueries.qTableLog _),
+    "q_time_travel"        -> (AnalyticsQueries.qTimeTravel _),
     "q_orc_roundtrip"      -> (SourceQueries.qOrcRoundtrip _),
     "q_ship_lag"           -> (AnalyticsQueries.qShipLag _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
@@ -283,6 +285,10 @@ object SparkEntry {
     "q_quantile_sketch_read" -> AnalyticsQueries.qQuantileSketchReadSql,
     "q_range_split_plan"   -> AnalyticsQueries.qRangeSplitPlanSql,
     "q_dict_encode"        -> AnalyticsQueries.qDictEncodeSql,
+    // lakehouse commit-log: per-commit add/remove accounting + live totals
+    "q_table_log"          -> AnalyticsQueries.qTableLogSql,
+    // time-travel live-file listing at snapshots 2 (pre-compaction) and 4
+    "q_time_travel"        -> AnalyticsQueries.qTimeTravelSql,
     "q_orc_roundtrip"      -> SourceQueries.qOrcRoundtripSql,
     // ship-lag SLA percentiles: histogram-CDF per priority
     "q_ship_lag"           -> AnalyticsQueries.qShipLagSql,

@@ -1881,6 +1881,93 @@ object AnalyticsQueries {
       |FROM (SELECT p_type AS value, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1) c
       |ORDER BY code""".stripMargin
 
+  // ---- lakehouse commit log ---------------------------------------------------
+  /** Delta/Iceberg-shaped snapshot ledger — see
+    * [[graft.operators.TableLog]]: per-commit add/remove-file accounting
+    * with running live totals over the planted 4-commit history (3 era
+    * appends + a compaction that nets rows/bytes to zero). Everything
+    * downstream of the one file-stats agg is metadata-sized.
+    */
+  def qTableLog(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableLog.snapshotAccounting(
+        graft.operators.TableLog.plantedLog(table(s, dir, "orders")))
+      .orderBy("commit_id")
+
+  /** Shared oracle prefix: the planted action log (file stats per era
+    * commit, the compaction's remove actions replaying commit-1 stats,
+    * and the merged adds).
+    */
+  private val tableLogSqlPrefix: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN year(o_orderdate) <= 1996 THEN 1
+      |              WHEN year(o_orderdate) <= 1998 THEN 2 ELSE 3 END AS commit_id,
+      |         CAST(o_orderkey % 8 AS BIGINT) AS b,
+      |         o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |files AS (
+      |  SELECT CAST(commit_id AS BIGINT) AS commit_id, 'add' AS action,
+      |    CAST(commit_id * 100 + b AS BIGINT) AS file_id,
+      |    CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(cents) AS BIGINT) AS bytes,
+      |    CAST(min(o_orderkey) AS BIGINT) AS min_key, CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |  FROM f GROUP BY commit_id, b),
+      |removes AS (
+      |  SELECT CAST(4 AS BIGINT) AS commit_id, 'remove' AS action,
+      |    file_id, n_rows, bytes, min_key, max_key
+      |  FROM files WHERE commit_id = 1),
+      |merged AS (
+      |  SELECT CAST(4 AS BIGINT) AS commit_id, 'add' AS action,
+      |    CAST(900 + file_id % 2 AS BIGINT) AS file_id,
+      |    CAST(sum(n_rows) AS BIGINT) AS n_rows, CAST(sum(bytes) AS BIGINT) AS bytes,
+      |    CAST(min(min_key) AS BIGINT) AS min_key, CAST(max(max_key) AS BIGINT) AS max_key
+      |  FROM files WHERE commit_id = 1 GROUP BY file_id % 2),
+      |lg AS (SELECT * FROM files UNION ALL SELECT * FROM removes
+      |       UNION ALL SELECT * FROM merged)
+      |""".stripMargin
+
+  val qTableLogSql: String = tableLogSqlPrefix +
+    """, pc AS (
+      |  SELECT commit_id,
+      |    CAST(sum(CASE WHEN action = 'add' THEN 1 ELSE 0 END) AS BIGINT) AS files_added,
+      |    CAST(sum(CASE WHEN action = 'remove' THEN 1 ELSE 0 END) AS BIGINT) AS files_removed,
+      |    CAST(sum(CASE WHEN action = 'add' THEN n_rows ELSE 0 END) AS BIGINT) AS rows_added,
+      |    CAST(sum(CASE WHEN action = 'remove' THEN n_rows ELSE 0 END) AS BIGINT) AS rows_removed,
+      |    CAST(sum(CASE WHEN action = 'add' THEN bytes ELSE 0 END) AS BIGINT) AS bytes_added,
+      |    CAST(sum(CASE WHEN action = 'remove' THEN bytes ELSE 0 END) AS BIGINT) AS bytes_removed
+      |  FROM lg GROUP BY 1)
+      |SELECT *,
+      |  CAST(sum(files_added - files_removed) OVER w AS BIGINT) AS live_files,
+      |  CAST(sum(rows_added - rows_removed) OVER w AS BIGINT) AS live_rows,
+      |  CAST(sum(bytes_added - bytes_removed) OVER w AS BIGINT) AS live_bytes
+      |FROM pc
+      |WINDOW w AS (ORDER BY commit_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY commit_id""".stripMargin
+
+  /** Time-travel read twin: the LIVE FILE LISTING (the scan plan's input)
+    * at snapshot 2 (pre-compaction) and snapshot 4 (post) — adds ≤ s
+    * anti-joined against removes ≤ s, both snapshot-filtered in the scan
+    * stage.
+    */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.operators.TableLog.plantedLog(table(s, dir, "orders"))
+    graft.operators.TableLog.liveFilesAt(log, 2L).withColumn("as_of", lit(2L))
+      .unionByName(
+        graft.operators.TableLog.liveFilesAt(log, 4L).withColumn("as_of", lit(4L)))
+      .select("as_of", "file_id", "n_rows", "bytes", "min_key", "max_key")
+      .orderBy("as_of", "file_id")
+  }
+
+  val qTimeTravelSql: String = tableLogSqlPrefix +
+    """, live AS (
+      |  SELECT s.as_of, a.file_id, a.n_rows, a.bytes, a.min_key, a.max_key
+      |  FROM (VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT))) s(as_of)
+      |  JOIN lg a ON a.action = 'add' AND a.commit_id <= s.as_of
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM lg r
+      |    WHERE r.action = 'remove' AND r.commit_id <= s.as_of
+      |      AND r.file_id = a.file_id))
+      |SELECT as_of, file_id, n_rows, bytes, min_key, max_key
+      |FROM live ORDER BY as_of, file_id""".stripMargin
+
   // ---- calendar gap fill ----------------------------------------------------
   /** Forward-filled daily revenue over a dense calendar spine — the
     * panel-data operator behind every "carry last observation forward"
