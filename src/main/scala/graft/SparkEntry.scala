@@ -96,6 +96,10 @@ object SparkEntry {
     "q_dedup_minhash_banded" -> (LlmQueries.qDedupMinhashBanded _),
     "q_set_sim_join"       -> (LlmQueries.qSetSimJoin _),
     "q_dedup_near_keep"    -> (LlmQueries.qDedupNearKeep _),
+    "q_soft_dedup"         -> (LlmQueries.qSoftDedup _),
+    "q_split_leakage"      -> (LlmQueries.qSplitLeakage _),
+    "q_pad_waste"          -> (LlmQueries.qPadWaste _),
+    "q_url_canon"          -> (LlmQueries.qUrlCanon _),
     "q_dedup_incremental"  -> (LlmQueries.qDedupIncremental _),
     "q_decontaminate"      -> (LlmQueries.qDecontaminate _),
     "q_dedup_embed"        -> (LlmQueries.qDedupEmbed _),
@@ -351,6 +355,10 @@ object SparkEntry {
     // same all-pairs oracle gates a completely different candidate path
     "q_set_sim_join"       -> LlmQueries.qDedupMinhashSql,
     "q_dedup_near_keep"    -> LlmQueries.qDedupNearKeepSql,
+    "q_soft_dedup"         -> LlmQueries.qSoftDedupSql,
+    "q_split_leakage"      -> LlmQueries.qSplitLeakageSql,
+    "q_pad_waste"          -> LlmQueries.qPadWasteSql,
+    "q_url_canon"          -> LlmQueries.qUrlCanonSql,
     "q_dedup_incremental"  -> LlmQueries.qDedupIncrementalSql,
     "q_decontaminate"      -> LlmQueries.qDecontaminateSql,
     "q_dedup_embed"        -> LlmQueries.qDedupEmbedSql,

@@ -422,6 +422,51 @@ object Dedup {
         (col("n_docs").cast("double") / col("__total")).as("docs_share"))
   }
 
+  /** Per-document near-dup CLUSTER ASSIGNMENT at the EXACT jaccard ≥
+    * tNum/tDen grain: (id, cluster_id, cluster_size) where cluster_id is the
+    * component-minimum doc id of the [[prefixFilterPairs]] graph
+    * (prefix-filter candidates are complete by theorem, so the assignment
+    * carries no minhash recall caveat) and cluster_size counts DOCUMENTS,
+    * identical copies included. This is the substrate soft-dedup weighting
+    * and leakage-safe splitting share: where [[dropDuplicatesNear]] KEEPS
+    * one doc per cluster, consumers of this frame keep everything and act
+    * on the label (weight 1/size, split by hash(cluster_id), …).
+    *
+    * Scale shape: clustering runs on the REP graph — one node per distinct
+    * word set, relabeled to its group-min LONG doc id before any component
+    * work (the q_keep_sweep relabel: longs propagate ~6× cheaper than
+    * 32-char md5 strings) — so a boilerplate page with 10⁸ identical copies
+    * is ONE node. Document rows move exactly once, through the two slim
+    * hash joins that attach (cluster_id, cluster_size) at the end.
+    */
+  def clusterAssign(docs: DataFrame, idCol: String, textCol: String,
+                    tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame = {
+    val (keyed, repPairs) = prefixRepPairs(docs, idCol, textCol, tNum, tDen, shingleN)
+    val gm = keyed.groupBy("set_key")
+      .agg(min(col("id")).as("g"), count(lit(1)).as("n"))
+      .persist() // read by the edge relabel joins AND the label attach
+    Caches.register(gm)
+    val e0 = repPairs
+      .join(gm.select(col("set_key").as("id_a"), col("g").as("ga")), "id_a")
+      .join(gm.select(col("set_key").as("id_b"), col("g").as("gb")), "id_b")
+      .select("ga", "gb")
+      .persist() // CC reads the edge frame twice (both union directions)
+    Caches.register(e0)
+    // (node, comp) for TOUCHED rep nodes; an edge-less set is its own
+    // cluster via the coalesce — comp over group-min ids IS the global
+    // min doc id of the component, since every gmin is its group's min
+    val labels = Graph.connectedComponents(e0, "ga", "gb")
+    val setLbl = gm
+      .join(labels.withColumnRenamed("node", "g"), Seq("g"), "left")
+      .select(col("set_key"), coalesce(col("comp"), col("g")).as("cluster_id"), col("n"))
+      .persist() // read by the size agg AND the per-doc attach
+    Caches.register(setLbl)
+    val sizes = setLbl.groupBy("cluster_id").agg(sum(col("n")).as("cluster_size"))
+    keyed.join(setLbl.select("set_key", "cluster_id"), "set_key")
+      .join(sizes, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** The near-dup dedup MATERIALIZER: one surviving row per connected
     * component of the near-duplicate graph (cluster-minimum id wins) — what
     * a real 100 TB curation run consumes. Mirrors [[dropDuplicatesExact]]:

@@ -4333,4 +4333,257 @@ object LlmQueries {
       |  CAST(sum(bytes) AS DOUBLE) / 4096.0 AS fill
       |FROM p GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  // ---- soft dedup: per-doc cluster weights --------------------------------
+  /** The DuckDB recursive-CTE prelude shared by the cluster-grain oracles:
+    * exact jaccard-≥0.8 all-pairs edges → min-label transitive closure →
+    * per-DOC cluster assignment `cl(doc_id, cluster_id)` (untouched docs
+    * are their own cluster). Mirrors [[Dedup.clusterAssign]] at 4/5.
+    */
+  private val clusterAssignSqlPrelude: String =
+    s"""w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.8),
+       |e AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+       |nd AS (SELECT DISTINCT src AS node FROM e),
+       |lp(node, lbl) AS (
+       |  SELECT node, node FROM nd
+       |  UNION
+       |  SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.node WHERE lp.lbl < e.dst),
+       |comps AS (SELECT node, min(lbl) AS comp FROM lp GROUP BY node),
+       |cl AS (
+       |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comps c ON c.node = d.doc_id)""".stripMargin
+
+  /** SOFT dedup: instead of DROPPING near-duplicates, DOWN-WEIGHT them —
+    * every document keeps flowing but carries weight 1/cluster_size, so
+    * each near-dup cluster contributes exactly one document-equivalent of
+    * training mass (the public soft-dedup recipe, the gentle sibling of the
+    * hard materializer [[qDedupNearKeep]]: no information is destroyed,
+    * boilerplate just stops dominating the gradient). Weight is pinned as
+    * exact integer ppm (10⁶ DIV size — the floor-division house contract);
+    * the raw 1/size rational stays derivable from cluster_size. Clustering
+    * is the EXACT prefix-filter graph at jaccard ≥ 4/5, per-doc labels via
+    * [[Dedup.clusterAssign]] — rep-graph CC, doc rows move once.
+    */
+  def qSoftDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterAssign(table(s, dir, "documents"), "doc_id", "text", 4, 5)
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
+      .orderBy("doc_id")
+
+  val qSoftDedupSql: String =
+    s"""WITH RECURSIVE $clusterAssignSqlPrelude,
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
+       |FROM cl JOIN sz USING (cluster_id)
+       |ORDER BY cl.doc_id""".stripMargin
+
+  // ---- leakage-safe split: hash the CLUSTER, not the doc ------------------
+  /** Train/val/test split LEAKAGE audit: hashing each DOC into a split (the
+    * naive recipe, [[qHashSplit]]) strands near-duplicate pairs across the
+    * train/test boundary — the eval set then "tests" memorized training
+    * text. Hashing the near-dup CLUSTER id instead sends every member of a
+    * cluster to the same split, so cross-split near-dup pairs are ZERO by
+    * construction. One row per policy: split sizes plus the leaked-pair
+    * count, both policies over the SAME exact pair set ([[Dedup
+    * .prefixFilterPairs]] at 4/5 — completeness by theorem, so "zero
+    * leaked pairs" is a guarantee, not a recall estimate).
+    */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val assign = Dedup.clusterAssign(docs, "doc_id", "text", 4, 5)
+      .select(col("id").as("doc_id"),
+        graft.functions.Sampling.split(col("id"), trainPct = 80, valPct = 10).as("doc_split"),
+        graft.functions.Sampling.split(col("cluster_id"), trainPct = 80, valPct = 10).as("cluster_split"))
+      .persist() // read by the pair join AND the split-size counts
+    graft.operators.Caches.register(assign)
+    val pairs = Dedup.prefixFilterPairs(docs, "doc_id", "text", 4, 5)
+      .select("id_a", "id_b")
+    val crosses = pairs
+      .join(assign.select(col("doc_id").as("id_a"),
+        col("doc_split").as("da"), col("cluster_split").as("ca")), "id_a")
+      .join(assign.select(col("doc_id").as("id_b"),
+        col("doc_split").as("db"), col("cluster_split").as("cb")), "id_b")
+      .agg(
+        coalesce(sum(when(col("da") =!= col("db"), 1L).otherwise(0L)), lit(0L)).as("doc_cross"),
+        coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L)).as("cluster_cross"))
+    def cnt(c: String, v: String) = sum(when(col(c) === v, 1L).otherwise(0L))
+    val counts = assign.agg(
+      cnt("doc_split", "train").as("d_tr"), cnt("doc_split", "val").as("d_va"),
+      cnt("doc_split", "test").as("d_te"),
+      cnt("cluster_split", "train").as("c_tr"), cnt("cluster_split", "val").as("c_va"),
+      cnt("cluster_split", "test").as("c_te"))
+    val both = counts.crossJoin(crosses)
+    both.select(lit("cluster_hash").as("policy"), col("c_tr").as("train_docs"),
+        col("c_va").as("val_docs"), col("c_te").as("test_docs"),
+        col("cluster_cross").as("cross_pairs"))
+      .unionByName(both.select(lit("doc_hash").as("policy"), col("d_tr").as("train_docs"),
+        col("d_va").as("val_docs"), col("d_te").as("test_docs"),
+        col("doc_cross").as("cross_pairs")))
+      .orderBy("policy")
+  }
+
+  val qSplitLeakageSql: String =
+    s"""WITH RECURSIVE $clusterAssignSqlPrelude,
+       |a AS (SELECT doc_id,
+       |  CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+       |       WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS doc_split,
+       |  CASE WHEN md5_number_lower(CAST(cluster_id AS VARCHAR)) % 100 < 80 THEN 'train'
+       |       WHEN md5_number_lower(CAST(cluster_id AS VARCHAR)) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS cluster_split
+       |  FROM cl),
+       |x AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN aa.doc_split <> ab.doc_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS doc_cross,
+       |  CAST(coalesce(sum(CASE WHEN aa.cluster_split <> ab.cluster_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS cluster_cross
+       |  FROM p JOIN a aa ON aa.doc_id = p.ia JOIN a ab ON ab.doc_id = p.ib),
+       |c AS (SELECT
+       |  CAST(sum(CASE WHEN doc_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS d_tr,
+       |  CAST(sum(CASE WHEN doc_split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS d_va,
+       |  CAST(sum(CASE WHEN doc_split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS d_te,
+       |  CAST(sum(CASE WHEN cluster_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_tr,
+       |  CAST(sum(CASE WHEN cluster_split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_va,
+       |  CAST(sum(CASE WHEN cluster_split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c_te
+       |  FROM a)
+       |SELECT * FROM (
+       |  SELECT 'cluster_hash' AS policy, c.c_tr AS train_docs, c.c_va AS val_docs,
+       |         c.c_te AS test_docs, x.cluster_cross AS cross_pairs FROM c, x
+       |  UNION ALL
+       |  SELECT 'doc_hash', c.d_tr, c.d_va, c.d_te, x.doc_cross FROM c, x)
+       |ORDER BY policy""".stripMargin
+
+  // ---- padding-waste report: length-bucketed batching ---------------------
+  /** Sequence-length BATCHING economics: bucket documents by BPE token
+    * count into power-of-two capacity buckets (cap = next pow2 ≥ len — the
+    * bucketed-batching recipe every training loader uses) and price the
+    * padding: `pad_waste` = tokens burned padding each doc to its bucket
+    * cap, vs `maxpad_waste` = the same docs padded to the GLOBAL max length
+    * (the no-bucketing baseline). The gap is the GPU-time argument for
+    * length-bucketed batching, computed in exact integers. One corpus scan
+    * + a ≤64-row group-by; the global max rides a broadcast 1-row agg.
+    */
+  def qPadWaste(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+      .select(TF.tokenCountBpe(col("text")).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .select(col("len"),
+        when(col("len") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(len - 1)))")).as("cap"))
+      .persist() // read by the bucket agg AND the global-max agg
+    graft.operators.Caches.register(d)
+    d.groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tokens"))
+      .crossJoin(broadcast(d.agg(max(col("len")).as("max_len"))))
+      .select(col("cap"), col("n_docs"), col("tokens"),
+        (col("cap") * col("n_docs") - col("tokens")).as("pad_waste"),
+        (col("max_len") * col("n_docs") - col("tokens")).as("maxpad_waste"))
+      .orderBy("cap")
+  }
+
+  val qPadWasteSql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS ln
+      |  FROM documents),
+      |f AS (
+      |  SELECT ln, CASE WHEN ln <= 1 THEN CAST(1 AS BIGINT)
+      |                  ELSE CAST(CAST(1 AS BIGINT) << len(bin(ln - 1)) AS BIGINT) END AS cap
+      |  FROM t WHERE ln > 0),
+      |m AS (SELECT max(ln) AS max_ln FROM f)
+      |SELECT f.cap, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(f.ln) AS BIGINT) AS tokens,
+      |  CAST(f.cap * count(*) - sum(f.ln) AS BIGINT) AS pad_waste,
+      |  CAST(m.max_ln * count(*) - sum(f.ln) AS BIGINT) AS maxpad_waste
+      |FROM f, m GROUP BY f.cap, m.max_ln
+      |ORDER BY f.cap""".stripMargin
+
+  // ---- URL canonicalization dedup -----------------------------------------
+  /** Crawl-grain URL dedup: canonicalize messy absolute URLs
+    * ([[graft.functions.Urls.canonicalize]] — scheme/host case, `www.`,
+    * default ports, trailing slashes, fragments, tracking params, query
+    * param order) and collapse to one record per canonical URL. The messy
+    * URLs are derived DETERMINISTICALLY from (doc_id, source, lang) so the
+    * oracle rebuilds byte-identical inputs — every canonicalization rule
+    * fires on some subset (case via doc_id%2, www via %3, port via %5,
+    * trailing slash via %4, fragment via %6, tracking/param-order via %3)
+    * and the cross-variant collapse is visible in n_raw > n_variants ≥ 1.
+    * Pure codegen'd Column exprs: the pass is one projection + one groupBy
+    * at 100 TB, no UDF in the hot path.
+    */
+  def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val mod7 = (col("doc_id") % 7).cast("string")
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.com"),
+      when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/"), col("lang"), lit("/doc/"), mod7,
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 1,
+          concat(lit("?utm_source=feed&b="), mod7, lit("&a=1")))
+        .when(col("doc_id") % 3 === 2, concat(lit("?a=1&b="), mod7))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+    table(s, dir, "documents")
+      .select(col("doc_id"), raw.as("url"))
+      .select(col("doc_id"), col("url"),
+        graft.functions.Urls.canonicalize(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("canonical_url")
+  }
+
+  val qUrlCanonSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    source || '.example.com' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      |    '/' || lang || '/doc/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1'
+      |          WHEN doc_id % 3 = 2 THEN '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM raw),
+      |s2 AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+      |    regexp_replace(rest, '^[^/?]*', '') AS pathq
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path0,
+      |    list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS params
+      |  FROM s2),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |               OR (scheme = 'https' AND port = '443') THEN ''
+      |          ELSE ':' || port END) ||
+      |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+      |      AS canonical_url
+      |  FROM s3)
+      |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+      |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc
+      |FROM canon GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }
