@@ -4384,6 +4384,49 @@ object LlmQueries {
        |FROM cl JOIN sz USING (cluster_id)
        |ORDER BY cl.doc_id""".stripMargin
 
+  /** EFFECTIVE training-token mass per source under soft dedup: raw token
+    * counts next to the down-weighted mass Σ tokens·⌊10⁶/cluster_size⌋ —
+    * the number a mixture designer actually budgets with (a source that is
+    * 90% boilerplate contributes far fewer effective tokens than its raw
+    * size claims; `retention` makes the haircut visible per source). The
+    * per-doc weighted mass stays in exact integers (ppm scale, decimal(38,0)
+    * sum so 100 TB token counts can't wrap); retention is ONE pinned
+    * division at the end.
+    */
+  def qEffectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val cl = Dedup.clusterAssign(docs, "doc_id", "text", 4, 5)
+    docs.select(col("doc_id"), col("source"),
+        TF.tokenCountWs(col("text")).cast("long").as("toks"))
+      .join(cl.select(col("id").as("doc_id"), col("cluster_size")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("raw_tokens"),
+        sum(expr("toks * 1000000 DIV cluster_size").cast("decimal(38,0)")).as("eff_tokens_ppm"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"), col("eff_tokens_ppm"),
+        (col("eff_tokens_ppm").cast("double") /
+          (col("raw_tokens") * lit(1000000L)).cast("double")).as("retention"))
+      .orderBy("source")
+  }
+
+  val qEffectiveTokensSql: String =
+    s"""WITH RECURSIVE $clusterAssignSqlPrelude,
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1),
+       |t AS (
+       |  SELECT d.source,
+       |    CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT) AS toks,
+       |    sz.cluster_size
+       |  FROM documents d
+       |  JOIN cl ON cl.doc_id = d.doc_id
+       |  JOIN sz USING (cluster_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS raw_tokens,
+       |  sum((toks * 1000000) // cluster_size) AS eff_tokens_ppm,
+       |  CAST(sum((toks * 1000000) // cluster_size) AS DOUBLE) /
+       |    CAST(sum(toks) * 1000000 AS DOUBLE) AS retention
+       |FROM t GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ---- leakage-safe split: hash the CLUSTER, not the doc ------------------
   /** Train/val/test split LEAKAGE audit: hashing each DOC into a split (the
     * naive recipe, [[qHashSplit]]) strands near-duplicate pairs across the

@@ -47,7 +47,21 @@ object StreamDedup {
     val fp =
       if (canonical) md5(array_join(sort_array(TextFunctions.wordSet(col(textCol))), " "))
       else TextFunctions.contentFingerprint(col(textCol))
-    val keyed = docs.withColumn("__fp", fp)
+    firstSeenByKey(docs, idCol, fp, stateTtl)
+  }
+
+  /** [[firstSeen]] on an ARBITRARY precomputed dedup-key expression — the
+    * CRAWL-FRONTIER shape: key = `Urls.canonicalize(url)`, so tracking-param
+    * / case / trailing-slash variants of an already-fetched page never
+    * re-enter the fetch queue, no matter which micro-batch they arrive in.
+    * Same contract as [[firstSeen]]: one state cell per distinct key,
+    * smallest `idCol` wins within a batch, optional TTL re-admits after the
+    * re-crawl horizon. A null key (e.g. a row with no URL) is its own
+    * singleton class — it admits once under the string "null" key.
+    */
+  def firstSeenByKey(docs: DataFrame, idCol: String, key: org.apache.spark.sql.Column,
+                     stateTtl: Option[String] = None): DataFrame = {
+    val keyed = docs.withColumn("__fp", coalesce(key.cast("string"), lit("null")))
     val schema = keyed.schema
     val idIdx = schema.fieldIndex(idCol)
     implicit val rowEnc: Encoder[Row] = Encoders.row(schema)

@@ -106,6 +106,26 @@ class SoftDedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("q_effective_tokens: retention in (0,1], weighted mass bounded by raw, singleton identity") {
+    val rows = graft.queries.LlmQueries.qEffectiveTokens(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getLong(2)
+      val eff = r.getDecimal(3).toBigInteger
+      val ret = r.getDouble(4)
+      assert(eff.compareTo(java.math.BigInteger.valueOf(raw).multiply(
+        java.math.BigInteger.valueOf(1000000L))) <= 0)
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+    // a corpus with NO near-dups retains everything: weights are all 1e6
+    import spark.implicits._
+    val singletons = Seq((1L, "a b c", "s1"), (2L, "d e f", "s1"), (3L, "g h i", "s2"))
+      .toDF("doc_id", "text", "source")
+    val cl = Dedup.clusterAssign(singletons, "doc_id", "text", 4, 5)
+    assert(cl.filter(col("cluster_size") =!= 1L).count() == 0)
+    Dedup.releaseCaches()
+  }
+
   test("q_pad_waste: caps are the tightest enclosing power of two; waste accounting closes") {
     val out = graft.queries.LlmQueries.qPadWaste(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -237,4 +237,25 @@ class StreamDedupSpec extends SparkSpec {
 
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.getString(0)).toSeq.sorted
+
+  test("crawl-frontier firstSeenByKey: canonical-URL variants admit once, distinct resources pass") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "url")
+    val q = StreamDedup.firstSeenByKey(docs, "doc_id",
+        graft.functions.Urls.canonicalize(col("url")))
+      .writeStream.format("memory").queryName("sd_url").outputMode("append").start()
+    try {
+      in.addData((1L, "HTTP://WWW.A.com:80/p?utm_source=x&b=2&a=1"), (2L, "http://b.com/q"))
+      q.processAllAvailable()
+      in.addData((3L, "http://a.com/p?a=1&b=2#frag"), (4L, "http://b.com/q/"),
+        (5L, "https://b.com/q"))
+      q.processAllAvailable()
+      val out = spark.table("sd_url").select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      // 3 is the canonical twin of 1 (case/www/port/tracking/param-order/
+      // fragment all normalize away); 4 is the trailing-slash twin of 2;
+      // 5 differs by SCHEME — a different canonical resource, admitted
+      assert(out == Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
 }
