@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_near_keep"    -> (LlmQueries.qDedupNearKeep _),
     "q_soft_dedup"         -> (LlmQueries.qSoftDedup _),
     "q_effective_tokens"   -> (LlmQueries.qEffectiveTokens _),
+    "q_dedup_keep_best"    -> (LlmQueries.qDedupKeepBest _),
     "q_split_leakage"      -> (LlmQueries.qSplitLeakage _),
     "q_pad_waste"          -> (LlmQueries.qPadWaste _),
     "q_url_canon"          -> (LlmQueries.qUrlCanon _),
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_dedup_near_keep"    -> LlmQueries.qDedupNearKeepSql,
     "q_soft_dedup"         -> LlmQueries.qSoftDedupSql,
     "q_effective_tokens"   -> LlmQueries.qEffectiveTokensSql,
+    "q_dedup_keep_best"    -> LlmQueries.qDedupKeepBestSql,
     "q_split_leakage"      -> LlmQueries.qSplitLeakageSql,
     "q_pad_waste"          -> LlmQueries.qPadWasteSql,
     "q_url_canon"          -> LlmQueries.qUrlCanonSql,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout audit: Z-order (Morton-curve) clustering vs single-column
@@ -100,8 +99,13 @@ object Layout {
     * reproducible.
     */
   private def summary(df: DataFrame, layout: String, rowsPerFile: Int,
-                      dimA: String, dimB: String, orderCols: Seq[Column]): DataFrame =
-    df.withColumn("rn", row_number().over(Window.orderBy(orderCols: _*)))
+                      dimA: String, dimB: String, orderCols: Seq[String]): DataFrame =
+    // global file assignment WITHOUT the single-task row_number() OVER
+    // (ORDER BY …) window: Scale.globalRowNumber range-partitions on the
+    // curve key, numbers within partitions, and offsets by the per-partition
+    // counts — identical rn for a total order (tieCols pin it), but the
+    // audited table never collapses to one task at 100 TB
+    Scale.globalRowNumber(df, orderCols, out = "rn")
       .withColumn("file_id", expr(s"CAST((rn - 1) DIV $rowsPerFile AS BIGINT)"))
       .groupBy("file_id")
       .agg(min(col(dimA)).as("a_min"), max(col(dimA)).as("a_max"),
@@ -146,10 +150,9 @@ object Layout {
   def zorderAudit(df: DataFrame, dimA: String, dimB: String,
                   rowsPerFile: Int, tieCols: Seq[String], bits: Int = 16): DataFrame = {
     val (wide, dom) = quantized(df, dimA, dimB, bits)
-    val ties = tieCols.map(col)
     val zs = summary(wide.withColumn("zkey", zValue(col("qa"), col("qb"), bits)),
-      "zorder", rowsPerFile, dimA, dimB, col("zkey") +: ties)
-    val ls = summary(wide, "linear_" + dimA, rowsPerFile, dimA, dimB, col(dimA) +: ties)
+      "zorder", rowsPerFile, dimA, dimB, "zkey" +: tieCols)
+    val ls = summary(wide, "linear_" + dimA, rowsPerFile, dimA, dimB, dimA +: tieCols)
     finish(zs.union(ls), dom)
   }
 
@@ -161,7 +164,7 @@ object Layout {
     val (wide, dom) = quantized(df, dimA, dimB, bits)
     val hs = summary(
       wide.withColumn("hkey", hilbertValue(col("qa"), col("qb"), bits)),
-      "hilbert", rowsPerFile, dimA, dimB, col("hkey") +: tieCols.map(col))
+      "hilbert", rowsPerFile, dimA, dimB, "hkey" +: tieCols)
     finish(hs, dom)
   }
 }

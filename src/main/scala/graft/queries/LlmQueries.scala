@@ -4384,6 +4384,53 @@ object LlmQueries {
        |FROM cl JOIN sz USING (cluster_id)
        |ORDER BY cl.doc_id""".stripMargin
 
+  /** Near-dup materializer with PRODUCTION keep semantics: per cluster keep
+    * the HIGHEST-QUALITY member (doc_id tie-break), not the lowest id —
+    * [[qDedupNearKeep]]'s min-id winner is the reproducibility-first
+    * contract, but a real curation run keeps the best-written copy of each
+    * boilerplate family (the quality gate and the dedup pass compose
+    * instead of fighting). Selection is `Filter(row_number = 1)` over the
+    * per-cluster quality window, which lowers to Spark's WindowGroupLimit —
+    * a 10⁸-copy cluster is trimmed to its best row map-side BEFORE the
+    * exchange, so the shuffle carries one candidate per cluster per input
+    * partition, never the cluster.
+    */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val cl = Dedup.clusterAssign(docs, "doc_id", "text", 4, 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        TF.qualityScore(col("text")).as("quality"))
+      .join(cl.select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "lang", "source", "n_chars", "quality")
+      .orderBy("doc_id")
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""WITH RECURSIVE $clusterAssignSqlPrelude,
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1),
+       |q AS (SELECT doc_id, lang, source, n_chars,
+       |  greatest(least(
+       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+       |    + least(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it)\\b')) AS DOUBLE)
+       |            / greatest(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.5
+       |    - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.25,
+       |  1.0), 0.0) AS quality
+       |  FROM documents),
+       |j AS (
+       |  SELECT q.doc_id, q.lang, q.source, q.n_chars, q.quality,
+       |         cl.cluster_id, sz.cluster_size
+       |  FROM q JOIN cl USING (doc_id) JOIN sz USING (cluster_id)),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn FROM j)
+       |SELECT doc_id, cluster_id, cluster_size, lang, source, n_chars, quality
+       |FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** EFFECTIVE training-token mass per source under soft dedup: raw token
     * counts next to the down-weighted mass Σ tokens·⌊10⁶/cluster_size⌋ —
     * the number a mixture designer actually budgets with (a source that is

@@ -101,4 +101,16 @@ class LayoutSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq === Seq("linear_l_partkey", "zorder"))
     assert(got.forall(r => r.getLong(2) === n && r.getDouble(5) > 0 && r.getDouble(6) > 0))
   }
+
+  test("file assignment plan has NO window: the audited table never collapses to one task") {
+    // the pre-r11 summary ran row_number() OVER (ORDER BY curve) — a
+    // single-partition window over the FULL audited table; the
+    // Scale.globalRowNumber route must leave no WindowExec in the plan
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plan = Layout.zorderAudit(li, "l_partkey", "l_suppkey", 64,
+      tieCols = Seq("l_orderkey", "l_linenumber"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in audit plan:\n$plan")
+    graft.operators.Dedup.releaseCaches()
+  }
 }

@@ -126,6 +126,28 @@ class SoftDedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("q_dedup_keep_best: winner beats or ties every clustermate; one winner per cluster") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cl = Dedup.clusterAssign(docs, "doc_id", "text", 4, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val winners = graft.queries.LlmQueries.qDedupKeepBest(spark, sfDir).collect()
+    // exactly one winner per cluster, and it is the (quality desc, id asc) argmax
+    assert(winners.map(_.getLong(1)).distinct.length == winners.length)
+    assert(winners.map(_.getLong(1)).toSet == cl.values.toSet)
+    winners.foreach { w =>
+      val (id, cid, q) = (w.getLong(0), w.getLong(1), w.getDouble(6))
+      assert(quality(id) == q)
+      cl.collect { case (m, c) if c == cid => m }.foreach { m =>
+        assert(quality(m) < q || (quality(m) == q && m >= id),
+          s"member $m (q=${quality(m)}) beats winner $id (q=$q) in cluster $cid")
+      }
+    }
+    Dedup.releaseCaches()
+  }
+
   test("q_pad_waste: caps are the tightest enclosing power of two; waste accounting closes") {
     val out = graft.queries.LlmQueries.qPadWaste(spark, sfDir).collect()
     assert(out.nonEmpty)
