@@ -4481,34 +4481,73 @@ object LlmQueries {
     * text. Hashing the near-dup CLUSTER id instead sends every member of a
     * cluster to the same split, so cross-split near-dup pairs are ZERO by
     * construction. One row per policy: split sizes plus the leaked-pair
-    * count, both policies over the SAME exact pair set ([[Dedup
-    * .prefixFilterPairs]] at 4/5 — completeness by theorem, so "zero
-    * leaked pairs" is a guarantee, not a recall estimate).
+    * count, both policies over the SAME exact pair set (the prefix-filter
+    * graph at 4/5 — completeness by theorem, so "zero leaked pairs" is a
+    * guarantee, not a recall estimate). The count is computed at the SET
+    * grain from per-set split vectors — the duplication²-growing doc-pair
+    * frame never materializes (see the inline derivation).
     */
   def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val assign = Dedup.clusterAssign(docs, "doc_id", "text", 4, 5)
-      .select(col("id").as("doc_id"),
-        graft.functions.Sampling.split(col("id"), trainPct = 80, valPct = 10).as("doc_split"),
-        graft.functions.Sampling.split(col("cluster_id"), trainPct = 80, valPct = 10).as("cluster_split"))
-      .persist() // read by the pair join AND the split-size counts
-    graft.operators.Caches.register(assign)
-    val pairs = Dedup.prefixFilterPairs(docs, "doc_id", "text", 4, 5)
-      .select("id_a", "id_b")
-    val crosses = pairs
-      .join(assign.select(col("doc_id").as("id_a"),
-        col("doc_split").as("da"), col("cluster_split").as("ca")), "id_a")
-      .join(assign.select(col("doc_id").as("id_b"),
-        col("doc_split").as("db"), col("cluster_split").as("cb")), "id_b")
-      .agg(
-        coalesce(sum(when(col("da") =!= col("db"), 1L).otherwise(0L)), lit(0L)).as("doc_cross"),
-        coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L)).as("cluster_cross"))
-    def cnt(c: String, v: String) = sum(when(col(c) === v, 1L).otherwise(0L))
-    val counts = assign.agg(
-      cnt("doc_split", "train").as("d_tr"), cnt("doc_split", "val").as("d_va"),
-      cnt("doc_split", "test").as("d_te"),
-      cnt("cluster_split", "train").as("c_tr"), cnt("cluster_split", "val").as("c_va"),
-      cnt("cluster_split", "test").as("c_te"))
+    // ONE substrate pass serves both the cluster labels and the pair
+    // arithmetic: the jaccard-1.0 doc-pair expansion NEVER materializes.
+    // A boilerplate set with n identical copies carries C(n,2) intra-set
+    // pairs (duplication² — 4.5M doc pairs for one 3000-copy group at ×10
+    // corpus scale); counting cross-split pairs needs only each set's
+    // per-split membership VECTOR: intra-set cross = (n² − Σ_s n_s²)/2,
+    // and for a verified rep pair (A,B), cross = n_A·n_B − Σ_s n_{A,s}·n_{B,s}.
+    // Every doc's split is a pure hash of its id (or cluster id), so the
+    // vectors are one set-grain agg over the slim keyed frame.
+    val (keyed, repPairs0) = Dedup.prefixRepPairs(docs, "doc_id", "text", 4, 5)
+    val repPairs = repPairs0.persist() // read by the CC edge build AND inter
+    graft.operators.Caches.register(repPairs)
+    val gm = keyed.groupBy("set_key").agg(min(col("id")).as("g")).persist()
+    graft.operators.Caches.register(gm)
+    val e0 = repPairs
+      .join(gm.select(col("set_key").as("id_a"), col("g").as("ga")), "id_a")
+      .join(gm.select(col("set_key").as("id_b"), col("g").as("gb")), "id_b")
+      .select("ga", "gb").persist()
+    graft.operators.Caches.register(e0)
+    val labels = graft.operators.Graph.connectedComponents(e0, "ga", "gb")
+    val setLbl = gm.join(labels.withColumnRenamed("node", "g"), Seq("g"), "left")
+      .select(col("set_key"), coalesce(col("comp"), col("g")).as("cluster_id"))
+    def flag(c: org.apache.spark.sql.Column, v: String) =
+      sum(when(c === v, 1L).otherwise(0L))
+    val ds = graft.functions.Sampling.split(col("id"), trainPct = 80, valPct = 10)
+    val cs = graft.functions.Sampling.split(col("cluster_id"), trainPct = 80, valPct = 10)
+    // per-set split vectors (doc-hash and cluster-hash policies side by side)
+    val vec = keyed.join(setLbl, "set_key")
+      .select(col("set_key"), ds.as("dsp"), cs.as("csp"))
+      .groupBy("set_key")
+      .agg(count(lit(1)).as("n"),
+        flag(col("dsp"), "train").as("d_tr"), flag(col("dsp"), "val").as("d_va"),
+        flag(col("dsp"), "test").as("d_te"),
+        flag(col("csp"), "train").as("c_tr"), flag(col("csp"), "val").as("c_va"),
+        flag(col("csp"), "test").as("c_te"))
+      .persist() // read by intra-set, rep-pair, and split-size aggregates
+    graft.operators.Caches.register(vec)
+    // (n² − Σ_s n_s²) is always EVEN, so per-set DIV 2 is exact; all the
+    // arithmetic stays in longs (a double `/` would round above 2^53)
+    def intraOf(p: String) = expr(
+      s"(n * n - (${p}_tr * ${p}_tr + ${p}_va * ${p}_va + ${p}_te * ${p}_te)) DIV 2")
+    val intra = vec.agg(
+      coalesce(sum(intraOf("d")), lit(0L)).as("doc_intra"),
+      coalesce(sum(intraOf("c")), lit(0L)).as("cluster_intra"))
+    def cross2(p: String) =
+      col("a.n") * col("b.n") -
+        (col(s"a.${p}_tr") * col(s"b.${p}_tr") + col(s"a.${p}_va") * col(s"b.${p}_va") +
+          col(s"a.${p}_te") * col(s"b.${p}_te"))
+    val inter = repPairs.select(col("id_a"), col("id_b"))
+      .join(vec.as("a"), col("id_a") === col("a.set_key"))
+      .join(vec.as("b"), col("id_b") === col("b.set_key"))
+      .agg(coalesce(sum(cross2("d")), lit(0L)).as("doc_inter"),
+        coalesce(sum(cross2("c")), lit(0L)).as("cluster_inter"))
+    val crosses = intra.crossJoin(inter).select(
+      (col("doc_intra") + col("doc_inter")).as("doc_cross"),
+      (col("cluster_intra") + col("cluster_inter")).as("cluster_cross"))
+    val counts = vec.agg(
+      sum(col("d_tr")).as("d_tr"), sum(col("d_va")).as("d_va"), sum(col("d_te")).as("d_te"),
+      sum(col("c_tr")).as("c_tr"), sum(col("c_va")).as("c_va"), sum(col("c_te")).as("c_te"))
     val both = counts.crossJoin(crosses)
     both.select(lit("cluster_hash").as("policy"), col("c_tr").as("train_docs"),
         col("c_va").as("val_docs"), col("c_te").as("test_docs"),
