@@ -25,6 +25,7 @@ object SparkEntry {
     "q_anti_join"          -> (AnalyticsQueries.qAntiJoin _),
     "q_semi_join"          -> (AnalyticsQueries.qSemiJoin _),
     "q_asof_join"          -> (AnalyticsQueries.qAsofJoin _),
+    "q_asof_forward"       -> (AnalyticsQueries.qAsofForward _),
     "q_range_join"         -> (AnalyticsQueries.qRangeJoin _),
     "q_salted_join"        -> (AnalyticsQueries.qSaltedJoin _),
     "q_fuzzy_link"         -> (AnalyticsQueries.qFuzzyLink _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "q_anti_join"          -> AnalyticsQueries.qAntiJoinSql,
     "q_semi_join"          -> AnalyticsQueries.qSemiJoinSql,
     "q_asof_join"          -> AnalyticsQueries.qAsofJoinSql,
+    "q_asof_forward"       -> AnalyticsQueries.qAsofForwardSql,
     "q_range_join"         -> AnalyticsQueries.qRangeJoinSql,
     "q_salted_join"        -> AnalyticsQueries.qSaltedJoinSql,
     // fuzzy linkage: SymSpell deletion-variant equi-join + levenshtein verify

@@ -263,6 +263,37 @@ object AnalyticsQueries {
       |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.ts_ms <= p.ts_ms
       |ORDER BY p.event_id""".stripMargin
 
+  /** FORWARD as-of: for each error event, the user's NEXT purchase at or
+    * after the error instant ([[graft.operators.AsofJoin.joinForward]] —
+    * time-to-recovery enrichment). Same union-trick cost as the backward
+    * join; purchases pre-deduped per (user, ts) so "the" match is defined.
+    * Oracle: DuckDB's native forward `ASOF JOIN … <=`.
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+        col("event_type"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts_ms", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_ms")
+      .agg(max("event_id").as("next_purchase_id"),
+        max_by(col("value"), col("event_id")).as("next_value"))
+    graft.operators.AsofJoin.joinForward(errors, purchases, "user_id", "ts_ms", "ts_ms",
+        rightCols = Seq("next_purchase_id", "next_value"))
+      .orderBy("event_id")
+  }
+
+  val qAsofForwardSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events),
+      |e AS (SELECT event_id, user_id, ts_ms, value FROM ev WHERE event_type = 'error'),
+      |p AS (SELECT user_id, ts_ms, max(event_id) AS next_purchase_id, arg_max(value, event_id) AS next_value
+      |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts_ms, e.value, p.next_purchase_id, p.next_value
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_ms <= p.ts_ms
+      |ORDER BY e.event_id""".stripMargin
+
   // ---- range join: purchases within 7 days after signup -----------------
   /** Band join via interval bucketization (graft.operators.RangeJoin):
     * every (signup, purchase-of-same-user-within-7d) pair. Oracle is the

@@ -52,4 +52,37 @@ class AsofJoinSpec extends SparkSpec {
     // match is the t=50 row: name must be null (not leaked from t=10), v = 2.0
     assert(out.getAs[String]("name") == null && out.getAs[Double]("v") == 2.0)
   }
+
+  test("joinForward: smallest right >= left; equal time matches; none after -> nulls") {
+    val left = Seq(("a", 10L, 1), ("a", 25L, 2), ("a", 30L, 3), ("a", 99L, 4), ("b", 5L, 5))
+      .toDF("k", "t", "v")
+    val right = Seq(("a", 8L, 0.8), ("a", 25L, 2.5), ("a", 40L, 4.0), ("c", 1L, 9.9))
+      .toDF("k", "rt", "rv")
+    val got = AsofJoin.joinForward(left, right, "k", "t", "rt", Seq("rt", "rv"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == Set(
+      ("a", 10L, Some(25L)),  // next at-or-after 10 is 25
+      ("a", 25L, Some(25L)),  // equal time matches (">=")
+      ("a", 30L, Some(40L)),
+      ("a", 99L, None),       // nothing after -> nulls
+      ("b", 5L, None)))       // key with no right rows
+  }
+
+  test("joinForward mirrors join under time negation") {
+    // forward(t) == backward(-t): randomized identity over shared keys
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(40)(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(100).toLong, i))
+    val right = Seq.tabulate(30)(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(100).toLong, i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val fwd = AsofJoin.joinForward(
+        left.toDF("k", "t", "v"), right.toDF("k", "rt", "rv"), "k", "t", "rt", Seq("rt", "rv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(4)))).toSet
+    val bwd = AsofJoin.join(
+        left.map { case (k, t, v) => (k, -t, v) }.toDF("k", "t", "v"),
+        right.map { case (k, t, v) => (k, -t, v) }.toDF("k", "rt", "rv"),
+        "k", "t", "rt", Seq("rt", "rv"))
+      .collect().map(r => (r.getString(0), -r.getLong(1), Option(r.get(4)))).toSet
+    assert(fwd == bwd)
+  }
 }
