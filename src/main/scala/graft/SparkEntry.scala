@@ -57,6 +57,7 @@ object SparkEntry {
     "q_dict_encode"        -> (AnalyticsQueries.qDictEncode _),
     "q_table_log"          -> (AnalyticsQueries.qTableLog _),
     "q_time_travel"        -> (AnalyticsQueries.qTimeTravel _),
+    "q_vacuum_plan"        -> (AnalyticsQueries.qVacuumPlan _),
     "q_orc_roundtrip"      -> (SourceQueries.qOrcRoundtrip _),
     "q_ship_lag"           -> (AnalyticsQueries.qShipLag _),
     "q_skew_report"        -> (AnalyticsQueries.qSkewReport _),
@@ -74,10 +75,6 @@ object SparkEntry {
     "q_forecast_baseline"  -> (AnalyticsQueries.qForecastBaseline _),
     "q_phrase_search"      -> (LlmQueries.qPhraseSearch _),
     "q_more_like_this"     -> (LlmQueries.qMoreLikeThis _),
-    "q_mlt_score_u"        -> (LlmQueries.qMltScoreU _),
-    "q_mlt_qn_u"           -> (LlmQueries.qMltQnU _),
-    "q_mlt_cn_u"           -> (LlmQueries.qMltCnU _),
-    "q_mlt_rank"           -> (LlmQueries.qMltRank _),
     "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
@@ -297,6 +294,8 @@ object SparkEntry {
     "q_table_log"          -> AnalyticsQueries.qTableLogSql,
     // time-travel live-file listing at snapshots 2 (pre-compaction) and 4
     "q_time_travel"        -> AnalyticsQueries.qTimeTravelSql,
+    // vacuum eligibility per retention horizon: live/retained/deletable
+    "q_vacuum_plan"        -> AnalyticsQueries.qVacuumPlanSql,
     "q_orc_roundtrip"      -> SourceQueries.qOrcRoundtripSql,
     // ship-lag SLA percentiles: histogram-CDF per priority
     "q_ship_lag"           -> AnalyticsQueries.qShipLagSql,
@@ -330,12 +329,6 @@ object SparkEntry {
     "q_phrase_search"      -> LlmQueries.qPhraseSearchSql,
     // exact-integer idf-weighted dot over the inverted index
     "q_more_like_this"     -> LlmQueries.qMoreLikeThisSql,
-    // r11 diagnostic twins: one raw-representation column each, so a
-    // still-red gate names the drifting cell (remove once main row green)
-    "q_mlt_score_u"        -> LlmQueries.qMltScoreUSql,
-    "q_mlt_qn_u"           -> LlmQueries.qMltQnUSql,
-    "q_mlt_cn_u"           -> LlmQueries.qMltCnUSql,
-    "q_mlt_rank"           -> LlmQueries.qMltRankSql,
     // per-FK-edge orphan audit over distinct-key left joins
     "q_integrity"          -> SourceQueries.qIntegritySql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,

@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  private val trackingParam = "^(utm_[a-z]+|fbclid|gclid)="
+  // (?i): tracking params arrive in any case (UTM_SOURCE=, FBCLID=) while
+  // only scheme/host are case-normalized — a case-sensitive strip would let
+  // upper-cased variants of the same page survive as distinct crawl records
+  // (r11 advice). The DuckDB oracle mirrors with regexp_matches(p, ..., 'i').
+  private val trackingParam = "(?i)^(utm_[a-z]+|fbclid|gclid)="
 
   /** Canonical form of an absolute `scheme://host[:port][/path][?q][#f]`
     * URL (null-safe: null in → null out; codegen'd, no UDF).

@@ -440,8 +440,31 @@ object Dedup {
     * hash joins that attach (cluster_id, cluster_size) at the end.
     */
   def clusterAssign(docs: DataFrame, idCol: String, textCol: String,
-                    tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame = {
-    val (keyed, repPairs) = prefixRepPairs(docs, idCol, textCol, tNum, tDen, shingleN)
+                    tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame =
+    attachLabels(clusterSubstrate(docs, idCol, textCol, tNum, tDen, shingleN))
+
+  /** The SET-GRAIN cluster substrate the whole soft-dedup family shares —
+    * exposed so consumers that need more than per-doc labels (the split
+    * leakage audit needs the verified rep-pair edges AND per-set split
+    * vectors) ride ONE implementation instead of re-deriving the pipeline
+    * (r11 advice: qSplitLeakage had inlined a copy that could drift).
+    *
+    *  - `keyed`    (id, set_key)              — one row per DOCUMENT
+    *  - `repPairs` (id_a, id_b)               — verified jaccard ≥ t edges
+    *                                            between DISTINCT word sets
+    *                                            (set_key grain, complete by
+    *                                            the prefix-filter theorem)
+    *  - `setLbl`   (set_key, cluster_id, n)   — one row per DISTINCT set:
+    *                                            component label (global min
+    *                                            doc id) + member count
+    */
+  final case class ClusterSubstrate(keyed: DataFrame, repPairs: DataFrame, setLbl: DataFrame)
+
+  def clusterSubstrate(docs: DataFrame, idCol: String, textCol: String,
+                       tNum: Int, tDen: Int, shingleN: Int = 1): ClusterSubstrate = {
+    val (keyed, repPairs0) = prefixRepPairs(docs, idCol, textCol, tNum, tDen, shingleN)
+    val repPairs = repPairs0.persist() // read by the edge relabel AND consumers
+    Caches.register(repPairs)
     val gm = keyed.groupBy("set_key")
       .agg(min(col("id")).as("g"), count(lit(1)).as("n"))
       .persist() // read by the edge relabel joins AND the label attach
@@ -461,11 +484,57 @@ object Dedup {
       .select(col("set_key"), coalesce(col("comp"), col("g")).as("cluster_id"), col("n"))
       .persist() // read by the size agg AND the per-doc attach
     Caches.register(setLbl)
-    val sizes = setLbl.groupBy("cluster_id").agg(sum(col("n")).as("cluster_size"))
-    keyed.join(setLbl.select("set_key", "cluster_id"), "set_key")
+    ClusterSubstrate(keyed, repPairs, setLbl)
+  }
+
+  /** Per-doc (id, cluster_id, cluster_size) off a substrate — the two slim
+    * joins that move document rows exactly once.
+    */
+  def attachLabels(sub: ClusterSubstrate): DataFrame = {
+    val sizes = sub.setLbl.groupBy("cluster_id").agg(sum(col("n")).as("cluster_size"))
+    sub.keyed.join(sub.setLbl.select("set_key", "cluster_id"), "set_key")
       .join(sizes, "cluster_id")
       .select(col("id"), col("cluster_id"), col("cluster_size"))
   }
+
+  // ---- materialized cluster-label table -----------------------------------
+  // (dir, threshold) -> on-disk substrate paths; one JVM-wide map so every
+  // consumer in a Verify/Bench session pays the prefix-pair + CC substrate
+  // ONCE and the rest read a slim parquet label frame — the shape a real
+  // 100 TB curation run ships (compute labels once, persist, join many).
+  private val substrateStore =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** The substrate of the `documents` table under `dir`, computed ONCE per
+    * JVM per (dir, tNum/tDen) and persisted as three parquet tables (the
+    * pinned-fixture precedent of q_ann_ivf's centroids). Deterministic:
+    * labels are group-min longs off the exact prefix-filter graph, so the
+    * materialized frame is bit-identical to an in-line [[clusterSubstrate]]
+    * pass — oracles keep replaying the full chain.
+    */
+  def materializedSubstrate(s: org.apache.spark.sql.SparkSession, dir: String,
+                            tNum: Int, tDen: Int): ClusterSubstrate = {
+    val paths = substrateStore.computeIfAbsent(s"$dir|$tNum/$tDen", _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_clusters_${tNum}_$tDen").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val sub = clusterSubstrate(docs, "doc_id", "text", tNum, tDen)
+      val (kp, rp, lp) = (s"$base/keyed", s"$base/rep_pairs", s"$base/set_lbl")
+      sub.keyed.write.mode("overwrite").parquet(kp)
+      sub.repPairs.write.mode("overwrite").parquet(rp)
+      sub.setLbl.write.mode("overwrite").parquet(lp)
+      (kp, rp, lp)
+    })
+    ClusterSubstrate(s.read.parquet(paths._1), s.read.parquet(paths._2),
+      s.read.parquet(paths._3))
+  }
+
+  /** Materialized per-doc (id, cluster_id, cluster_size) label table over
+    * `dir`'s documents — [[attachLabels]] on [[materializedSubstrate]].
+    */
+  def clusterTable(s: org.apache.spark.sql.SparkSession, dir: String,
+                   tNum: Int, tDen: Int): DataFrame =
+    attachLabels(materializedSubstrate(s, dir, tNum, tDen))
 
   /** The near-dup dedup MATERIALIZER: one surviving row per connected
     * component of the near-duplicate graph (cluster-minimum id wins) — what

@@ -75,6 +75,46 @@ object TableLog {
         min("min_key").as("min_key"), max("max_key").as("max_key"))
       .select("as_of", "n_files", "n_rows", "bytes", "min_key", "max_key")
 
+  /** VACUUM eligibility plan — the maintenance op that closes the
+    * history/time-travel/compaction family: which physical files can be
+    * DELETED at each candidate retention horizon, vs still needed by a
+    * time-travelable snapshot. `horizon` = the oldest commit a reader may
+    * still time-travel to; a file removed at commit c is needed by
+    * snapshots [added_commit, c−1], so it is physically deletable iff
+    * c ≤ horizon (every snapshot that contained it has expired). Live
+    * files (no remove action) never vacuum.
+    *
+    * Output: (horizon, status ∈ live|retained|deletable, n_files, bytes) —
+    * a complete |horizons|×3 scaffold (zero rows included), so "nothing
+    * reclaimable yet" is a visible 0, not a missing row. Scale shape:
+    * everything runs on the metadata log — per-file add/remove collapse,
+    * then a broadcast cross with the |horizons|-row control-plane frame;
+    * a 100 TB table with millions of files is a millions-of-row groupBy,
+    * and no data file is ever read ([[liveFilesAt]]'s invariant).
+    */
+  def vacuumPlan(actions: DataFrame, horizons: Seq[Long]): DataFrame = {
+    val spark = actions.sparkSession
+    import spark.implicits._
+    val perFile = actions.groupBy("file_id").agg(
+      min(when(col("action") === lit("add"), col("commit_id"))).as("added_commit"),
+      min(when(col("action") === lit("remove"), col("commit_id"))).as("removed_commit"),
+      max(when(col("action") === lit("add"), col("bytes"))).as("bytes"))
+    val hs = horizons.toDF("horizon")
+    val statuses = Seq("live", "retained", "deletable").toDF("status")
+    val statusOf = when(col("removed_commit").isNull, lit("live"))
+      .when(col("removed_commit") <= col("horizon"), lit("deletable"))
+      .otherwise(lit("retained"))
+    val counted = perFile.crossJoin(broadcast(hs)) // |files|×|horizons| metadata frame
+      .select(col("horizon"), statusOf.as("status"), col("bytes"))
+      .groupBy("horizon", "status")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+    hs.crossJoin(statuses) // the 1-row-class scaffold: |horizons|×3
+      .join(counted, Seq("horizon", "status"), "left")
+      .select(col("horizon"), col("status"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+  }
+
   /** Deterministic planted commit log over the orders table (sandbox
     * tables are static single files, so history is planted the same way
     * [[Compaction.pseudoFiles]] plants a listing):

@@ -1999,6 +1999,47 @@ object AnalyticsQueries {
       |SELECT as_of, file_id, n_rows, bytes, min_key, max_key
       |FROM live ORDER BY as_of, file_id""".stripMargin
 
+  /** Vacuum eligibility over the planted log — see
+    * [[graft.operators.TableLog.vacuumPlan]]: per candidate retention
+    * horizon (commits 2..5), how many files / bytes are live, still
+    * retained for time travel, or physically deletable. The planted
+    * history exercises both branches: commit-1 files (removed by the
+    * commit-4 compaction) flip retained→deletable exactly when the
+    * horizon reaches 4.
+    */
+  def qVacuumPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableLog.vacuumPlan(
+        graft.operators.TableLog.plantedLog(table(s, dir, "orders")),
+        horizons = Seq(2L, 3L, 4L, 5L))
+      .orderBy("horizon", "status")
+
+  val qVacuumPlanSql: String = tableLogSqlPrefix +
+    """, pf AS (
+      |  SELECT file_id,
+      |    min(CASE WHEN action = 'add' THEN commit_id END) AS added_commit,
+      |    min(CASE WHEN action = 'remove' THEN commit_id END) AS removed_commit,
+      |    max(CASE WHEN action = 'add' THEN bytes END) AS bytes
+      |  FROM lg GROUP BY 1),
+      |h(horizon) AS (VALUES (CAST(2 AS BIGINT)), (3), (4), (5)),
+      |st(status) AS (VALUES ('live'), ('retained'), ('deletable')),
+      |clf AS (
+      |  SELECT h.horizon,
+      |    CASE WHEN pf.removed_commit IS NULL THEN 'live'
+      |         WHEN pf.removed_commit <= h.horizon THEN 'deletable'
+      |         ELSE 'retained' END AS status,
+      |    pf.bytes
+      |  FROM pf, h),
+      |ag AS (
+      |  SELECT horizon, status, CAST(count(*) AS BIGINT) AS n_files,
+      |    CAST(sum(bytes) AS BIGINT) AS bytes
+      |  FROM clf GROUP BY 1, 2)
+      |SELECT h.horizon, st.status,
+      |  CAST(coalesce(ag.n_files, 0) AS BIGINT) AS n_files,
+      |  CAST(coalesce(ag.bytes, 0) AS BIGINT) AS bytes
+      |FROM h CROSS JOIN st
+      |LEFT JOIN ag ON ag.horizon = h.horizon AND ag.status = st.status
+      |ORDER BY h.horizon, st.status""".stripMargin
+
   // ---- calendar gap fill ----------------------------------------------------
   /** Forward-filled daily revenue over a dense calendar spine — the
     * panel-data operator behind every "carry last observation forward"

@@ -118,7 +118,7 @@ object LlmQueries {
 
   val qDedupSweepSql: String = {
     def level(t: String) =
-      s"SELECT $t AS threshold, CAST(coalesce(sum(CASE WHEN j >= $t THEN 1 END), 0) AS BIGINT) AS n_pairs FROM p"
+      s"SELECT CAST($t AS DOUBLE) AS threshold, CAST(coalesce(sum(CASE WHEN j >= $t THEN 1 END), 0) AS BIGINT) AS n_pairs FROM p"
     s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
        |p AS (
        |  SELECT CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
@@ -196,9 +196,9 @@ object LlmQueries {
        |${closure("8", "0.8")},
        |${closure("9", "0.9")}
        |SELECT * FROM (
-       |  SELECT 0.7 AS threshold, n_kept FROM k7
-       |  UNION ALL SELECT 0.8, n_kept FROM k8
-       |  UNION ALL SELECT 0.9, n_kept FROM k9)
+       |  SELECT CAST(0.7 AS DOUBLE) AS threshold, n_kept FROM k7
+       |  UNION ALL SELECT CAST(0.8 AS DOUBLE), n_kept FROM k8
+       |  UNION ALL SELECT CAST(0.9 AS DOUBLE), n_kept FROM k9)
        |ORDER BY threshold""".stripMargin
   }
 
@@ -1645,9 +1645,12 @@ object LlmQueries {
     * value-exact locally because the local checker compares values, not
     * arrow representations). The internal math stays exact decimal; the
     * downcast fails LOUDLY via [[bigintChecked]] if a corpus ever
-    * overflows the long range. Per-column raw-representation diagnostic
-    * twins (`q_mlt_*`) are registered this round so a still-red gate
-    * names the drifting cell.
+    * overflows the long range. The r11 per-column raw-representation
+    * diagnostic twins (`q_mlt_*`) did their job — the driver gate named
+    * raw decimal/HUGEINT as the drifting representation and this row went
+    * green — and were removed in r12 as SURVEY promised; the lesson is now
+    * enforced mechanically by OracleTypeLintSpec (every oracle DESCRIBEd
+    * in DuckDB, integer-class alignment asserted against the Spark schema).
     */
   def qMoreLikeThis(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.moreLikeThis(table(s, dir, "documents"), "doc_id", "text",
@@ -1670,25 +1673,6 @@ object LlmQueries {
         raise_error(concat(lit(s"$name exceeds BIGINT range: "), c.cast("string"))))
       .otherwise(c.cast("long")).as(name)
   }
-
-  /** Diagnostic twins for the driver-red `q_more_like_this` (r9+r10): each
-    * gates ONE column of the SAME result in its RAW representation
-    * (decimal(38,0) vs un-cast HUGEINT), so if the BIGINT fix above is not
-    * the root cause, `CORRECTNESS_r11.json` names the drifting cell.
-    * Throwaway — remove once the main row is green.
-    */
-  private def mltRaw(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TfIdf.moreLikeThis(table(s, dir, "documents"), "doc_id", "text",
-        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
-
-  def qMltScoreU(s: SparkSession, dir: String): DataFrame =
-    mltRaw(s, dir).select("query_id", "cand_id", "score_u").orderBy("query_id", "cand_id")
-  def qMltQnU(s: SparkSession, dir: String): DataFrame =
-    mltRaw(s, dir).select("query_id", "cand_id", "qn_u").orderBy("query_id", "cand_id")
-  def qMltCnU(s: SparkSession, dir: String): DataFrame =
-    mltRaw(s, dir).select("query_id", "cand_id", "cn_u").orderBy("query_id", "cand_id")
-  def qMltRank(s: SparkSession, dir: String): DataFrame =
-    mltRaw(s, dir).select("query_id", "cand_id", "rank").orderBy("query_id", "cand_id")
 
   val qMoreLikeThisSql: String =
     """WITH toks AS (
@@ -1719,44 +1703,6 @@ object LlmQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
-  /** Shared CTE prefix for the diagnostic twins — same pipeline as
-    * [[qMoreLikeThisSql]] minus the rank window and the BIGINT downcast.
-    */
-  private val mltRawSqlPrefix: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-      |  FROM documents),
-      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
-      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-      |w AS (SELECT tf.doc_id, tf.term, tf.tf, (nn.n * 1000000) // df.df AS idf_u
-      |      FROM tf JOIN df USING (term), nn),
-      |nrm AS (SELECT doc_id, sum(CAST(tf * tf AS HUGEINT) * idf_u) AS norm_u
-      |        FROM w GROUP BY 1),
-      |p AS (
-      |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
-      |    sum(CAST(q.tf * c.tf AS HUGEINT) * q.idf_u) AS score_u
-      |  FROM w q JOIN w c USING (term)
-      |  WHERE q.doc_id IN (0, 1, 2, 3, 4) AND c.doc_id <> q.doc_id
-      |  GROUP BY 1, 2),
-      |s AS (
-      |  SELECT p.query_id, p.cand_id, p.score_u,
-      |    nq.norm_u AS qn_u, nc.norm_u AS cn_u
-      |  FROM p JOIN nrm nq ON nq.doc_id = p.query_id
-      |         JOIN nrm nc ON nc.doc_id = p.cand_id),
-      |r AS (
-      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, cand_id) AS INT) AS rank
-      |  FROM s)
-      |""".stripMargin
-
-  val qMltScoreUSql: String = mltRawSqlPrefix +
-    "SELECT query_id, cand_id, score_u FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
-  val qMltQnUSql: String = mltRawSqlPrefix +
-    "SELECT query_id, cand_id, qn_u FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
-  val qMltCnUSql: String = mltRawSqlPrefix +
-    "SELECT query_id, cand_id, cn_u FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
-  val qMltRankSql: String = mltRawSqlPrefix +
-    "SELECT query_id, cand_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, cand_id"
 
   // ---- int8 scalar quantization -------------------------------------------
   /** The quantized embedding STORE: per-dimension affine int8 codes (1 byte
@@ -4368,10 +4314,14 @@ object LlmQueries {
     * exact integer ppm (10⁶ DIV size — the floor-division house contract);
     * the raw 1/size rational stays derivable from cluster_size. Clustering
     * is the EXACT prefix-filter graph at jaccard ≥ 4/5, per-doc labels via
-    * [[Dedup.clusterAssign]] — rep-graph CC, doc rows move once.
+    * the MATERIALIZED [[Dedup.clusterTable]] — the substrate (rep-graph CC,
+    * doc rows move once) is computed once per corpus and persisted; all
+    * four family consumers join the slim label parquet (the r11 verdict's
+    * "compute ONCE and ship the label frame" production shape). The oracle
+    * still replays the full chain.
     */
   def qSoftDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusterAssign(table(s, dir, "documents"), "doc_id", "text", 4, 5)
+    Dedup.clusterTable(s, dir, 4, 5)
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
         expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
       .orderBy("doc_id")
@@ -4397,7 +4347,7 @@ object LlmQueries {
     */
   def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val cl = Dedup.clusterAssign(docs, "doc_id", "text", 4, 5)
+    val cl = Dedup.clusterTable(s, dir, 4, 5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
     docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -4437,21 +4387,25 @@ object LlmQueries {
     * 90% boilerplate contributes far fewer effective tokens than its raw
     * size claims; `retention` makes the haircut visible per source). The
     * per-doc weighted mass stays in exact integers (ppm scale, decimal(38,0)
-    * sum so 100 TB token counts can't wrap); retention is ONE pinned
-    * division at the end.
+    * INTERNAL sum so 100 TB token counts can't wrap); the GATED column is
+    * pinned to BIGINT on both sides via [[bigintChecked]] — the house
+    * convention the r11 `q_mlt_*` diagnostics proved (decimal128 vs
+    * HUGEINT arrow exports hash differently at the driver even when
+    * numerically equal). Retention is ONE pinned division at the end.
     */
   def qEffectiveTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val cl = Dedup.clusterAssign(docs, "doc_id", "text", 4, 5)
+    val cl = Dedup.clusterTable(s, dir, 4, 5)
     docs.select(col("doc_id"), col("source"),
         TF.tokenCountWs(col("text")).cast("long").as("toks"))
       .join(cl.select(col("id").as("doc_id"), col("cluster_size")), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("raw_tokens"),
-        sum(expr("toks * 1000000 DIV cluster_size").cast("decimal(38,0)")).as("eff_tokens_ppm"))
-      .select(col("source"), col("n_docs"), col("raw_tokens"), col("eff_tokens_ppm"),
-        (col("eff_tokens_ppm").cast("double") /
+        sum(expr("toks * 1000000 DIV cluster_size").cast("decimal(38,0)")).as("eff_dec"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        bigintChecked(col("eff_dec"), "eff_tokens_ppm"),
+        (col("eff_dec").cast("double") /
           (col("raw_tokens") * lit(1000000L)).cast("double")).as("retention"))
       .orderBy("source")
   }
@@ -4468,7 +4422,7 @@ object LlmQueries {
        |  JOIN sz USING (cluster_id))
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(toks) AS BIGINT) AS raw_tokens,
-       |  sum((toks * 1000000) // cluster_size) AS eff_tokens_ppm,
+       |  CAST(sum((toks * 1000000) // cluster_size) AS BIGINT) AS eff_tokens_ppm,
        |  CAST(sum((toks * 1000000) // cluster_size) AS DOUBLE) /
        |    CAST(sum(toks) * 1000000 AS DOUBLE) AS retention
        |FROM t GROUP BY source
@@ -4488,8 +4442,7 @@ object LlmQueries {
     * frame never materializes (see the inline derivation).
     */
   def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-    // ONE substrate pass serves both the cluster labels and the pair
+    // ONE substrate serves both the cluster labels and the pair
     // arithmetic: the jaccard-1.0 doc-pair expansion NEVER materializes.
     // A boilerplate set with n identical copies carries C(n,2) intra-set
     // pairs (duplication² — 4.5M doc pairs for one 3000-copy group at ×10
@@ -4497,20 +4450,15 @@ object LlmQueries {
     // per-split membership VECTOR: intra-set cross = (n² − Σ_s n_s²)/2,
     // and for a verified rep pair (A,B), cross = n_A·n_B − Σ_s n_{A,s}·n_{B,s}.
     // Every doc's split is a pure hash of its id (or cluster id), so the
-    // vectors are one set-grain agg over the slim keyed frame.
-    val (keyed, repPairs0) = Dedup.prefixRepPairs(docs, "doc_id", "text", 4, 5)
-    val repPairs = repPairs0.persist() // read by the CC edge build AND inter
-    graft.operators.Caches.register(repPairs)
-    val gm = keyed.groupBy("set_key").agg(min(col("id")).as("g")).persist()
-    graft.operators.Caches.register(gm)
-    val e0 = repPairs
-      .join(gm.select(col("set_key").as("id_a"), col("g").as("ga")), "id_a")
-      .join(gm.select(col("set_key").as("id_b"), col("g").as("gb")), "id_b")
-      .select("ga", "gb").persist()
-    graft.operators.Caches.register(e0)
-    val labels = graft.operators.Graph.connectedComponents(e0, "ga", "gb")
-    val setLbl = gm.join(labels.withColumnRenamed("node", "g"), Seq("g"), "left")
-      .select(col("set_key"), coalesce(col("comp"), col("g")).as("cluster_id"))
+    // vectors are one set-grain agg over the slim keyed frame. r12: the
+    // substrate is [[Dedup.materializedSubstrate]] — the same persisted
+    // keyed/repPairs/setLbl parquet the rest of the soft-dedup family
+    // joins, not a re-derived inline copy (r11 advice: the copy could
+    // drift from Dedup.clusterAssign).
+    val sub = Dedup.materializedSubstrate(s, dir, 4, 5)
+    val keyed = sub.keyed
+    val repPairs = sub.repPairs
+    val setLbl = sub.setLbl.select("set_key", "cluster_id")
     def flag(c: org.apache.spark.sql.Column, v: String) =
       sum(when(c === v, 1L).otherwise(0L))
     val ds = graft.functions.Sampling.split(col("id"), trainPct = 80, valPct = 10)
@@ -4698,7 +4646,7 @@ object LlmQueries {
       |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
       |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path0,
       |    list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
-      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS params
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=', 'i'))) AS params
       |  FROM s2),
       |canon AS (
       |  SELECT doc_id, url,

@@ -57,11 +57,16 @@ object StreamDedup {
     * Same contract as [[firstSeen]]: one state cell per distinct key,
     * smallest `idCol` wins within a batch, optional TTL re-admits after the
     * re-crawl horizon. A null key (e.g. a row with no URL) is its own
-    * singleton class — it admits once under the string "null" key.
+    * singleton class: the state key is tag-prefixed (`n` for null, `v` +
+    * value otherwise), so a row whose key genuinely stringifies to "null"
+    * (a URL column holding the literal text) can never be folded into the
+    * null class and silently dropped (r11 advice — the old sentinel was
+    * the bare string "null").
     */
   def firstSeenByKey(docs: DataFrame, idCol: String, key: org.apache.spark.sql.Column,
                      stateTtl: Option[String] = None): DataFrame = {
-    val keyed = docs.withColumn("__fp", coalesce(key.cast("string"), lit("null")))
+    val keyed = docs.withColumn("__fp",
+      when(key.isNull, lit("n")).otherwise(concat(lit("v"), key.cast("string"))))
     val schema = keyed.schema
     val idIdx = schema.fieldIndex(idCol)
     implicit val rowEnc: Encoder[Row] = Encoders.row(schema)

@@ -248,6 +248,22 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("keep_best: quality window heap-rewrites (double order key via IEEE ordinal encoding)") {
+    // SURVEY row #140's claim, now plan-asserted (r11 verdict #4): the
+    // row_number()=1 selection over (cluster_id ORDER BY quality DESC,
+    // doc_id) must rewrite to the bounded graft_topk heap — the order key
+    // is a COMPUTED DOUBLE, exactly the shape that silently missed the
+    // rewrite before DoubleOrdinalLong existed, so this contract keeps it
+    // from regressing. Map tasks then ship ONE candidate per cluster per
+    // partition instead of sorting whole clusters through the exchange.
+    val df = graft.queries.LlmQueries.qDedupKeepBest(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_topk"),
+      s"TopKRewriteRule did not fire on the keep-best quality window:\n$opt")
+    assert(!opt.contains("row_number"), "window formulation survived the rewrite")
+    graft.operators.Caches.release()
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)

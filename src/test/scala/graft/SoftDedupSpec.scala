@@ -111,10 +111,11 @@ class SoftDedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val raw = r.getLong(2)
-      val eff = r.getDecimal(3).toBigInteger
+      // r12: the gated column is BIGINT both sides (the q_more_like_this
+      // recipe — un-cast HUGEINT/decimal128 was the r11 driver-red cause)
+      val eff = r.getLong(3)
       val ret = r.getDouble(4)
-      assert(eff.compareTo(java.math.BigInteger.valueOf(raw).multiply(
-        java.math.BigInteger.valueOf(1000000L))) <= 0)
+      assert(eff <= raw * 1000000L)
       assert(ret > 0.0 && ret <= 1.0)
     }
     // a corpus with NO near-dups retains everything: weights are all 1e6

@@ -258,4 +258,25 @@ class StreamDedupSpec extends SparkSpec {
       assert(out == Seq(1L, 2L, 5L))
     } finally q.stop()
   }
+
+  test("firstSeenByKey: a key stringifying to literal 'null' never collides with the null-key class") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "url")
+    // key on the RAW url column: row 2 carries a genuine null, row 3 the
+    // literal text "null" — under the r11 bare-"null" sentinel row 3 would
+    // be folded into row 2's state cell and silently dropped
+    val q = StreamDedup.firstSeenByKey(docs, "doc_id", col("url"))
+      .writeStream.format("memory").queryName("sd_nullkey").outputMode("append").start()
+    try {
+      in.addData((2L, null: String))
+      q.processAllAvailable()
+      in.addData((3L, "null"), (4L, null: String))
+      q.processAllAvailable()
+      val out = spark.table("sd_nullkey").select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      // 2 admits (first null), 3 admits (distinct literal-"null" class),
+      // 4 rejects (second null)
+      assert(out == Seq(2L, 3L))
+    } finally q.stop()
+  }
 }

@@ -38,6 +38,23 @@ class TableLogSpec extends SparkSpec {
     assert(ids(3L) == Seq(20L, 90L))
   }
 
+  test("vacuumPlan: removed files flip retained->deletable exactly at their remove commit; live never vacuums") {
+    // handLog: files 10/11 removed at commit 3 (needed by snapshots <= 2),
+    // files 20/90 live. horizon = oldest still-travelable commit.
+    val got = TableLog.vacuumPlan(handLog, Seq(2L, 3L, 4L))
+      .orderBy("horizon", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      // horizon 2: snapshot 2 still travelable and contains 10/11 -> retained
+      (2L, "deletable", 0L, 0L), (2L, "live", 2L, 240L), (2L, "retained", 2L, 160L),
+      // horizon 3: every snapshot containing 10/11 expired -> deletable
+      (3L, "deletable", 2L, 160L), (3L, "live", 2L, 240L), (3L, "retained", 0L, 0L),
+      (4L, "deletable", 2L, 160L), (4L, "live", 2L, 240L), (4L, "retained", 0L, 0L)))
+    // reconciliation: deletable+retained+live bytes are horizon-invariant
+    val tot = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(tot.values.toSet.size == 1)
+  }
+
   test("planted orders log: compaction nets to zero, snapshots reconcile with the table") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val log = TableLog.plantedLog(orders)

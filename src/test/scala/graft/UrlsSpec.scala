@@ -32,6 +32,14 @@ class UrlsSpec extends SparkSpec {
       Seq("http://a.com/p?a=1&b=2", "http://a.com/p?a=1&b=2", "http://a.com/p"))
   }
 
+  test("tracking-param strip is case-insensitive (r11 advice: UTM_SOURCE= variants must collapse too)") {
+    assert(canon(
+      "http://a.com/p?UTM_SOURCE=x&b=2&a=1",
+      "http://a.com/p?FBCLID=f&a=1&b=2",
+      "http://a.com/p?Gclid=g&a=1&b=2") ==
+      Seq("http://a.com/p?a=1&b=2", "http://a.com/p?a=1&b=2", "http://a.com/p?a=1&b=2"))
+  }
+
   test("null in, null out") {
     val out = Seq[Option[String]](None).toDF("u")
       .select(Urls.canonicalize(col("u"))).collect()
