@@ -35,7 +35,14 @@ object Bench {
           s.read.parquet(BenchFixtures.nearDupIndexDir(s, dir)),
           s.read.parquet(s"$dir/documents.parquet")
             .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0),
-          "doc_id", "text", threshold = 0.8)))
+          "doc_id", "text", threshold = 0.8)),
+      // the cluster-substrate BUILD leg, timed explicitly: the four
+      // soft-dedup family registrations read the materialized label parquet
+      // (fixture below, untimed — the production compute-once shape), so
+      // this entry keeps the one-time prefix-pair + CC chain on the books
+      "q_cluster_build" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Dedup.clusterAssign(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 4, 5)))
     // SPARK_GRAFT_BENCH_REPS: passes per regime (default 3 — the driver
     // contract). SPARK_GRAFT_BENCH_SKIP: comma-separated query names to
     // exclude (for scale runs where a quadratic-by-construction baseline
@@ -53,6 +60,11 @@ object Bench {
         .filter { case (n, _) => only.isEmpty || only(n) }
     BenchFixtures.xlsxDir(spark, sfDir)
     BenchFixtures.nearDupIndexDir(spark, sfDir)
+    // materialize the shared cluster-label substrate OUTSIDE timing (its
+    // build chain is the q_cluster_build entry; the family registrations
+    // measure the steady read-the-label-frame path a production run pays)
+    graft.operators.Dedup.materializedSubstrate(spark, sfDir, 4, 5)
+    graft.operators.Caches.release()
 
     // JIT/codegen warmup: run every query once on the SMALLEST scale factor
     // (negligible data, same generated code paths) so timing at the target
