@@ -55,7 +55,19 @@ object Layout {
     * jumps at quadrant seams) — aligned 4^j segments are exact subsquares
     * either way, but straddling file boundaries cost less here.
     */
-  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column = {
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    // the native loop expression — the declarative fold below evaluates
+    // INTERPRETED (HigherOrderFunction, struct accumulator) at ~µs/row and
+    // runs twice under repartitionByRange sampling; measured 278 s cold on
+    // q_hilbert_layout at the ×10 corpus vs sub-second with the loop. The
+    // fold stays as the spec's independent model and the SQL CTE replay.
+    graft.plans.NativeHash.hilbertD(x, y, bits)
+
+  /** The declarative fold formulation — the independent model
+    * [[graft.plans.NativeHash.HilbertD]] is spec-checked against (and the
+    * shape the DuckDB CTE chain replays level by level).
+    */
+  def hilbertValueFold(x: Column, y: Column, bits: Int = 16): Column = {
     val levels = array((0 until bits).reverse.map(i => lit(1L << i)): _*)
     val init = struct(x.cast("long").as("x"), y.cast("long").as("y"), lit(0L).as("d"))
     aggregate(levels, init, (acc, s) => {
@@ -104,8 +116,15 @@ object Layout {
     // (ORDER BY …) window: Scale.globalRowNumber range-partitions on the
     // curve key, numbers within partitions, and offsets by the per-partition
     // counts — identical rn for a total order (tieCols pin it), but the
-    // audited table never collapses to one task at 100 TB
-    Scale.globalRowNumber(df, orderCols, out = "rn")
+    // audited table never collapses to one task at 100 TB.
+    // Project to the audited dims + order key FIRST: globalRowNumber
+    // persists its range-shuffled input, and a cache boundary defeats
+    // column pruning — without this the full table (every string column)
+    // rides the shuffle and the cache; at the ×10 corpus that was most of
+    // the audit's cost
+    Scale.globalRowNumber(
+        df.select((orderCols ++ Seq(dimA, dimB)).distinct.map(col): _*),
+        orderCols, out = "rn")
       .withColumn("file_id", expr(s"CAST((rn - 1) DIV $rowsPerFile AS BIGINT)"))
       .groupBy("file_id")
       .agg(min(col(dimA)).as("a_min"), max(col(dimA)).as("a_max"),

@@ -795,6 +795,52 @@ object NativeHash {
     override protected def withNewChildInternal(newChild: Expression): TopNgramRatio = copy(child = newChild)
   }
 
+  /** Hilbert xy→d walk (the [[graft.operators.Layout.hilbertValue]]
+    * semantics) as ONE native integer loop per row. The declarative
+    * formulation — `aggregate()` over a 16-level array with a struct
+    * accumulator — is a higher-order function Spark evaluates INTERPRETED
+    * (~µs/row with per-level struct allocation), and under
+    * `Scale.globalRowNumber` it runs twice (range-boundary sampling + the
+    * shuffle itself): measured 278 s cold for `q_hilbert_layout` at the
+    * ×10 corpus, vs nanoseconds/row for this loop. Identical walk, level
+    * s = 2^(bits−1)..1: d += s²·((3·rx) xor ry), then reflect-and-swap
+    * when ry = 0 — bit-for-bit the fold the DuckDB CTE chain replays.
+    */
+  case class HilbertD(left: Expression, right: Expression, bits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType == LongType)
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbert_d requires two bigint arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      var x = l.asInstanceOf[Long]
+      var y = r.asInstanceOf[Long]
+      var d = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0L) {
+          // reflect within the quadrant when rx = 1, then swap axes —
+          // exactly the fold's nx/ny: x' = (rx? s−1−y : y), y' = (rx? s−1−x : x)
+          if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertD =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_hilbert_d"
+  }
+
   /** Column API over the injected functions (sessions built through
     * GraftSession carry [[GraftExtensions]]; other sessions set
     * `spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -835,6 +881,9 @@ object NativeHash {
 
   def cdcCuts(c: Column, k: Int, maskHex: String): Column =
     call_function("graft_cdc_cuts", c, lit(k), lit(maskHex))
+
+  def hilbertD(x: Column, y: Column, bits: Int): Column =
+    call_function("graft_hilbert_d", x.cast("long"), y.cast("long"), lit(bits))
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -897,6 +946,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[NativeHash.CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => NativeHash.CosineSim(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert_d"),
+      new ExpressionInfo(classOf[NativeHash.HilbertD].getName, "graft_hilbert_d"),
+      (args: Seq[Expression]) => NativeHash.HilbertD(args(0), args(1),
+        args(2).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),

@@ -78,6 +78,20 @@ class LayoutSpec extends SparkSpec {
     assert(ds.distinct.size === 1024 && ds.min === 0L && ds.max === 1023L)
   }
 
+  test("native graft_hilbert_d == the declarative fold at full 16-bit width") {
+    // hilbertValue now routes to the native loop expression; the HOF fold
+    // stays as the independent model (and the DuckDB CTE replay shape) —
+    // pin them identical on seeded full-width coordinates
+    val rng = new scala.util.Random(12L)
+    val pts = Seq.fill(2000)((rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong))
+    val mismatches = pts.toDF("a", "b")
+      .select(
+        Layout.hilbertValue(col("a"), col("b")).as("native"),
+        Layout.hilbertValueFold(col("a"), col("b")).as("fold"))
+      .where(col("native") =!= col("fold")).count()
+    assert(mismatches === 0L)
+  }
+
   test("full grid: hilbert files are exact 4x4 subsquares too (aligned 4^j segments)") {
     val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong)).toDF("a", "b")
     val got = Layout.hilbertAudit(grid, "a", "b", rowsPerFile = 16, tieCols = Seq("a", "b"))
