@@ -75,16 +75,20 @@ object Cooccur {
     * the per-group top-k window is the `row_number() <= k` shape
     * TopKRewriteRule rewrites into bounded k-heap partials — the shuffle
     * carries k rows per group per task, never a group's whole vocabulary.
-    * Docs shorter than n tokens contribute nothing (wordShingles'
-    * whole-doc fallback is excluded by the pre-filter).
+    * Docs shorter than n tokens contribute nothing (graft_shingle_list
+    * yields the empty array for them — no whole-doc fallback gram).
     */
   def topNgramsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
+    // native one-pass shingle list (duplicates kept — counts are the
+    // point; docs with <n tokens yield the empty array, subsuming the old
+    // size(tokens)>=n pre-filter that tokenized every doc a second time):
+    // the declarative explode(wordShingles) HOF evaluates interpreted;
+    // value parity spec-pinned in NativeHashSpec
     docs
-      .filter(size(TextFunctions.tokens(col(textCol))) >= n)
       .select(col(groupCol),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+        explode(graft.plans.NativeHash.shingleList(col(textCol), n)).as("gram"))
       .groupBy(groupCol, "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("gram_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(groupCol)

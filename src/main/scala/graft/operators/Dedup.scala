@@ -137,12 +137,15 @@ object Dedup {
 
   private def setUnits(shingleN: Int): Column => Column =
     if (shingleN <= 1) TextFunctions.wordSet
-    else c => array_distinct(transform(TextFunctions.wordShingles(c, shingleN),
-      // minhashSignature re-tokenizes on whitespace downstream — keep
-      // each shingle ONE non-whitespace token; the U+0001 sentinel (vs
-      // deleting spaces) keeps distinct shingles distinct ('a bc' and
-      // 'ab c' must not both become 'abc')
-      s => translate(s, " ", "\u0001")))
+    // native one-pass distinct shingles joined on the U+0001 sentinel —
+    // minhashSignature re-tokenizes on whitespace downstream, so each
+    // shingle must stay ONE non-whitespace token, and the sentinel (vs
+    // deleting spaces) keeps distinct shingles distinct ('a bc' and
+    // 'ab c' must not both become 'abc'). Value-identical to the
+    // declarative array_distinct(transform(wordShingles(c, n),
+    // s => translate(s, " ", "\u0001"))) HOF chain (spec-pinned in
+    // NativeHashSpec), which evaluates interpreted
+    else c => graft.plans.NativeHash.shingleSetSep(c, shingleN, "\u0001")
 
   private[graft] def setGraph(docs: DataFrame, idCol: String, textCol: String,
                               threshold: Double, bands: Int, r: Int, shingleN: Int,

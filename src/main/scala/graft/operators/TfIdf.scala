@@ -69,7 +69,10 @@ object TfIdf {
                   shingleN: Int = 1): DataFrame = {
     val units =
       if (shingleN == 1) TextFunctions.wordSet(col(textCol))
-      else array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))
+      // native one-pass distinct shingles: the declarative
+      // array_distinct(wordShingles) HOF evaluates interpreted (same value
+      // semantics — spec-pinned in NativeHashSpec)
+      else graft.plans.NativeHash.shingleSet(col(textCol), shingleN)
     val terms = docs.select(col(idCol), explode(units).as("term")).persist()
     Caches.register(terms)
     val df = terms.groupBy("term").agg(count(lit(1)).as("df"))

@@ -519,14 +519,20 @@ object NativeHash {
     * position — measured ~10× slower on the decontamination probe at
     * sf0.1. Docs with < n tokens contribute their whole token stream as
     * ONE shingle (TextFunctions.wordShingles parity; empty text → the ""
-    * shingle, like the declarative form and the DuckDB mirror).
+    * shingle, like the declarative form and the DuckDB mirror). `sep`
+    * joins the tokens of a shingle — " " matches wordShingles; "\u0001" is
+    * the Dedup.setUnits form (each shingle must stay ONE non-whitespace
+    * token for minhashSignature's downstream re-tokenization), identical
+    * to `translate(shingle, " ", "\u0001")` because tokens never contain
+    * whitespace.
     */
-  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  case class ShingleSet(child: Expression, n: Int, sep: String = " ")
+      extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
       val out = new java.util.LinkedHashSet[UTF8String]()
-      if (toks.length < n) out.add(UTF8String.fromString(toks.mkString(" ")))
+      if (toks.length < n) out.add(UTF8String.fromString(toks.mkString(sep)))
       else {
         val sb = new java.lang.StringBuilder()
         var i = 0
@@ -534,7 +540,7 @@ object NativeHash {
           sb.setLength(0)
           var j = 0
           while (j < n) {
-            if (j > 0) sb.append(' ')
+            if (j > 0) sb.append(sep)
             sb.append(toks(i + j))
             j += 1
           }
@@ -545,6 +551,44 @@ object NativeHash {
       new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size())))
     }
     override protected def withNewChildInternal(newChild: Expression): ShingleSet = copy(child = newChild)
+  }
+
+  /** ALL word n-gram shingles — ordered, duplicates kept — in one native
+    * pass: the counting twin of [[ShingleSet]] (boilerplate n-gram reports
+    * count every occurrence, so distinctness would be wrong). Same
+    * tokenizer, space-joined, but NO whole-stream fallback: a doc with
+    * fewer than n tokens yields an EMPTY array, so
+    * `explode(graft_shingle_list(c, n))` is exactly the
+    * `filter(size(tokens) >= n)` + `explode(wordShingles)` pair in one
+    * tokenization (the pre-filter used to tokenize every doc a second
+    * time).
+    */
+  case class ShingleList(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks0 = tokenize(input.asInstanceOf[UTF8String])
+      // split("", "\s+") is [""]: empty text is ONE empty token to the
+      // declarative filter+explode pair, so n=1 emits the "" gram
+      val toks = if (toks0.isEmpty) Array("") else toks0
+      if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+      val out = new Array[AnyRef](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleList = copy(child = newChild)
   }
 
   /** `md5_number_lower(s) % m` (unsigned) in one native pass — value-
@@ -857,6 +901,11 @@ object NativeHash {
 
   def shingleSet(c: Column, n: Int): Column = call_function("graft_shingle_set", c, lit(n))
 
+  def shingleSetSep(c: Column, n: Int, sep: String): Column =
+    call_function("graft_shingle_set", c, lit(n), lit(sep))
+
+  def shingleList(c: Column, n: Int): Column = call_function("graft_shingle_list", c, lit(n))
+
   def tokenSpans(c: Column, w: Int): Column = call_function("graft_token_spans", c, lit(w))
 
   def tokenGramHashes(c: Column, n: Int): Column = call_function("graft_token_grams", c, lit(n))
@@ -918,7 +967,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[NativeHash.ShingleSet].getName, "graft_shingle_set"),
-      (args: Seq[Expression]) => NativeHash.ShingleSet(args.head, args(1).eval().asInstanceOf[Int])
+      (args: Seq[Expression]) => NativeHash.ShingleSet(args.head, args(1).eval().asInstanceOf[Int],
+        if (args.length >= 3) args(2).eval().toString else " ")
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_list"),
+      new ExpressionInfo(classOf[NativeHash.ShingleList].getName, "graft_shingle_list"),
+      (args: Seq[Expression]) => NativeHash.ShingleList(args.head, args(1).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_token_spans"),

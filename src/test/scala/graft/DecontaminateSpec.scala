@@ -58,6 +58,48 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("native sep shingle set == declarative transform(wordShingles, translate) on random text") {
+    // the Dedup.setUnits form: shingle tokens joined on the U+0001
+    // sentinel so each shingle stays one non-whitespace token
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("a", "bb", "ccc", "Dd", "e!", "ff", "g", "hh", "", "  ")
+    val texts = (1 to 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ ((99L, ""))
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(2, 4)) {
+      val native = df.select(col("id"),
+        explode(graft.plans.NativeHash.shingleSetSep(col("text"), n, "\u0001")).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val declarative = df.select(col("id"),
+        explode(array_distinct(transform(
+          graft.functions.TextFunctions.wordShingles(col("text"), n),
+          s => translate(s, " ", "\u0001")))).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(native == declarative, s"n=$n diverged")
+    }
+  }
+
+  test("native shingle list == filter(size>=n) + explode(wordShingles) with duplicates kept") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Seq("x", "x", "yy", "zzz", "x yy", "w!")
+    val texts = (1 to 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(9)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ ((99L, "")) :+ ((100L, "one two"))
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(col("id"),
+        explode(graft.plans.NativeHash.shingleList(col("text"), n)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val declarative = df
+        .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= n)
+        .select(col("id"),
+          explode(graft.functions.TextFunctions.wordShingles(col("text"), n)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(native == declarative, s"n=$n diverged")
+    }
+  }
+
   test("benchmark shingle set broadcasts (plan contract)") {
     val plan = Decontaminate.overlap(corpus, benchmark, "id", "text", n = 3)
       .queryExecution.executedPlan.toString
