@@ -78,6 +78,7 @@ object SparkEntry {
     "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
+    "q_session_window"     -> (AnalyticsQueries.qSessionWindow _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
     "q_burst_detect"       -> (AnalyticsQueries.qBurstDetect _),
     "q_json_extract"       -> (AnalyticsQueries.qJsonExtract _),
@@ -99,6 +100,8 @@ object SparkEntry {
     "q_dedup_keep_best"    -> (LlmQueries.qDedupKeepBest _),
     "q_split_leakage"      -> (LlmQueries.qSplitLeakage _),
     "q_pad_waste"          -> (LlmQueries.qPadWaste _),
+    "q_length_bucket_pack" -> (LlmQueries.qLengthBucketPack _),
+    "q_dp_count"           -> (LlmQueries.qDpCount _),
     "q_url_canon"          -> (LlmQueries.qUrlCanon _),
     "q_dedup_incremental"  -> (LlmQueries.qDedupIncremental _),
     "q_decontaminate"      -> (LlmQueries.qDecontaminate _),
@@ -333,6 +336,7 @@ object SparkEntry {
     "q_integrity"          -> SourceQueries.qIntegritySql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
+    "q_session_window"     -> AnalyticsQueries.qSessionWindowSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,
     // minute-grain Hampel burst gate over the histogram-CDF medians
     "q_burst_detect"       -> AnalyticsQueries.qBurstDetectSql,
@@ -357,6 +361,8 @@ object SparkEntry {
     "q_dedup_keep_best"    -> LlmQueries.qDedupKeepBestSql,
     "q_split_leakage"      -> LlmQueries.qSplitLeakageSql,
     "q_pad_waste"          -> LlmQueries.qPadWasteSql,
+    "q_length_bucket_pack" -> LlmQueries.qLengthBucketPackSql,
+    "q_dp_count"           -> LlmQueries.qDpCountSql,
     "q_url_canon"          -> LlmQueries.qUrlCanonSql,
     "q_dedup_incremental"  -> LlmQueries.qDedupIncrementalSql,
     "q_decontaminate"      -> LlmQueries.qDecontaminateSql,

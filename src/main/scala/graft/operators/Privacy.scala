@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.Sampling
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Differentially-private release primitives for corpus statistics.
+  *
+  * The reference publishes supplier-level aggregates outward with no privacy
+  * layer (`Aggregator.php:62-89` — every count leaves the pipeline exact);
+  * the operation a training-data pipeline needs when REPORTING per-source /
+  * per-domain corpus statistics beyond the trust boundary is the classic
+  * counting-query release: perturb each count with noise calibrated to its
+  * unit sensitivity.
+  *
+  * Mechanism: the GEOMETRIC mechanism — two-sided geometric noise, the
+  * discrete analogue of Laplace and the utility-optimal choice for counting
+  * queries (Ghosh, Roughgarden & Sundararajan, "Universally Utility-
+  * Maximizing Privacy Mechanisms", STOC 2009). We fix α = 2^-j, i.e.
+  * ε = j·ln 2, which makes the ENTIRE inverse CDF computable in exact
+  * 64-bit integer arithmetic: no ln(), no doubles, so a draw is
+  * bit-identical on every engine — the property the DuckDB oracle gate
+  * needs and RNG-based noise can never give.
+  *
+  * Distribution: P(X = k) = ((1-α)/(1+α))·α^|k|. With α = 2^-j and a
+  * 32-bit uniform U ∈ [0, 2^32):
+  *
+  *   U' = U + 1 ∈ [1, 2^32]      (shifts u away from the CDF's 0 endpoint)
+  *   W⁻ = U'·(2^j + 1)
+  *   W⁺ = (2^32 − U')·(2^j + 1)
+  *
+  *   X ≤ −m  (m ≥ 1)  ⟺  u < α^m/(1+α)  ⟺  W⁻ < 2^(32+j−jm)
+  *                     ⟺  bitlen(W⁻) ≤ 32 + j − j·m
+  *   so  X = −⌊(32 + j − bitlen(W⁻))/j⌋ when that is ≥ 1, and by symmetry
+  *   X = +⌊(32 + j − bitlen(W⁺))/j⌋ on the upper tail. Strict vs non-strict
+  *   never differs on achievable values: W = U'·(2^j+1) with 2^j+1 odd > 1
+  *   can never be an exact power of two. The one boundary case is u = 1
+  *   (W⁺ = 0, probability 2^-32), clamped to ⌊(31+j)/j⌋ — one past the
+  *   largest magnitude any non-zero U'' can produce.
+  *
+  * Seeding: U is the md5-derived uint64 of a (salt, group-key) string
+  * ([[Sampling.md5Lower]], the cross-engine hash primitive every
+  * deterministic sample in the library builds on), so a released frame is
+  * reproducible across runs, engines and partitionings. A seeded draw is a
+  * fixed function of the key — the standard reproducibility trade-off of
+  * production DP pipelines (fresh randomness per RELEASE, not per row; the
+  * privacy argument holds per released artifact, and re-keying the salt is
+  * what issuing a new release means here).
+  */
+object Privacy {
+
+  /** Two-sided geometric noise with α = 2^-j (ε = j·ln 2), drawn
+    * deterministically from the md5 of `key`. Exact integer arithmetic
+    * throughout — see the object doc for the derivation. Returns LONG.
+    */
+  def geometricNoise(key: Column, j: Int): Column = {
+    require(j >= 1 && j <= 8, s"j (epsilon in ln-2 units) must be in [1,8], got $j")
+    val t = 4294967296L // 2^32
+    val a = (1L << j) + 1L // 2^j + 1, odd — the no-power-of-two guarantee
+    val u1 = (pmod(Sampling.md5Lower(key), lit(t)).cast("long") + lit(1L)).as("u1")
+    val wNeg = u1 * lit(a)
+    val wPos = (lit(t) - u1) * lit(a)
+    // ⌊(32 + j − bitlen(W))/j⌋ — operands are tiny exact ints, so the
+    // double floor-division is exact.
+    def mOf(w: Column): Column =
+      floor((lit((32 + j).toDouble) - length(bin(w)).cast("double")) / lit(j.toDouble))
+        .cast("long")
+    val mN = mOf(wNeg)
+    val mP = mOf(greatest(wPos, lit(1L)))
+    val clamp = ((31 + j) / j).toLong
+    when(mN >= 1, -mN)
+      .when(wPos === 0L, lit(clamp))
+      .when(mP >= 1, mP)
+      .otherwise(lit(0L))
+  }
+
+  /** Noisy group counts: one row per (group, j) for each ε = j·ln 2 in
+    * `js`, with the true count, the geometric noise drawn from
+    * (salt, group-values, j), and the released max(0, n + noise).
+    * `n_true` rides along because the gated frame is a TEST artifact —
+    * a real release ships only (group, eps, n_noisy).
+    */
+  def noisyCounts(grouped: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                  countCol: String, js: Seq[Int], salt: String = "dp")
+  : org.apache.spark.sql.DataFrame = {
+    js.map { j =>
+      val key = concat_ws("|",
+        (lit(salt + j) +: groupCols.map(c => col(c).cast("string"))): _*)
+      grouped.select(
+        (groupCols.map(col) :+ lit(j).as("eps_ln2") :+ col(countCol) :+
+          geometricNoise(key, j).as("noise")): _*)
+    }.reduce(_ unionByName _)
+      .withColumn("n_noisy", greatest(lit(0L), col(countCol) + col("noise")))
+  }
+}

@@ -729,6 +729,55 @@ object AnalyticsQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- events: NATIVE session_window sessionization -----------------------
+  /** Gap-sessionization on Spark's native `session_window()` — the operator
+    * the streaming pipeline rides ([[graft.streaming.StreamSessionize]]):
+    * one aggregation, the engine owns window merging, and the SAME code
+    * shape runs batch and streaming (the session lifecycle — merge on
+    * arrival, close at watermark — is the engine's, not hand-rolled state).
+    *
+    * Boundary semantics are pinned by SessionWindowSpec: the engine merges
+    * an event at EXACTLY `last_ts + gap` into the running session (windows
+    * combine when they overlap OR touch), i.e. a session breaks only on
+    * `diff > gap` — the same rule as [[qEventsSessionize]]'s lag
+    * formulation, so the two views agree on membership and differ only in
+    * the reported `session_end_ms` = `last_ts + gap` (the instant the
+    * session became unextendable) vs the last event time.
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    raw
+      .select(col("user_id"), GraftSession.eventTsMs(raw).as("ts_ms"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("v").cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  val qSessionWindowSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(12,2)) AS v,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT user_id, ts_ms, v,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, MIN(ts_ms) AS session_start_ms,
+      |  MAX(ts_ms) + 1800000 AS session_end_ms,
+      |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   // ---- events: session entry paths ----------------------------------------
   /** Top-20 session ENTRY paths (first ≤5 event types, '>'-joined) — the
     * path-discovery view next to [[qMarkovTransitions]]' one-step matrix:

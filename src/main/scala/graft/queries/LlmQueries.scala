@@ -4578,6 +4578,105 @@ object LlmQueries {
       |FROM f, m GROUP BY f.cap, m.max_ln
       |ORDER BY f.cap""".stripMargin
 
+  // ---- length-bucketed batching: sorted vs arrival-order packing ----------
+  /** The OTHER half of the batching-economics story [[qPadWaste]] opens:
+    * given a fixed batch size B, how much padding does LENGTH-SORTED
+    * batching save over arrival-order batching? Both strategies assign
+    * docs to B=32-row batches by a global row number (arrival = doc_id
+    * order; sorted = token length desc) and pad every row to its batch
+    * max. Two rows out: (strategy, n_batches, tokens, padded, pad_waste,
+    * waste_ppm) in exact integers — the sorted row's waste_ppm is the
+    * loader-side GPU-time argument.
+    *
+    * Scale shape: the global row number is [[graft.operators.Scale
+    * .globalRowNumber]] (range-partition + partition-local numbering +
+    * driver offset combine — no single-task window), and everything after
+    * it is two ≤N/B-row group-bys.
+    */
+  def qLengthBucketPack(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val d = table(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCountBpe(col("text")).cast("long").as("len"))
+      .filter(col("len") > 0)
+    def packed(df: DataFrame, strategy: String): DataFrame =
+      df.withColumn("batch_id", expr(s"(rn - 1) div $B"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n"), sum("len").as("tok"), max("len").as("mx"))
+        .agg(count(lit(1)).as("n_batches"), sum("tok").as("tokens"),
+          sum(col("mx") * col("n")).as("padded"))
+        .select(lit(strategy).as("strategy"), col("n_batches"), col("tokens"),
+          col("padded"), (col("padded") - col("tokens")).as("pad_waste"),
+          expr("(padded - tokens) * 1000000 div padded").as("waste_ppm"))
+    val arrival = packed(graft.operators.Scale.globalRowNumber(d, Seq("doc_id"), "rn"),
+      "arrival")
+    val sorted = packed(graft.operators.Scale.globalRowNumber(
+      d.withColumn("neg_len", -col("len")), Seq("neg_len", "doc_id"), "rn"), "sorted")
+    arrival.unionByName(sorted).orderBy("strategy")
+  }
+
+  val qLengthBucketPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS ln
+      |  FROM documents),
+      |f AS (SELECT * FROM t WHERE ln > 0),
+      |a AS (SELECT ln, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id FROM f),
+      |s AS (SELECT ln, (row_number() OVER (ORDER BY ln DESC, doc_id) - 1) // 32 AS batch_id FROM f),
+      |pa AS (SELECT batch_id, count(*) AS n, sum(ln) AS tok, max(ln) AS mx FROM a GROUP BY 1),
+      |ps AS (SELECT batch_id, count(*) AS n, sum(ln) AS tok, max(ln) AS mx FROM s GROUP BY 1),
+      |u AS (
+      |  SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+      |    CAST(sum(tok) AS BIGINT) AS tokens, CAST(sum(mx * n) AS BIGINT) AS padded FROM pa
+      |  UNION ALL
+      |  SELECT 'sorted', CAST(count(*) AS BIGINT),
+      |    CAST(sum(tok) AS BIGINT), CAST(sum(mx * n) AS BIGINT) FROM ps)
+      |SELECT strategy, n_batches, tokens, padded,
+      |  CAST(padded - tokens AS BIGINT) AS pad_waste,
+      |  CAST((padded - tokens) * 1000000 // padded AS BIGINT) AS waste_ppm
+      |FROM u ORDER BY strategy""".stripMargin
+
+  // ---- differentially-private corpus-statistics release -------------------
+  /** Noisy per-(source, lang) doc counts under the GEOMETRIC mechanism at
+    * ε = ln2, 2·ln2, 3·ln2 ([[graft.operators.Privacy]] — exact-integer
+    * inverse CDF, so the draw is bit-identical in DuckDB and the whole
+    * frame hash-gates). One corpus scan, a ≤|sources×langs|-row group-by,
+    * then three constant-width noise projections unioned — control-plane
+    * sized after the scan.
+    */
+  def qDpCount(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_true"))
+    graft.operators.Privacy.noisyCounts(base, Seq("source", "lang"), "n_true", Seq(1, 2, 3))
+      .orderBy("source", "lang", "eps_ln2")
+  }
+
+  val qDpCountSql: String =
+    """WITH g AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_true
+      |  FROM documents GROUP BY 1, 2),
+      |e AS (SELECT unnest([1, 2, 3]) AS eps_ln2),
+      |u AS (
+      |  SELECT g.*, e.eps_ln2,
+      |    CAST(md5_number_lower('dp' || e.eps_ln2 || '|' || g.source || '|' || g.lang)
+      |         % 4294967296 AS BIGINT) + 1 AS u1,
+      |    CAST((CAST(1 AS BIGINT) << e.eps_ln2) + 1 AS BIGINT) AS a
+      |  FROM g, e),
+      |w AS (SELECT *, u1 * a AS wneg, (4294967296 - u1) * a AS wpos FROM u),
+      |m AS (SELECT *,
+      |    CAST(floor((32 + eps_ln2 - len(bin(wneg))) * 1.0 / eps_ln2) AS BIGINT) AS mneg,
+      |    CAST(floor((32 + eps_ln2 - len(bin(greatest(wpos, 1)))) * 1.0 / eps_ln2) AS BIGINT) AS mpos
+      |  FROM w),
+      |n AS (
+      |  SELECT source, lang, CAST(eps_ln2 AS INT) AS eps_ln2, n_true,
+      |    CASE WHEN mneg >= 1 THEN -mneg
+      |         WHEN wpos = 0 THEN CAST((31 + eps_ln2) // eps_ln2 AS BIGINT)
+      |         WHEN mpos >= 1 THEN mpos
+      |         ELSE 0 END AS noise
+      |  FROM m)
+      |SELECT source, lang, eps_ln2, n_true, CAST(noise AS BIGINT) AS noise,
+      |  CAST(greatest(0, n_true + noise) AS BIGINT) AS n_noisy
+      |FROM n ORDER BY source, lang, eps_ln2""".stripMargin
+
   // ---- URL canonicalization dedup -----------------------------------------
   /** Crawl-grain URL dedup: canonicalize messy absolute URLs
     * ([[graft.functions.Urls.canonicalize]] — scheme/host case, `www.`,
