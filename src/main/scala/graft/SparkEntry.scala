@@ -176,6 +176,7 @@ object SparkEntry {
     "q_token_budget_bpe"   -> (LlmQueries.qTokenBudgetBpe _),
     "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _),
     "q_bpe_encode"         -> (LlmQueries.qBpeEncode _),
+    "q_wordpiece_encode"   -> (LlmQueries.qWordpieceEncode _),
     "q_bpe_encode_bytes"   -> (LlmQueries.qBpeEncodeBytes _),
     "q_substr_dedup"       -> (LlmQueries.qSubstrDedup _),
     "q_bloom_prefilter"    -> (SketchQueries.qBloomPrefilter _),
@@ -486,6 +487,7 @@ object SparkEntry {
     "q_token_budget_bpe"   -> LlmQueries.qTokenBudgetBpeSql,
     "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql,
     "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql,
+    "q_wordpiece_encode"   -> LlmQueries.qWordpieceEncodeSql,
     "q_bpe_encode_bytes"   -> LlmQueries.qBpeEncodeBytesSql,
     "q_substr_dedup"       -> LlmQueries.qSubstrDedupSql,
     "q_bloom_prefilter"    -> SketchQueries.qBloomPrefilterSql,

@@ -1076,6 +1076,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Bpe.BpeTokensBytes(args(0), args(1))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_wordpiece_tokens"),
+      new ExpressionInfo(classOf[WordPiece.WpTokens].getName, "graft_wordpiece_tokens"),
+      (args: Seq[Expression]) => WordPiece.WpTokens(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wordpiece_len"),
+      new ExpressionInfo(classOf[WordPiece.WpLen].getName, "graft_wordpiece_len"),
+      (args: Seq[Expression]) => WordPiece.WpLen(args(0), args(1))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (args: Seq[Expression]) =>

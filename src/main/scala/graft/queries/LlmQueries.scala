@@ -3301,6 +3301,109 @@ object LlmQueries {
        |FROM stream LEFT JOIN v USING (token)
        |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
 
+  // ---- WordPiece: greedy longest-match sub-word encoding ------------------
+  def wpVocabFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/wp_vocab_v2048_${dataTag(dir)}.parquet").getAbsolutePath
+
+  private val lastWpDir = new java.util.concurrent.atomic.AtomicReference[String](".")
+  private val wpPiecesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def pinnedWpVocab(s: SparkSession, dir: String): DataFrame = {
+    val fixture = wpVocabFixture(dir)
+    lastWpDir.set(dir)
+    pinFixtureOnce(() => graft.operators.WordPiece.buildVocab(
+      table(s, dir, "documents"), "text", vocabSize = 2048), fixture, s)
+    s.read.parquet(fixture)
+  }
+
+  private def pinnedWpPieces(s: SparkSession, dir: String): Seq[String] = {
+    val fixture = wpVocabFixture(dir)
+    wpPiecesMemo.computeIfAbsent(fixture, { _ =>
+      graft.operators.WordPiece.piecesOf(pinnedWpVocab(s, dir))
+    })
+  }
+
+  /** WordPiece token-ID encoding — the GREEDY-MATCH tokenizer family next
+    * to [[qBpeEncode]]'s merge-rank BPE: one row per (doc, word, token)
+    * under a pinned frequency-built vocabulary
+    * ([[graft.operators.WordPiece.buildVocab]], fixture-pinned like the
+    * BPE merge table), segmented by the released BERT greedy
+    * longest-match walk as a native expression
+    * (`graft_wordpiece_tokens`). The oracle replays the IDENTICAL walk in
+    * SQL: candidate (word, pos, len) substrings hash-join the vocab once
+    * (never a nested-loop prefix scan), per-position longest matches
+    * reduce to a `max(adv)` table, and a recursive CTE walks each
+    * DISTINCT word through it — unknown-at-any-position and >100-char
+    * words collapse to one `[UNK]`, exactly the native semantics.
+    */
+  def qWordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = pinnedWpVocab(s, dir)
+    val pieces = pinnedWpPieces(s, dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("word_idx"),
+        posexplode(graft.operators.WordPiece.wpTokens(col("w"), pieces))
+          .as(Seq("tok_idx", "token")))
+      .join(broadcast(vocab.select(col("piece").as("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("word_idx"), col("tok_idx"), col("token"),
+        coalesce(col("token_id"), lit(-1)).cast("int").as("token_id"))
+      .orderBy("doc_id", "word_idx", "tok_idx")
+  }
+
+  def qWordpieceEncodeSql: String =
+    s"""WITH RECURSIVE
+       |v AS (SELECT piece, token_id FROM read_parquet('${wpVocabFixture(lastWpDir.get)}/*.parquet')),
+       |wpos AS (
+       |  SELECT doc_id, CAST(g.i - 1 AS INT) AS word_idx, wl[g.i] AS wd
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS wl FROM documents),
+       |       LATERAL unnest(generate_series(1, CAST(len(wl) AS BIGINT))) AS g(i)
+       |  WHERE len(wl[g.i]) > 0),
+       |words AS (SELECT DISTINCT wd AS w FROM wpos WHERE len(wd) <= 100),
+       |cand AS (
+       |  SELECT w, p.i AS pos, l.j AS adv,
+       |    CASE WHEN p.i = 1 THEN substr(w, 1, CAST(l.j AS BIGINT))
+       |         ELSE '##' || substr(w, CAST(p.i AS BIGINT), CAST(l.j AS BIGINT)) END AS surface
+       |  FROM words,
+       |    LATERAL unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS p(i),
+       |    LATERAL unnest(generate_series(1, CAST(least(CASE WHEN p.i = 1 THEN 14 ELSE 12 END,
+       |                                                 len(w) - p.i + 1) AS BIGINT))) AS l(j)),
+       |mt AS (
+       |  SELECT c.w, c.pos, max(c.adv) AS adv
+       |  FROM cand c JOIN v ON v.piece = c.surface
+       |  GROUP BY c.w, c.pos),
+       |walk(w, pos, tok_idx, token, bad) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST(-1 AS INT), CAST(NULL AS VARCHAR), false
+       |  FROM words
+       |  UNION ALL
+       |  SELECT s.w,
+       |    s.pos + coalesce(mt.adv, CAST(len(s.w) AS BIGINT)),
+       |    CAST(s.tok_idx + 1 AS INT),
+       |    CASE WHEN mt.adv IS NULL THEN NULL
+       |         WHEN s.pos = 1 THEN substr(s.w, 1, mt.adv)
+       |         ELSE '##' || substr(s.w, s.pos, mt.adv) END,
+       |    mt.adv IS NULL
+       |  FROM walk s LEFT JOIN mt ON mt.w = s.w AND mt.pos = s.pos
+       |  WHERE NOT s.bad AND s.pos <= len(s.w)),
+       |badw AS (SELECT DISTINCT w FROM walk WHERE bad),
+       |toks AS (
+       |  SELECT w, tok_idx, token FROM walk
+       |  WHERE token IS NOT NULL AND w NOT IN (SELECT w FROM badw)
+       |  UNION ALL
+       |  SELECT w, 0, '[UNK]' FROM badw
+       |  UNION ALL
+       |  SELECT wd AS w, 0, '[UNK]'
+       |  FROM (SELECT DISTINCT wd FROM wpos WHERE len(wd) > 100)),
+       |stream AS (
+       |  SELECT doc_id, word_idx, t.tok_idx, t.token
+       |  FROM wpos JOIN toks t ON t.w = wpos.wd)
+       |SELECT doc_id, word_idx, CAST(tok_idx AS INT) AS tok_idx, token,
+       |  CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+       |FROM stream LEFT JOIN v ON v.piece = stream.token
+       |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
+
   def bpeBytesMergesFixture(dir: String): String =
     new java.io.File(s"target/verify_fixtures/bpe_merges_bytes_m48_${dataTag(dir)}.parquet").getAbsolutePath
 
