@@ -50,6 +50,7 @@ object SparkEntry {
     "q_kanon"              -> (SourceQueries.qKanon _),
     "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
+    "q_mv_join_refresh"    -> (AnalyticsQueries.qMvJoinRefresh _),
     "q_mv_hll_refresh"     -> (AnalyticsQueries.qMvHllRefresh _),
     "q_mv_quantile_refresh" -> (AnalyticsQueries.qMvQuantileRefresh _),
     "q_quantile_sketch_read" -> (AnalyticsQueries.qQuantileSketchRead _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_pad_waste"          -> (LlmQueries.qPadWaste _),
     "q_length_bucket_pack" -> (LlmQueries.qLengthBucketPack _),
     "q_dp_count"           -> (LlmQueries.qDpCount _),
+    "q_dp_histogram"       -> (LlmQueries.qDpHistogram _),
     "q_url_canon"          -> (LlmQueries.qUrlCanon _),
     "q_dedup_incremental"  -> (LlmQueries.qDedupIncremental _),
     "q_decontaminate"      -> (LlmQueries.qDecontaminate _),
@@ -288,6 +290,7 @@ object SparkEntry {
     "q_hilbert_layout"     -> AnalyticsQueries.qHilbertLayoutSql,
     // incremental MV refresh: delta partials + full-outer merge
     "q_mv_refresh"         -> AnalyticsQueries.qMvRefreshSql,
+    "q_mv_join_refresh"    -> AnalyticsQueries.qMvJoinRefreshSql,
     // sketch-MV: per-(day,bucket) HLL register max-merge
     "q_mv_hll_refresh"     -> AnalyticsQueries.qMvHllRefreshSql,
     "q_mv_quantile_refresh" -> AnalyticsQueries.qMvQuantileRefreshSql,
@@ -364,6 +367,7 @@ object SparkEntry {
     "q_pad_waste"          -> LlmQueries.qPadWasteSql,
     "q_length_bucket_pack" -> LlmQueries.qLengthBucketPackSql,
     "q_dp_count"           -> LlmQueries.qDpCountSql,
+    "q_dp_histogram"       -> LlmQueries.qDpHistogramSql,
     "q_url_canon"          -> LlmQueries.qUrlCanonSql,
     "q_dedup_incremental"  -> LlmQueries.qDedupIncrementalSql,
     "q_decontaminate"      -> LlmQueries.qDecontaminateSql,

@@ -41,4 +41,27 @@ object MvRefresh {
   def partial(rows: DataFrame, keyCols: Seq[String], valueExpr: org.apache.spark.sql.Column): DataFrame =
     rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(valueExpr).as("sum_u"))
+
+  /** Delta partial for a JOIN view V = γ(A ⋈ B) under insert-only deltas
+    * on BOTH sides: the textbook two-quadrant rule
+    *
+    *   ΔV = γ(ΔA ⋈ B_new) ⊎ γ(A_old ⋈ ΔB)
+    *
+    * (ΔA ⋈ B_new already contains ΔA ⋈ ΔB, so three quadrants collapse to
+    * two joins and the old⋈old quadrant — the expensive one at 100 TB —
+    * is NEVER re-joined). Merge the result into the standing MV with
+    * [[refresh]]; the refreshed view is bit-identical to a full rebuild,
+    * which the `q_mv_join_refresh` oracle gates as an identity (the
+    * DuckDB side computes the REBUILD).
+    *
+    * Both joins shuffle delta-sized frames against the join key; bucket
+    * A and B by `joinKeys` at scale and they co-locate.
+    */
+  def joinPartialDelta(aOld: DataFrame, aDelta: DataFrame,
+                       bNew: DataFrame, bDelta: DataFrame,
+                       joinKeys: Seq[String], keyCols: Seq[String],
+                       valueExpr: org.apache.spark.sql.Column): DataFrame =
+    partial(
+      aDelta.join(bNew, joinKeys).unionByName(aOld.join(bDelta, joinKeys)),
+      keyCols, valueExpr)
 }

@@ -92,4 +92,36 @@ object Privacy {
     }.reduce(_ unionByName _)
       .withColumn("n_noisy", greatest(lit(0L), col(countCol) + col("noise")))
   }
+
+  /** The DuckDB mirror of [[geometricNoise]] + [[noisyCounts]] as a CTE
+    * chain, so every DP oracle replays ONE pinned formula. Expects a
+    * preceding CTE `g` with columns (`groupCols`…, `countCol`); emits
+    * CTEs `e/u/w/m/n` where `n` has (groupCols…, eps_ln2 INT, countCol,
+    * noise BIGINT). Callers append their own final SELECT (adding
+    * `greatest(0, count + noise)` etc.).
+    */
+  def oracleNoiseCtes(groupCols: Seq[String], countCol: String, js: Seq[Int],
+                      salt: String): String = {
+    val keySql = groupCols.map(c => s"g.$c").mkString(" || '|' || ")
+    val gCols = groupCols.mkString(", ")
+    s"""e AS (SELECT unnest([${js.mkString(", ")}]) AS eps_ln2),
+       |u AS (
+       |  SELECT g.*, e.eps_ln2,
+       |    CAST(md5_number_lower('$salt' || e.eps_ln2 || '|' || $keySql)
+       |         % 4294967296 AS BIGINT) + 1 AS u1,
+       |    CAST((CAST(1 AS BIGINT) << e.eps_ln2) + 1 AS BIGINT) AS a
+       |  FROM g, e),
+       |w AS (SELECT *, u1 * a AS wneg, (4294967296 - u1) * a AS wpos FROM u),
+       |m AS (SELECT *,
+       |    CAST(floor((32 + eps_ln2 - len(bin(wneg))) * 1.0 / eps_ln2) AS BIGINT) AS mneg,
+       |    CAST(floor((32 + eps_ln2 - len(bin(greatest(wpos, 1)))) * 1.0 / eps_ln2) AS BIGINT) AS mpos
+       |  FROM w),
+       |n AS (
+       |  SELECT $gCols, CAST(eps_ln2 AS INT) AS eps_ln2, $countCol,
+       |    CASE WHEN mneg >= 1 THEN -mneg
+       |         WHEN wpos = 0 THEN CAST((31 + eps_ln2) // eps_ln2 AS BIGINT)
+       |         WHEN mpos >= 1 THEN mpos
+       |         ELSE 0 END AS noise
+       |  FROM m)""".stripMargin
+  }
 }

@@ -1831,6 +1831,52 @@ object AnalyticsQueries {
       |FROM mv FULL OUTER JOIN d ON mv.day = d.day
       |ORDER BY day""".stripMargin
 
+  // ---- incremental JOIN-MV refresh ---------------------------------------
+  /** Incremental maintenance of a JOIN view — the gap next to
+    * [[qMvRefresh]]'s single-table MV: V = γ(orders ⋈ lineitem) by
+    * (priority, returnflag), with INDEPENDENT late-arrival deltas on BOTH
+    * sides (md5 splits: 10% late orders, ~14% late lineitems, so all four
+    * old/delta quadrants are populated). Refresh applies the two-quadrant
+    * delta rule ([[graft.operators.MvRefresh.joinPartialDelta]]):
+    * ΔO ⋈ L_new plus O_old ⋈ ΔL — the old⋈old quadrant, the one that
+    * costs a double base scan at 100 TB, is never re-joined.
+    *
+    * The ORACLE computes the FULL REBUILD (plain join + aggregate), so
+    * the driver gate checks the algebraic identity refresh ≡ rebuild on
+    * real data — stronger than replaying the merge.
+    */
+  def qMvJoinRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MvRefresh
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (graft.plans.NativeHash.md5Mod(col("o_orderkey").cast("string"), 10L) === 0)
+          .as("late_o"))
+    val l = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * lit(1000000.0)).cast("long").as("rev_u"),
+        (graft.plans.NativeHash.md5Mod(
+          concat_ws("-", col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")), 7L) === 0).as("late_l"))
+    val keyCols = Seq("o_orderpriority", "l_returnflag")
+    val mvOld = MvRefresh.partial(
+      o.filter(!col("late_o")).join(l.filter(!col("late_l")), Seq("o_orderkey")),
+      keyCols, col("rev_u"))
+    val delta = MvRefresh.joinPartialDelta(
+      aOld = o.filter(!col("late_o")), aDelta = o.filter(col("late_o")),
+      bNew = l, bDelta = l.filter(col("late_l")),
+      joinKeys = Seq("o_orderkey"), keyCols = keyCols, valueExpr = col("rev_u"))
+    MvRefresh.refresh(mvOld, delta, keyCols)
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
+  val qMvJoinRefreshSql: String =
+    """SELECT o_orderpriority, l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_u
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- incremental quantile-sketch MV refresh --------------------------------
   /** Percentile MV maintained INCREMENTALLY — the gap the r9 verdict named:
     * [[qMvHllRefresh]] maintains DISTINCT counts by register max-merge,

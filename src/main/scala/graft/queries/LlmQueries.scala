@@ -4754,31 +4754,50 @@ object LlmQueries {
   }
 
   val qDpCountSql: String =
-    """WITH g AS (
-      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_true
-      |  FROM documents GROUP BY 1, 2),
-      |e AS (SELECT unnest([1, 2, 3]) AS eps_ln2),
-      |u AS (
-      |  SELECT g.*, e.eps_ln2,
-      |    CAST(md5_number_lower('dp' || e.eps_ln2 || '|' || g.source || '|' || g.lang)
-      |         % 4294967296 AS BIGINT) + 1 AS u1,
-      |    CAST((CAST(1 AS BIGINT) << e.eps_ln2) + 1 AS BIGINT) AS a
-      |  FROM g, e),
-      |w AS (SELECT *, u1 * a AS wneg, (4294967296 - u1) * a AS wpos FROM u),
-      |m AS (SELECT *,
-      |    CAST(floor((32 + eps_ln2 - len(bin(wneg))) * 1.0 / eps_ln2) AS BIGINT) AS mneg,
-      |    CAST(floor((32 + eps_ln2 - len(bin(greatest(wpos, 1)))) * 1.0 / eps_ln2) AS BIGINT) AS mpos
-      |  FROM w),
-      |n AS (
-      |  SELECT source, lang, CAST(eps_ln2 AS INT) AS eps_ln2, n_true,
-      |    CASE WHEN mneg >= 1 THEN -mneg
-      |         WHEN wpos = 0 THEN CAST((31 + eps_ln2) // eps_ln2 AS BIGINT)
-      |         WHEN mpos >= 1 THEN mpos
-      |         ELSE 0 END AS noise
-      |  FROM m)
-      |SELECT source, lang, eps_ln2, n_true, CAST(noise AS BIGINT) AS noise,
-      |  CAST(greatest(0, n_true + noise) AS BIGINT) AS n_noisy
-      |FROM n ORDER BY source, lang, eps_ln2""".stripMargin
+    s"""WITH g AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY 1, 2),
+       |${graft.operators.Privacy.oracleNoiseCtes(Seq("source", "lang"), "n_true", Seq(1, 2, 3), "dp")}
+       |SELECT source, lang, eps_ln2, n_true, CAST(noise AS BIGINT) AS noise,
+       |  CAST(greatest(0, n_true + noise) AS BIGINT) AS n_noisy
+       |FROM n ORDER BY source, lang, eps_ln2""".stripMargin
+
+  // ---- differentially-private histogram with contribution bounding --------
+  /** The user-level DP shape [[qDpCount]]'s row-level release lacks: a
+    * histogram of events by type where each USER contributes at most
+    * C = 3 events (their 3 earliest by (ts, event_id) — the standard
+    * contribution-bounding clamp that caps the L1 sensitivity of the
+    * whole histogram at C, so the per-count geometric noise at ε = j·ln2
+    * yields user-level ε = C·j·ln2). One per-user window pass (the same
+    * user-partitioned shuffle every events query rides), a
+    * ≤\|event types\|-row group-by, then the shared noise projection.
+    */
+  def qDpHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = table(s, dir, "events")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val base = raw
+      .select(col("user_id"), col("event_id"),
+        graft.GraftSession.eventTsMs(raw).as("ts_ms"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 3)
+      .groupBy("event_type").agg(count(lit(1)).as("n_clamped"))
+    graft.operators.Privacy.noisyCounts(base, Seq("event_type"), "n_clamped",
+        Seq(1, 2, 3), salt = "dph")
+      .orderBy("event_type", "eps_ln2")
+  }
+
+  val qDpHistogramSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+       |  FROM events),
+       |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_clamped
+       |      FROM c WHERE rn <= 3 GROUP BY 1),
+       |${graft.operators.Privacy.oracleNoiseCtes(Seq("event_type"), "n_clamped", Seq(1, 2, 3), "dph")}
+       |SELECT event_type, eps_ln2, n_clamped, CAST(noise AS BIGINT) AS noise,
+       |  CAST(greatest(0, n_clamped + noise) AS BIGINT) AS n_noisy
+       |FROM n ORDER BY event_type, eps_ln2""".stripMargin
 
   // ---- URL canonicalization dedup -----------------------------------------
   /** Crawl-grain URL dedup: canonicalize messy absolute URLs

@@ -74,4 +74,21 @@ class PrivacySpec extends SparkSpec {
     }
     assert(out(("a", "x", 1))._1 == 3L && out(("b", "y", 2))._1 == 0L)
   }
+
+  test("q_dp_histogram: contribution clamp holds (no user exceeds C=3) and totals reconcile") {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val clamped = raw.select(col("user_id"), col("event_id"),
+        GraftSession.eventTsMs(raw).as("ts_ms"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser)).filter(col("rn") <= 3)
+    val perUser = clamped.groupBy("user_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(perUser <= 3L)
+    val got = graft.queries.LlmQueries.qDpHistogram(spark, sfDir)
+      .filter(col("eps_ln2") === 1).collect()
+    // the released n_clamped column sums to the clamped event total
+    assert(got.map(_.getLong(2)).sum == clamped.count())
+    // and every row's release respects the max(0, n + noise) floor
+    got.foreach(r => assert(r.getLong(4) == math.max(0L, r.getLong(2) + r.getLong(3))))
+  }
 }
