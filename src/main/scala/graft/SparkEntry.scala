@@ -78,6 +78,7 @@ object SparkEntry {
     "q_more_like_this"     -> (LlmQueries.qMoreLikeThis _),
     "q_integrity"          -> (SourceQueries.qIntegrity _),
     "q_group_median"       -> (AnalyticsQueries.qGroupMedian _),
+    "q_dp_median"          -> (AnalyticsQueries.qDpMedian _),
     "q_events_sessionize"  -> (AnalyticsQueries.qEventsSessionize _),
     "q_session_window"     -> (AnalyticsQueries.qSessionWindow _),
     "q_events_window"      -> (AnalyticsQueries.qEventsWindow _),
@@ -339,6 +340,7 @@ object SparkEntry {
     // per-FK-edge orphan audit over distinct-key left joins
     "q_integrity"          -> SourceQueries.qIntegritySql,
     "q_group_median"       -> AnalyticsQueries.qGroupMedianSql,
+    "q_dp_median"          -> AnalyticsQueries.qDpMedianSql,
     "q_events_sessionize"  -> AnalyticsQueries.qEventsSessionizeSql,
     "q_session_window"     -> AnalyticsQueries.qSessionWindowSql,
     "q_events_window"      -> AnalyticsQueries.qEventsWindowSql,

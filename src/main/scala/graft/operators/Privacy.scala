@@ -93,6 +93,81 @@ object Privacy {
       .withColumn("n_noisy", greatest(lit(0L), col(countCol) + col("noise")))
   }
 
+  /** Differentially-private MEDIAN per group via the EXPONENTIAL mechanism
+    * (McSherry & Talwar, FOCS 2007) over the observed value grid,
+    * TRUNCATED so every weight is an exact 64-bit power of two and the
+    * whole selection runs in exact 128-bit integer arithmetic — the third
+    * classic mechanism next to [[geometricNoise]]'s counting release.
+    *
+    * Shape: value-grain collapse first (`groupBy(group, value)` — the
+    * 100 TB move: all windows below run over ≤|grid| rows per group, never
+    * the data), then per candidate value v:
+    *
+    *   u(v)   = half-rank distance from v's RANK INTERVAL
+    *            [less+1, less+cnt] to the median rank (n+1)/2 — 0 when
+    *            the interval contains it, i.e.
+    *            max(0, 2·less+1−n, n+1−2·(less+cnt)); interval (not
+    *            midpoint) distance matters because a heavily-tied grid
+    *            cell CONTAINING the median must score u = 0, exactly as
+    *            the exponential mechanism over raw ranks would
+    *   W_j(v) = 2^(62 − j·u(v))  when ≥ 1, else 0
+    *
+    * i.e. weight ∝ α^u with α = 2^-j; candidates further than 62/j
+    * half-ranks collapse to weight 0 — a ≤2^-30 statistical-distance
+    * truncation of the exact mechanism (the untruncated tail mass is
+    * below 2·2^-62·|grid| of the total, since the median candidate always
+    * holds weight ≥ 2^61). ε grows linearly in j (the exact constant
+    * depends on the neighboring-dataset convention; one add/remove moves
+    * every u by ≤ 2 half-units).
+    *
+    * Selection is inverse-CDF on the cumulative weights with the same
+    * md5-seeded 32-bit uniform as every release here, DIVISION-FREE:
+    * pick the first v with cumW(v)·2^32 > U·totW — both sides exact in
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB), so the draw is
+    * bit-identical cross-engine. U = totW-boundary cases resolve the same
+    * way on both sides because the comparison is exact.
+    *
+    * Output: one row per (group, j): n, the true lower median (test
+    * artifact — a real release ships only dp_median), dp_median.
+    */
+  def dpMedianByGroup(rows: org.apache.spark.sql.DataFrame, groupCol: String,
+                      valueCol: String, js: Seq[Int], salt: String = "dpm")
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    val byG = Window.partitionBy(groupCol)
+    val vg = rows.groupBy(groupCol, valueCol).agg(count(lit(1)).as("cnt"))
+    val cum = vg
+      .withColumn("less", coalesce(
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("cnt").over(byG))
+      .withColumn("u", greatest(lit(0L),
+        lit(2) * col("less") + lit(1) - col("n"),
+        col("n") + lit(1) - lit(2) * (col("less") + col("cnt"))))
+    val truth = cum
+      .filter(lit(2) * (col("less") + col("cnt")) >= col("n"))
+      .groupBy(groupCol).agg(min(valueCol).as("true_median"))
+    js.map { j =>
+      val key = concat_ws("|", lit(salt + j), col(groupCol).cast("string"))
+      val uu = pmod(Sampling.md5Lower(key), lit(4294967296L)).cast("decimal(38,0)")
+      cum
+        .withColumn("wgt", expr(
+          s"CASE WHEN 62 - $j * u >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(62 - $j * u AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END").cast("decimal(38,0)"))
+        .withColumn("cum_w", sum("wgt").over(w))
+        .withColumn("tot_w", sum("wgt").over(byG))
+        .withColumn("u32", uu)
+        .filter(col("cum_w") * lit(4294967296L).cast("decimal(38,0)") >
+          col("u32") * col("tot_w"))
+        .groupBy(groupCol)
+        .agg(max("n").as("n"), min(valueCol).as("dp_median"))
+        .withColumn("eps_ln2", lit(j))
+    }.reduce(_ unionByName _)
+      .join(truth, Seq(groupCol))
+      .select(col(groupCol), col("eps_ln2"), col("n"),
+        col("true_median"), col("dp_median"))
+  }
+
   /** The DuckDB mirror of [[geometricNoise]] + [[noisyCounts]] as a CTE
     * chain, so every DP oracle replays ONE pinned formula. Expects a
     * preceding CTE `g` with columns (`groupCols`…, `countCol`); emits

@@ -341,6 +341,61 @@ object AnalyticsQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- differentially-private group median --------------------------------
+  /** DP median of `l_quantity` per returnflag via the truncated
+    * EXPONENTIAL mechanism ([[graft.operators.Privacy.dpMedianByGroup]] —
+    * exact 128-bit integer selection, so the draw is bit-identical in
+    * DuckDB): the third classic mechanism joins the privacy family
+    * (counting → geometric, histogram → clamp+geometric, selection →
+    * exponential). Value-grain collapse first; every window below runs
+    * over ≤\|quantity grid\| rows per group.
+    */
+  def qDpMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpMedianByGroup(
+        table(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("qty")),
+        "l_returnflag", "qty", Seq(1, 2))
+      .orderBy("l_returnflag", "eps_ln2")
+
+  val qDpMedianSql: String =
+    """WITH vg AS (
+      |  SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS less,
+      |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM vg),
+      |ud AS (SELECT *, greatest(0, 2 * less + 1 - n, n + 1 - 2 * (less + cnt)) AS u FROM cum),
+      |e AS (SELECT unnest([1, 2]) AS j),
+      |wg AS (
+      |  SELECT ud.*, e.j,
+      |    CASE WHEN 62 - e.j * u >= 0
+      |         THEN (CAST(1 AS BIGINT) << CAST(62 - e.j * u AS INT))
+      |         ELSE CAST(0 AS BIGINT) END AS wgt
+      |  FROM ud, e),
+      |cw AS (
+      |  SELECT *, sum(CAST(wgt AS HUGEINT)) OVER (PARTITION BY g, j ORDER BY v) AS cum_w,
+      |    sum(CAST(wgt AS HUGEINT)) OVER (PARTITION BY g, j) AS tot_w
+      |  FROM wg),
+      |uu AS (
+      |  SELECT g, j, CAST(CAST(md5_number_lower('dpm' || j || '|' || g)
+      |    % 4294967296 AS BIGINT) AS HUGEINT) AS u32
+      |  FROM (SELECT DISTINCT g, j FROM wg)),
+      |sel AS (
+      |  SELECT cw.g, cw.j, CAST(max(cw.n) AS BIGINT) AS n, min(cw.v) AS dp_median
+      |  FROM cw JOIN uu ON uu.g = cw.g AND uu.j = cw.j
+      |  WHERE cum_w * 4294967296 > u32 * tot_w
+      |  GROUP BY 1, 2),
+      |tm AS (
+      |  SELECT g, min(v) AS true_median FROM cum
+      |  WHERE 2 * (less + cnt) >= n GROUP BY g)
+      |SELECT sel.g AS l_returnflag, CAST(sel.j AS INT) AS eps_ln2, sel.n,
+      |  tm.true_median, sel.dp_median
+      |FROM sel JOIN tm ON tm.g = sel.g
+      |ORDER BY l_returnflag, eps_ln2""".stripMargin
+
   // ---- rolling window over daily aggregates --------------------------------
   /** 7-day rolling revenue over the orders stream — the dashboard
     * smoothing query. Day = epoch-micros DIV 86400000000 (integer);

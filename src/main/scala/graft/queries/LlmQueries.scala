@@ -4698,9 +4698,14 @@ object LlmQueries {
     */
   def qLengthBucketPack(s: SparkSession, dir: String): DataFrame = {
     val B = 32
+    // persist the slim (doc_id, len) frame: BOTH strategies consume it, and
+    // each globalRowNumber pass otherwise re-runs the tokenizer regex over
+    // the full corpus twice more (range-boundary sampling + the shuffle)
     val d = table(s, dir, "documents")
       .select(col("doc_id"), TF.tokenCountBpe(col("text")).cast("long").as("len"))
       .filter(col("len") > 0)
+      .persist()
+    graft.operators.Caches.register(d)
     def packed(df: DataFrame, strategy: String): DataFrame =
       df.withColumn("batch_id", expr(s"(rn - 1) div $B"))
         .groupBy("batch_id")

@@ -75,6 +75,60 @@ class PrivacySpec extends SparkSpec {
     assert(out(("a", "x", 1))._1 == 3L && out(("b", "y", 2))._1 == 0L)
   }
 
+  /** Independent BigInt model of the truncated exponential-mechanism
+    * median: same grid/weights/inverse-CDF as Privacy.dpMedianByGroup.
+    */
+  private def modelDpMedian(values: Seq[Long], key: String, j: Int): Long = {
+    val grid = values.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      .toSeq.sortBy(_._1)
+    val n = values.size.toLong
+    var less = 0L
+    val rows = grid.map { case (v, cnt) =>
+      val u = math.max(0L, math.max(2 * less + 1 - n, n + 1 - 2 * (less + cnt)))
+      val w = if (62 - j * u >= 0) BigInt(1) << (62 - j * u).toInt else BigInt(0)
+      less += cnt
+      (v, w)
+    }
+    val tot = rows.map(_._2).sum
+    val u32 = (md5LowerLE(key) mod (BigInt(1) << 32))
+    var cum = BigInt(0)
+    rows.find { case (_, w) => cum += w; cum * (BigInt(1) << 32) > u32 * tot }
+      .map(_._1).get
+  }
+
+  test("dpMedianByGroup ≡ the BigInt exponential-mechanism model; truth column exact") {
+    val rows = ((1 to 9).map(v => ("g1", v.toLong)) ++
+      (Seq(1L, 1L, 1L, 2L, 50L) map (("g2", _)))).toDF("g", "v")
+    val got = graft.operators.Privacy.dpMedianByGroup(rows, "g", "v", Seq(1, 2), salt = "tm")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 4)
+    val data = Map("g1" -> (1L to 9L), "g2" -> Seq(1L, 1L, 1L, 2L, 50L))
+    for ((g, vs) <- data; j <- Seq(1, 2)) {
+      val (n, truth, dp) = got((g, j))
+      assert(n == vs.size)
+      assert(truth == (if (g == "g1") 5L else 1L)) // lower medians
+      assert(dp == modelDpMedian(vs.toSeq, s"tm$j|$g", j), s"($g,$j)")
+    }
+  }
+
+  test("q_dp_median: real-table truth equals the engine's exact lower median") {
+    val got = graft.queries.AnalyticsQueries.qDpMedian(spark, sfDir)
+      .filter(col("eps_ln2") === 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag").as("g"), round(col("l_quantity")).cast("long").as("v"))
+    li.select("g").distinct().collect().map(_.getString(0)).foreach { g =>
+      val vs = li.filter(col("g") === g).orderBy("v").collect().map(_.getLong(1))
+      val lower = vs((vs.length - 1) / 2)
+      val (n, truth, dp) = got(g)
+      assert(n == vs.length && truth == lower, s"group $g")
+      // the exponential mechanism at j=1 concentrates near the median:
+      // the released value must sit inside the truncation window's grid span
+      assert(dp >= vs.head && dp <= vs.last)
+    }
+  }
+
   test("q_dp_histogram: contribution clamp holds (no user exceeds C=3) and totals reconcile") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val byUser = org.apache.spark.sql.expressions.Window
