@@ -180,6 +180,7 @@ object SparkEntry {
     "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _),
     "q_bpe_encode"         -> (LlmQueries.qBpeEncode _),
     "q_wordpiece_encode"   -> (LlmQueries.qWordpieceEncode _),
+    "q_mlm_mask"           -> (LlmQueries.qMlmMask _),
     "q_bpe_encode_bytes"   -> (LlmQueries.qBpeEncodeBytes _),
     "q_substr_dedup"       -> (LlmQueries.qSubstrDedup _),
     "q_bloom_prefilter"    -> (SketchQueries.qBloomPrefilter _),
@@ -226,7 +227,8 @@ object SparkEntry {
     "q_score_normalize"    -> (LlmQueries.qScoreNormalize _),
     "q_source_overlap"     -> (LlmQueries.qSourceOverlap _),
     "q_dedup_cluster_sizes" -> (LlmQueries.qDedupClusterSizes _),
-    "q_vocab_growth"       -> (LlmQueries.qVocabGrowth _)
+    "q_vocab_growth"       -> (LlmQueries.qVocabGrowth _),
+    "q_zipf_fit"           -> (LlmQueries.qZipfFit _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -494,6 +496,7 @@ object SparkEntry {
     "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql,
     "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql,
     "q_wordpiece_encode"   -> LlmQueries.qWordpieceEncodeSql,
+    "q_mlm_mask"           -> LlmQueries.qMlmMaskSql,
     "q_bpe_encode_bytes"   -> LlmQueries.qBpeEncodeBytesSql,
     "q_substr_dedup"       -> LlmQueries.qSubstrDedupSql,
     "q_bloom_prefilter"    -> SketchQueries.qBloomPrefilterSql,
@@ -551,6 +554,7 @@ object SparkEntry {
     "q_source_overlap"     -> LlmQueries.qSourceOverlapSql,
     // component sizes of the near-dup graph, recursive-CTE min labels
     "q_dedup_cluster_sizes" -> LlmQueries.qDedupClusterSizesSql,
-    "q_vocab_growth"       -> LlmQueries.qVocabGrowthSql
+    "q_vocab_growth"       -> LlmQueries.qVocabGrowthSql,
+    "q_zipf_fit"           -> LlmQueries.qZipfFitSql
   )
 }

@@ -3404,6 +3404,67 @@ object LlmQueries {
        |FROM stream LEFT JOIN v ON v.piece = stream.token
        |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
 
+  // ---- MLM masking: training-example construction --------------------------
+  /** BERT-style masked-LM example construction (the published 15% /
+    * 80-10-10 recipe, Devlin et al. 2019) with every coin flip a HASH of
+    * (doc, position) — reproducible across runs, engines and
+    * partitionings, the property RNG masking lacks (and the difference
+    * between "the same eval set every night" and silent drift). Per
+    * selected word: 80% → `[MASK]`, 10% → a vocabulary piece picked by
+    * hash (the pinned WordPiece vocab doubles as the replacement pool),
+    * 10% → kept unchanged but still a prediction target. Emits ONE ROW
+    * PER MASKED POSITION (doc_id, word_idx, original, action,
+    * replacement) — the supervision pairs a training loader materializes.
+    *
+    * Scale shape: one corpus scan, three md5 projections, one broadcast
+    * join against the ≤V-row vocab for the random picks.
+    */
+  def qMlmMask(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    val vocab = pinnedWpVocab(s, dir).select(col("token_id"), col("piece"))
+    val words = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) > 0)
+    val sel = words
+      .withColumn("u_sel", pmod(Sampling.md5Lower(
+        concat_ws(":", lit("mlm"), col("doc_id").cast("string"),
+          col("word_idx").cast("string"))), lit(100L)).cast("long"))
+      .filter(col("u_sel") < 15)
+      .withColumn("u_act", pmod(Sampling.md5Lower(
+        concat_ws(":", lit("mlmact"), col("doc_id").cast("string"),
+          col("word_idx").cast("string"))), lit(10L)).cast("long"))
+      .withColumn("token_id", pmod(Sampling.md5Lower(
+        concat_ws(":", lit("mlmpick"), col("doc_id").cast("string"),
+          col("word_idx").cast("string"))), lit(2048L)).cast("int"))
+    sel.join(broadcast(vocab), Seq("token_id"), "left")
+      .select(col("doc_id"), col("word_idx"), col("w").as("original"),
+        when(col("u_act") < 8, lit("mask"))
+          .when(col("u_act") === 8, lit("random")).otherwise(lit("keep")).as("action"),
+        when(col("u_act") < 8, lit("[MASK]"))
+          .when(col("u_act") === 8, coalesce(col("piece"), lit("[UNK]")))
+          .otherwise(col("w")).as("replacement"))
+      .orderBy("doc_id", "word_idx")
+  }
+
+  def qMlmMaskSql: String =
+    s"""WITH v AS (SELECT piece, token_id FROM read_parquet('${wpVocabFixture(lastWpDir.get)}/*.parquet')),
+       |wpos AS (
+       |  SELECT doc_id, CAST(g.i - 1 AS INT) AS word_idx, wl[g.i] AS w
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS wl FROM documents),
+       |       LATERAL unnest(generate_series(1, CAST(len(wl) AS BIGINT))) AS g(i)
+       |  WHERE len(wl[g.i]) > 0),
+       |sel AS (
+       |  SELECT doc_id, word_idx, w,
+       |    CAST(md5_number_lower('mlmact:' || doc_id || ':' || word_idx) % 10 AS BIGINT) AS u_act,
+       |    CAST(md5_number_lower('mlmpick:' || doc_id || ':' || word_idx) % 2048 AS INT) AS token_id
+       |  FROM wpos
+       |  WHERE md5_number_lower('mlm:' || doc_id || ':' || word_idx) % 100 < 15)
+       |SELECT doc_id, word_idx, w AS original,
+       |  CASE WHEN u_act < 8 THEN 'mask' WHEN u_act = 8 THEN 'random' ELSE 'keep' END AS action,
+       |  CASE WHEN u_act < 8 THEN '[MASK]' WHEN u_act = 8 THEN coalesce(v.piece, '[UNK]') ELSE w END AS replacement
+       |FROM sel LEFT JOIN v USING (token_id)
+       |ORDER BY doc_id, word_idx""".stripMargin
+
   def bpeBytesMergesFixture(dir: String): String =
     new java.io.File(s"target/verify_fixtures/bpe_merges_bytes_m48_${dataTag(dir)}.parquet").getAbsolutePath
 
@@ -3881,6 +3942,83 @@ object LlmQueries {
       |  1.0 - CAST(coalesce(o.num, 0) AS DOUBLE) / (p.ma * p.mb) AS tv
       |FROM pairs p LEFT JOIN ov o ON o.sa = p.sa AND o.sb = p.sb
       |ORDER BY group_a, group_b""".stripMargin
+
+  // ---- Zipf power-law fit over the rank-frequency curve --------------------
+  /** Zipf exponent diagnostic next to [[qVocabGrowth]]'s Heaps curve: the
+    * rank-frequency power law freq ∝ rank^s fitted in LOG2 BUCKETS with
+    * pure integer arithmetic — x = bitlen(rank)−1, y = bitlen(freq)−1
+    * (both exact integer ⌊log2⌋, the #137 lens; no floating log whose
+    * last ulp is engine-unpinned), least-squares slope/intercept as ONE
+    * integer division each in ppm. Output: one row per log2-rank bucket
+    * (words, tokens, Σy) with the global fit columns alongside — a corpus
+    * whose slope drifts from ≈ −1 ppm-scale is the classic
+    * boilerplate/duplication tell.
+    *
+    * Scale shape: word-frequency aggregate → [[graft.operators.Scale
+    * .globalRowNumber]] rank (no single-task window) → ≤64-row bucket
+    * group-by; the fit sums ride a broadcast 1-row aggregate.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val freq = table(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val ranked = graft.operators.Scale.globalRowNumber(
+        freq.withColumn("neg_freq", -col("freq")), Seq("neg_freq", "w"), "rank")
+      .select((length(bin(col("rank"))) - 1).cast("long").as("x"),
+        (length(bin(col("freq"))) - 1).cast("long").as("y"),
+        col("freq"))
+    val buckets = ranked.groupBy("x")
+      .agg(count(lit(1)).as("n_words"), sum("freq").as("tokens"), sum("y").as("y_sum"))
+    // ppm division in TWO ×1000 stages so num·multiplier stays in int64
+    // (num·10⁶ overflows past ~50k distinct words; floor composes exactly:
+    // ⌊a·10⁶/d⌋ = q1·1000 + ⌊(a·1000 − q1·d)·1000/d⌋ with q1 = ⌊a·1000/d⌋,
+    // and trunc-toward-zero = sign·floor(abs) — identical in DuckDB)
+    def ppm(num: String): String =
+      s"(CASE WHEN $num < 0 THEN -1 ELSE 1 END) * " +
+      s"((abs($num) * 1000 div den) * 1000 + " +
+      s"((abs($num) * 1000 - (abs($num) * 1000 div den) * den) * 1000) div den)"
+    val fit = ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .withColumn("num_s", expr("n * sxy - sx * sy"))
+      .withColumn("num_i", expr("sy * sx2 - sx * sxy"))
+      .withColumn("den", expr("n * sx2 - sx * sx"))
+      .select(col("n"), expr(ppm("num_s")).as("slope_ppm"),
+        expr(ppm("num_i")).as("intercept_ppm"))
+    buckets.crossJoin(broadcast(fit)).orderBy("x")
+  }
+
+  val qZipfFitSql: String =
+    """WITH f AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |r AS (
+      |  SELECT CAST(len(bin(row_number() OVER (ORDER BY freq DESC, w))) - 1 AS BIGINT) AS x,
+      |    CAST(len(bin(freq)) - 1 AS BIGINT) AS y, freq
+      |  FROM f),
+      |b AS (
+      |  SELECT x, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(freq) AS BIGINT) AS tokens,
+      |    CAST(sum(y) AS BIGINT) AS y_sum
+      |  FROM r GROUP BY x),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sx2
+      |  FROM r),
+      |d AS (SELECT s.*, n * sxy - sx * sy AS num_s, sy * sx2 - sx * sxy AS num_i,
+      |             n * sx2 - sx * sx AS den FROM s),
+      |fit AS (
+      |  SELECT n,
+      |    CAST((CASE WHEN num_s < 0 THEN -1 ELSE 1 END) *
+      |      ((abs(num_s) * 1000 // den) * 1000 +
+      |       ((abs(num_s) * 1000 - (abs(num_s) * 1000 // den) * den) * 1000) // den) AS BIGINT) AS slope_ppm,
+      |    CAST((CASE WHEN num_i < 0 THEN -1 ELSE 1 END) *
+      |      ((abs(num_i) * 1000 // den) * 1000 +
+      |       ((abs(num_i) * 1000 - (abs(num_i) * 1000 // den) * den) * 1000) // den) AS BIGINT) AS intercept_ppm
+      |  FROM d)
+      |SELECT b.x, b.n_words, b.tokens, b.y_sum, fit.n, fit.slope_ppm, fit.intercept_ppm
+      |FROM b, fit ORDER BY b.x""".stripMargin
 
   /** Vocabulary growth at doc-count checkpoints — see
     * [[graft.operators.Curation.vocabGrowth]] (Heaps'-law saturation

@@ -138,4 +138,31 @@ class CorpusStatsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("percentile") && !plan.contains("median("))
   }
+
+  test("q_zipf_fit: bucket totals reconcile, slope is negative, ppm division exact vs BigInt") {
+    val rows = graft.queries.LlmQueries.qZipfFit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val n = rows.head._5
+    assert(rows.map(_._2).sum == n, "bucket word counts must sum to the global n")
+    assert(rows.map(_._6).distinct.length == 1, "slope is a global column")
+    assert(rows.head._6 < 0, "zipf slope must be negative")
+
+    // independent BigInt reference: same tokenizer, ranks, bit-length lenses,
+    // and EXACT (num*10^6) trunc-div den — validates the two-stage split
+    val freqs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    val ranked = freqs.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+    def bitlen(v: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val xy = ranked.map { case ((_, f), i) => (bitlen(i + 1L), bitlen(f)) }
+    val (bn, sx, sy, sxy, sx2) = (BigInt(xy.length), BigInt(xy.map(_._1).sum),
+      BigInt(xy.map(_._2).sum), BigInt(xy.map(p => p._1 * p._2).sum),
+      BigInt(xy.map(p => p._1 * p._1).sum))
+    val num = bn * sxy - sx * sy
+    val den = bn * sx2 - sx * sx
+    val slopeRef = (num * 1000000 / den).toLong // BigInt / truncates toward zero
+    assert(rows.head._6 == slopeRef, s"two-stage ppm division drifted: ${rows.head._6} vs $slopeRef")
+  }
 }

@@ -79,4 +79,31 @@ class WordPieceSpec extends SparkSpec {
       .collect()
     both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
+
+  test("q_mlm_mask: 15% selection, 80/10/10 actions, deterministic, semantics per action") {
+    val got = graft.queries.LlmQueries.qMlmMask(spark, sfDir)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4)))
+    val totalWords = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).count()
+    val rate = rows.length.toDouble / totalWords
+    assert(rate > 0.12 && rate < 0.18, s"selection rate $rate drifted from 15%")
+    val byAction = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    val n = rows.length.toDouble
+    assert(math.abs(byAction("mask") / n - 0.8) < 0.05)
+    assert(math.abs(byAction.getOrElse("random", 0) / n - 0.1) < 0.05)
+    assert(math.abs(byAction.getOrElse("keep", 0) / n - 0.1) < 0.05)
+    // action semantics
+    rows.foreach {
+      case (_, _, _, "mask", rep)        => assert(rep == "[MASK]")
+      case (_, _, orig, "keep", rep)     => assert(rep == orig)
+      case (_, _, _, "random", rep)      => assert(rep != "[MASK]" && rep.nonEmpty)
+      case other                          => fail(s"unexpected action row $other")
+    }
+    // deterministic: a second run is identical
+    val again = graft.queries.LlmQueries.qMlmMask(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
