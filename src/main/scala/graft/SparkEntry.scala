@@ -181,6 +181,7 @@ object SparkEntry {
     "q_bpe_encode"         -> (LlmQueries.qBpeEncode _),
     "q_wordpiece_encode"   -> (LlmQueries.qWordpieceEncode _),
     "q_mlm_mask"           -> (LlmQueries.qMlmMask _),
+    "q_span_corrupt"       -> (LlmQueries.qSpanCorrupt _),
     "q_bpe_encode_bytes"   -> (LlmQueries.qBpeEncodeBytes _),
     "q_substr_dedup"       -> (LlmQueries.qSubstrDedup _),
     "q_bloom_prefilter"    -> (SketchQueries.qBloomPrefilter _),
@@ -497,6 +498,7 @@ object SparkEntry {
     "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql,
     "q_wordpiece_encode"   -> LlmQueries.qWordpieceEncodeSql,
     "q_mlm_mask"           -> LlmQueries.qMlmMaskSql,
+    "q_span_corrupt"       -> LlmQueries.qSpanCorruptSql,
     "q_bpe_encode_bytes"   -> LlmQueries.qBpeEncodeBytesSql,
     "q_substr_dedup"       -> LlmQueries.qSubstrDedupSql,
     "q_bloom_prefilter"    -> SketchQueries.qBloomPrefilterSql,

@@ -3465,6 +3465,91 @@ object LlmQueries {
        |FROM sel LEFT JOIN v USING (token_id)
        |ORDER BY doc_id, word_idx""".stripMargin
 
+  // ---- T5 span corruption: seq2seq example construction --------------------
+  /** T5-style span-corruption example construction (Raffel et al. 2020,
+    * §3.1.4): corrupted spans are replaced by ORDERED sentinel tokens and
+    * the (sentinel → original span) pairs are the seq2seq targets. Span
+    * starts fire at 5% of word positions and each start draws a length
+    * 1..5 (mean 3 — T5's default mean span length), BOTH from hashes of
+    * (doc, position), so the corrupted example set is identical across
+    * runs, engines and partitionings (the same drift argument as
+    * [[qMlmMask]]). Overlapping or touching draws merge into maximal
+    * covered runs (island detection), the "adjacent corrupted positions
+    * share one sentinel" rule; expected corruption ≈ 5% × 3 ≈ T5's
+    * published 15% of tokens. Emits ONE ROW PER SPAN: (doc_id,
+    * sentinel_id, span_start, span_len, span_text) — the target-side
+    * supervision a training loader materializes.
+    *
+    * Scale shape: one corpus scan, two hash projections, a ≤5-row
+    * explode, and per-DOC windows (bounded by doc length — no global
+    * window); the spans groupBy carries only (doc, grp, pos, word).
+    */
+  def qSpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val words = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) > 0)
+    val starts = words
+      .filter(pmod(Sampling.md5Lower(concat_ws(":", lit("t5s"),
+        col("doc_id").cast("string"), col("word_idx").cast("string"))), lit(100L)) < 5)
+      .withColumn("span_len_draw", (pmod(Sampling.md5Lower(concat_ws(":", lit("t5l"),
+        col("doc_id").cast("string"), col("word_idx").cast("string"))),
+        lit(5L)).cast("int") + 1))
+    // covered positions; draws may run past the last word — the join back
+    // onto real positions truncates them, exactly like T5's end-of-text clip
+    val covered = starts
+      .select(col("doc_id"),
+        explode(sequence(col("word_idx"),
+          col("word_idx") + col("span_len_draw") - 1)).as("pos"))
+      .distinct()
+    val valid = covered.join(
+      words.select(col("doc_id"), col("word_idx").as("pos"), col("w")), Seq("doc_id", "pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = valid
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), count(lit(1)).cast("int").as("span_len"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("span_text"))
+    spans
+      .withColumn("sentinel_id",
+        (row_number().over(Window.partitionBy("doc_id").orderBy("span_start")) - 1).cast("int"))
+      .select(col("doc_id"), col("sentinel_id"), col("span_start"),
+        col("span_len"), col("span_text"))
+      .orderBy("doc_id", "sentinel_id")
+  }
+
+  val qSpanCorruptSql: String =
+    """WITH wpos AS (
+      |  SELECT doc_id, CAST(g.i - 1 AS INT) AS word_idx, wl[g.i] AS w
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wl FROM documents),
+      |       LATERAL unnest(generate_series(1, CAST(len(wl) AS BIGINT))) AS g(i)
+      |  WHERE len(wl[g.i]) > 0),
+      |starts AS (
+      |  SELECT doc_id, word_idx,
+      |    CAST(md5_number_lower('t5l:' || doc_id || ':' || word_idx) % 5 AS INT) + 1 AS span_len_draw
+      |  FROM wpos
+      |  WHERE md5_number_lower('t5s:' || doc_id || ':' || word_idx) % 100 < 5),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, CAST(word_idx + g.i AS INT) AS pos
+      |  FROM starts, LATERAL unnest(generate_series(0, CAST(span_len_draw - 1 AS BIGINT))) AS g(i)),
+      |valid AS (
+      |  SELECT c.doc_id, c.pos, w.w
+      |  FROM covered c JOIN wpos w ON w.doc_id = c.doc_id AND w.word_idx = c.pos),
+      |isl AS (
+      |  SELECT doc_id, pos, w,
+      |    pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS grp
+      |  FROM valid),
+      |spans AS (
+      |  SELECT doc_id, grp, MIN(pos) AS span_start, CAST(COUNT(*) AS INT) AS span_len,
+      |    string_agg(w, ' ' ORDER BY pos) AS span_text
+      |  FROM isl GROUP BY doc_id, grp)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_start) - 1 AS INT) AS sentinel_id,
+      |  span_start, span_len, span_text
+      |FROM spans ORDER BY doc_id, sentinel_id""".stripMargin
+
   def bpeBytesMergesFixture(dir: String): String =
     new java.io.File(s"target/verify_fixtures/bpe_merges_bytes_m48_${dataTag(dir)}.parquet").getAbsolutePath
 
