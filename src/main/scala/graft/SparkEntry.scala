@@ -229,7 +229,8 @@ object SparkEntry {
     "q_source_overlap"     -> (LlmQueries.qSourceOverlap _),
     "q_dedup_cluster_sizes" -> (LlmQueries.qDedupClusterSizes _),
     "q_vocab_growth"       -> (LlmQueries.qVocabGrowth _),
-    "q_zipf_fit"           -> (LlmQueries.qZipfFit _)
+    "q_zipf_fit"           -> (LlmQueries.qZipfFit _),
+    "q_ks_split_drift"     -> (LlmQueries.qKsSplitDrift _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -557,6 +558,7 @@ object SparkEntry {
     // component sizes of the near-dup graph, recursive-CTE min labels
     "q_dedup_cluster_sizes" -> LlmQueries.qDedupClusterSizesSql,
     "q_vocab_growth"       -> LlmQueries.qVocabGrowthSql,
-    "q_zipf_fit"           -> LlmQueries.qZipfFitSql
+    "q_zipf_fit"           -> LlmQueries.qZipfFitSql,
+    "q_ks_split_drift"     -> LlmQueries.qKsSplitDriftSql
   )
 }

@@ -4043,6 +4043,18 @@ object LlmQueries {
     * .globalRowNumber]] rank (no single-task window) → ≤64-row bucket
     * group-by; the fit sums ride a broadcast 1-row aggregate.
     */
+  /** Exact ⌊num·10⁶/den⌋ (trunc-toward-zero, matching DuckDB `//`) in TWO
+    * ×1000 stages so every product stays in int64 (num·10⁶ overflows once
+    * num passes ~9.2·10¹²; floor composes exactly:
+    * ⌊a·10⁶/d⌋ = q1·1000 + ⌊(a·1000 − q1·d)·1000/d⌋ with q1 = ⌊a·1000/d⌋,
+    * and trunc-toward-zero = sign·floor(abs) — identical in DuckDB).
+    * `op` is `div` on the Spark side, `//` in DuckDB oracle SQL.
+    */
+  private def ppmDivExpr(num: String, den: String, op: String = "div"): String =
+    s"(CASE WHEN $num < 0 THEN -1 ELSE 1 END) * " +
+    s"((abs($num) * 1000 $op $den) * 1000 + " +
+    s"((abs($num) * 1000 - (abs($num) * 1000 $op $den) * $den) * 1000) $op $den)"
+
   def qZipfFit(s: SparkSession, dir: String): DataFrame = {
     val freq = table(s, dir, "documents")
       .select(explode(TF.tokens(col("text"))).as("w"))
@@ -4055,14 +4067,7 @@ object LlmQueries {
         col("freq"))
     val buckets = ranked.groupBy("x")
       .agg(count(lit(1)).as("n_words"), sum("freq").as("tokens"), sum("y").as("y_sum"))
-    // ppm division in TWO ×1000 stages so num·multiplier stays in int64
-    // (num·10⁶ overflows past ~50k distinct words; floor composes exactly:
-    // ⌊a·10⁶/d⌋ = q1·1000 + ⌊(a·1000 − q1·d)·1000/d⌋ with q1 = ⌊a·1000/d⌋,
-    // and trunc-toward-zero = sign·floor(abs) — identical in DuckDB)
-    def ppm(num: String): String =
-      s"(CASE WHEN $num < 0 THEN -1 ELSE 1 END) * " +
-      s"((abs($num) * 1000 div den) * 1000 + " +
-      s"((abs($num) * 1000 - (abs($num) * 1000 div den) * den) * 1000) div den)"
+    def ppm(num: String): String = ppmDivExpr(num, "den", "div")
     val fit = ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
       .withColumn("num_s", expr("n * sxy - sx * sy"))
@@ -4104,6 +4109,76 @@ object LlmQueries {
       |  FROM d)
       |SELECT b.x, b.n_words, b.tokens, b.y_sum, fit.n, fit.slope_ppm, fit.intercept_ppm
       |FROM b, fit ORDER BY b.x""".stripMargin
+
+  // ---- two-sample Kolmogorov–Smirnov drift between hash splits -------------
+  /** Exact two-sample Kolmogorov–Smirnov distance between the train and
+    * test halves of the deterministic hash split (the same buckets as
+    * `q_hash_split`): did the 80/10/10 assignment skew the document-length
+    * distribution? D = max over observed x of |F_train(x) − F_test(x)|,
+    * computed by EXACT integer cross-multiplication
+    * (dev = |i·n_test − j·n_train| — never a floating CDF), reported in
+    * ppm via the same two-stage division as [[qZipfFit]]. A healthy hash
+    * split keeps D near the sampling-noise floor; a biased key
+    * (time-correlated ids, sharded id ranges) shows up as a fat D long
+    * before a model does.
+    *
+    * Scale shape: one scan → per-distinct-value groupBy (far smaller than
+    * the corpus) → [[graft.operators.Scale.runningSum]] two-level prefix
+    * sums (no single-task global window) → 1-row control-plane reduce.
+    * The cross-products stay in int64 up to ~10⁹ docs per side — past
+    * that, bucket the value axis first.
+    */
+  def qKsSplitDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    val b = Sampling.md5Bucket(col("doc_id"), 100)
+    val perValue = table(s, dir, "documents")
+      .filter(b < 80 || b >= 90)
+      .select(col("n_chars"), (b < 80).cast("long").as("is_train"))
+      .groupBy("n_chars")
+      .agg(sum("is_train").as("c1"), sum(lit(1L) - col("is_train")).as("c2"))
+    val run = graft.operators.Scale.runningSum(
+      graft.operators.Scale.runningSum(perValue, Seq("n_chars"), "c1", "i"),
+      Seq("n_chars"), "c2", "j")
+    val tot = perValue.agg(sum("c1").as("n_train"), sum("c2").as("n_test"))
+    run.crossJoin(broadcast(tot))
+      .select(col("n_train"), col("n_test"),
+        abs(col("i") * col("n_test") - col("j") * col("n_train")).as("dev"))
+      .groupBy("n_train", "n_test")
+      .agg(max("dev").as("ks_num"))
+      .withColumn("ks_den", expr("n_train * n_test"))
+      .select(col("n_train"), col("n_test"), col("ks_num"), col("ks_den"),
+        expr(ppmDivExpr("ks_num", "ks_den")).as("ks_ppm"))
+  }
+
+  val qKsSplitDriftSql: String =
+    """WITH d AS (
+      |  SELECT n_chars,
+      |    CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80
+      |         THEN 1 ELSE 0 END AS is_train
+      |  FROM documents
+      |  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80
+      |     OR md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 >= 90),
+      |pv AS (
+      |  SELECT n_chars, CAST(sum(is_train) AS BIGINT) AS c1,
+      |    CAST(sum(1 - is_train) AS BIGINT) AS c2
+      |  FROM d GROUP BY n_chars),
+      |run AS (
+      |  SELECT n_chars,
+      |    CAST(sum(c1) OVER (ORDER BY n_chars) AS BIGINT) AS i,
+      |    CAST(sum(c2) OVER (ORDER BY n_chars) AS BIGINT) AS j
+      |  FROM pv),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_train,
+      |               CAST(sum(c2) AS BIGINT) AS n_test FROM pv),
+      |dev AS (
+      |  SELECT n_train, n_test,
+      |    CAST(max(abs(i * n_test - j * n_train)) AS BIGINT) AS ks_num
+      |  FROM run, tot GROUP BY n_train, n_test)
+      |SELECT n_train, n_test, ks_num, n_train * n_test AS ks_den,
+      |  CAST((CASE WHEN ks_num < 0 THEN -1 ELSE 1 END) *
+      |    ((abs(ks_num) * 1000 // (n_train * n_test)) * 1000 +
+      |     ((abs(ks_num) * 1000 - (abs(ks_num) * 1000 // (n_train * n_test)) * (n_train * n_test)) * 1000)
+      |       // (n_train * n_test)) AS BIGINT) AS ks_ppm
+      |FROM dev""".stripMargin
 
   /** Vocabulary growth at doc-count checkpoints — see
     * [[graft.operators.Curation.vocabGrowth]] (Heaps'-law saturation

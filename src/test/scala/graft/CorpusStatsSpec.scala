@@ -165,4 +165,32 @@ class CorpusStatsSpec extends SparkSpec {
     val slopeRef = (num * 1000000 / den).toLong // BigInt / truncates toward zero
     assert(rows.head._6 == slopeRef, s"two-stage ppm division drifted: ${rows.head._6} vs $slopeRef")
   }
+
+  test("q_ks_split_drift: exact KS distance vs driver-side BigInt reference") {
+    val rows = graft.queries.LlmQueries.qKsSplitDrift(spark, sfDir).collect()
+    assert(rows.length == 1, "KS drift is a single-row report")
+    val r = rows.head
+    val (nTrain, nTest, ksNum, ksDen, ksPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(ksDen == nTrain * nTest)
+    assert(ksNum >= 0 && ksNum <= ksDen, "D must lie in [0, 1]")
+    assert(ksPpm == (BigInt(ksNum) * 1000000 / BigInt(ksDen)).toLong,
+      "two-stage ppm division drifted from BigInt")
+
+    // brute-force reference: same hash buckets, exact CDF cross-products
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Sampling.md5Bucket(col("doc_id"), 100).as("b"))
+      .collect().map(r2 => (r2.getLong(1), r2.getInt(2)))
+    val train = docs.filter(_._2 < 80).map(_._1).sorted
+    val test = docs.filter(_._2 >= 90).map(_._1).sorted
+    assert(train.length.toLong == nTrain && test.length.toLong == nTest)
+    val values = (train ++ test).distinct.sorted
+    val dRef = values.map { x =>
+      val i = train.count(_ <= x).toLong
+      val j = test.count(_ <= x).toLong
+      (BigInt(i) * test.length - BigInt(j) * train.length).abs
+    }.max
+    assert(BigInt(ksNum) == dRef, s"KS numerator drifted: $ksNum vs $dRef")
+  }
 }
