@@ -66,6 +66,7 @@ object SparkEntry {
     "q_rfm"                -> (AnalyticsQueries.qRfm _),
     "q_markov_transitions" -> (AnalyticsQueries.qMarkovTransitions _),
     "q_ab_test"            -> (AnalyticsQueries.qAbTest _),
+    "q_cuped"              -> (AnalyticsQueries.qCuped _),
     "q_rolling_revenue"    -> (AnalyticsQueries.qRollingRevenue _),
     "q_user_growth"        -> (AnalyticsQueries.qUserGrowth _),
     "q_trend_fit"          -> (AnalyticsQueries.qTrendFit _),
@@ -321,6 +322,7 @@ object SparkEntry {
     "q_markov_transitions" -> AnalyticsQueries.qMarkovTransitionsSql,
     // md5 variant split, pooled z² on a mirrored IEEE tree
     "q_ab_test"            -> AnalyticsQueries.qAbTestSql,
+    "q_cuped"              -> AnalyticsQueries.qCupedSql,
     // RANGE-framed rolling window over the daily (not row) frame
     "q_rolling_revenue"    -> AnalyticsQueries.qRollingRevenueSql,
     // per-user first-seen min, running sum over the |days| frame

@@ -1107,6 +1107,96 @@ object AnalyticsQueries {
       |     * (1e0 / n_a + 1e0 / n_b)) AS z2
       |FROM w""".stripMargin
 
+  // ---- CUPED variance-reduced experiment readout ---------------------------
+  /** CUPED-adjusted A/B readout (Deng et al., WSDM 2013): per-user
+    * purchase revenue in the experiment window (ts ≥ 2024-01-15) adjusted
+    * by the PRE-period revenue covariate — θ = cov(X,Y)/var(X) pooled
+    * over both variants (pre-period data is treatment-independent, so θ
+    * introduces no bias), adjusted lift = raw lift − θ·(x̄_b − x̄_a), and
+    * the variance-reduction factor is corr²(X,Y). Revenue is integerized
+    * to exact cents (the [[qCohortLtv]] round-to-long trade), so every
+    * SUM the moments build on is exact int64 and the double θ/lift math
+    * runs on identical inputs in any engine or partitioning; the one
+    * overflow-shaped term (n·Σxy) is computed in doubles, documented.
+    *
+    * Scale shape: one scan → per-user groupBy (map-side combine) →
+    * single 1-row moment reduce; nothing driver-side, no window.
+    */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val cutoffMs = 1705276800000L // 2024-01-15T00:00:00Z
+    val tsMs = graft.GraftSession.eventTsMs(ev)
+    val cents = round(col("value") * 100.0).cast("long")
+    val isP = col("event_type") === "purchase"
+    val users = ev
+      .groupBy("user_id")
+      .agg(sum(when(isP && tsMs < cutoffMs, cents).otherwise(0L)).as("x"),
+        sum(when(isP && tsMs >= cutoffMs, cents).otherwise(0L)).as("y"))
+      .select(graft.functions.Sampling.md5Bucket(col("user_id"), 2).as("variant"),
+        col("x"), col("y"))
+    val m = users.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"),
+      sum(col("y") * col("y")).as("sy2"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"))
+    val covn = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varxn = col("n").cast("double") * col("sx2").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varyn = col("n").cast("double") * col("sy2").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = covn / varxn
+    val rawLift = col("sy_b").cast("double") / col("n_b") -
+      col("sy_a").cast("double") / col("n_a")
+    val xGap = col("sx_b").cast("double") / col("n_b") -
+      col("sx_a").cast("double") / col("n_a")
+    m.select(col("n_a"), col("n_b"), rawLift.as("raw_lift_cents"),
+      theta.as("theta"), (rawLift - theta * xGap).as("adj_lift_cents"),
+      (covn * covn / (varxn * varyn)).as("var_reduction"))
+  }
+
+  val qCupedSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND epoch_ms(ts) < 1705276800000
+      |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND epoch_ms(ts) >= 1705276800000
+      |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 2 AS INT) AS variant, x, y
+      |  FROM u),
+      |m AS (SELECT
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2,
+      |  CAST(sum(y * y) AS BIGINT) AS sy2,
+      |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |  CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+      |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |  CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+      |  FROM v)
+      |SELECT n_a, n_b,
+      |  CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a AS raw_lift_cents,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+      |  (CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a)
+      |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |      * (CAST(sx_b AS DOUBLE) / n_b - CAST(sx_a AS DOUBLE) / n_a) AS adj_lift_cents,
+      |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS var_reduction
+      |FROM m""".stripMargin
+
   // ---- events: transition matrix ------------------------------------------
   /** First-order Markov transition matrix over per-user event streams —
     * the funnel-discovery query: for every (prev → next) event-type pair,
