@@ -181,6 +181,7 @@ object SparkEntry {
     "q_seq_pack_bpe"       -> (LlmQueries.qSeqPackBpe _),
     "q_bpe_encode"         -> (LlmQueries.qBpeEncode _),
     "q_wordpiece_encode"   -> (LlmQueries.qWordpieceEncode _),
+    "q_unigram_encode"     -> (LlmQueries.qUnigramEncode _),
     "q_mlm_mask"           -> (LlmQueries.qMlmMask _),
     "q_span_corrupt"       -> (LlmQueries.qSpanCorrupt _),
     "q_bpe_encode_bytes"   -> (LlmQueries.qBpeEncodeBytes _),
@@ -500,6 +501,7 @@ object SparkEntry {
     "q_seq_pack_bpe"       -> LlmQueries.qSeqPackBpeSql,
     "q_bpe_encode"         -> LlmQueries.qBpeEncodeSql,
     "q_wordpiece_encode"   -> LlmQueries.qWordpieceEncodeSql,
+    "q_unigram_encode"     -> LlmQueries.qUnigramEncodeSql,
     "q_mlm_mask"           -> LlmQueries.qMlmMaskSql,
     "q_span_corrupt"       -> LlmQueries.qSpanCorruptSql,
     "q_bpe_encode_bytes"   -> LlmQueries.qBpeEncodeBytesSql,

@@ -1086,6 +1086,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordPiece.WpLen(args(0), args(1))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_unigram_tokens"),
+      new ExpressionInfo(classOf[Unigram.UgTokens].getName, "graft_unigram_tokens"),
+      (args: Seq[Expression]) => Unigram.UgTokens(args(0), args(1))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (args: Seq[Expression]) =>

@@ -3404,6 +3404,126 @@ object LlmQueries {
        |FROM stream LEFT JOIN v ON v.piece = stream.token
        |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
 
+  // ---- Unigram LM: Viterbi min-cost sub-word encoding ----------------------
+  def ugVocabFixture(dir: String): String =
+    new java.io.File(s"target/verify_fixtures/ug_vocab_v2048_${dataTag(dir)}.parquet").getAbsolutePath
+
+  private val lastUgDir = new java.util.concurrent.atomic.AtomicReference[String](".")
+  private val ugEntriesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]()
+
+  private def pinnedUgVocab(s: SparkSession, dir: String): DataFrame = {
+    val fixture = ugVocabFixture(dir)
+    lastUgDir.set(dir)
+    pinFixtureOnce(() => graft.operators.Unigram.buildVocab(
+      table(s, dir, "documents"), "text", vocabSize = 2048), fixture, s)
+    s.read.parquet(fixture)
+  }
+
+  private def pinnedUgEntries(s: SparkSession, dir: String): Seq[(String, Int)] = {
+    val fixture = ugVocabFixture(dir)
+    ugEntriesMemo.computeIfAbsent(fixture, { _ =>
+      graft.operators.Unigram.entriesOf(pinnedUgVocab(s, dir))
+    })
+  }
+
+  /** Unigram-LM token-ID encoding — the VITERBI tokenizer family closing
+    * the three public sub-word algorithms next to [[qBpeEncode]]
+    * (merge-rank) and [[qWordpieceEncode]] (greedy longest-match): one
+    * row per (doc, word, token) under a pinned frequency-built vocabulary
+    * with INTEGER per-piece costs ([[graft.operators.Unigram.buildVocab]],
+    * bit-length −log p analogue), segmented by SentencePiece's Viterbi
+    * minimum-total-cost DP as a native expression
+    * (`graft_unigram_tokens`); ties on total cost take the longest piece.
+    * The oracle replays the IDENTICAL DP in SQL: candidate substrings
+    * hash-join the vocab once, a recursive CTE runs the BACKWARD DP per
+    * distinct word carrying a rolling window of the next
+    * [[graft.plans.Unigram.PieceLenMax]] best-costs as a list (each
+    * iteration needs best[i+1..i+L] — exactly what the rolling list
+    * holds), and a second recursive CTE walks forward choosing the
+    * longest piece achieving the optimum at each position.
+    */
+  def qUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = pinnedUgVocab(s, dir)
+    val entries = pinnedUgEntries(s, dir)
+    table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("word_idx"),
+        posexplode(graft.operators.Unigram.ugTokens(col("w"), entries))
+          .as(Seq("tok_idx", "token")))
+      .join(broadcast(vocab.select(col("piece").as("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("word_idx"), col("tok_idx"), col("token"),
+        coalesce(col("token_id"), lit(-1)).cast("int").as("token_id"))
+      .orderBy("doc_id", "word_idx", "tok_idx")
+  }
+
+  def qUnigramEncodeSql: String =
+    s"""WITH RECURSIVE
+       |v AS (SELECT piece, token_id, CAST(cost AS BIGINT) AS cost
+       |      FROM read_parquet('${ugVocabFixture(lastUgDir.get)}/*.parquet')),
+       |wpos AS (
+       |  SELECT doc_id, CAST(g.i - 1 AS INT) AS word_idx, wl[g.i] AS wd
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS wl FROM documents),
+       |       LATERAL unnest(generate_series(1, CAST(len(wl) AS BIGINT))) AS g(i)
+       |  WHERE len(wl[g.i]) > 0),
+       |words AS (SELECT DISTINCT wd AS w FROM wpos WHERE len(wd) <= 100),
+       |cand AS (
+       |  SELECT w, p.i AS pos, l.j AS adv, substr(w, CAST(p.i AS BIGINT), CAST(l.j AS BIGINT)) AS surface
+       |  FROM words,
+       |    LATERAL unnest(generate_series(1, CAST(len(w) AS BIGINT))) AS p(i),
+       |    LATERAL unnest(generate_series(1, CAST(least(12, len(w) - p.i + 1) AS BIGINT))) AS l(j)),
+       |cc AS (
+       |  SELECT c.w, c.pos, c.adv, v.cost
+       |  FROM cand c JOIN v ON v.piece = c.surface AND v.token_id > 0),
+       |cl AS (
+       |  SELECT w, pos, list(struct_pack(adv := adv, cost := cost)) AS cands
+       |  FROM cc GROUP BY w, pos),
+       |dp(w, i, bests) AS (
+       |  SELECT w, CAST(len(w) + 1 AS BIGINT),
+       |    [CAST(0 AS BIGINT), 1073741823, 1073741823, 1073741823, 1073741823, 1073741823,
+       |     1073741823, 1073741823, 1073741823, 1073741823, 1073741823, 1073741823]
+       |  FROM words
+       |  UNION ALL
+       |  SELECT d.w, d.i - 1,
+       |    list_prepend(
+       |      coalesce(list_min(list_transform(cl.cands, x -> x.cost + d.bests[x.adv])),
+       |               CAST(1073741823 AS BIGINT)),
+       |      d.bests[1:11])
+       |  FROM dp d LEFT JOIN cl ON cl.w = d.w AND cl.pos = d.i - 1
+       |  WHERE d.i > 1),
+       |best AS (SELECT w, i, bests[1] AS b FROM dp),
+       |choice AS (
+       |  SELECT cc.w, cc.pos, max(cc.adv) AS adv
+       |  FROM cc JOIN best b1 ON b1.w = cc.w AND b1.i = cc.pos
+       |          JOIN best b2 ON b2.w = cc.w AND b2.i = cc.pos + cc.adv
+       |  WHERE cc.cost + b2.b = b1.b AND b1.b < 1073741823
+       |  GROUP BY cc.w, cc.pos),
+       |enc AS (SELECT w FROM best WHERE i = 1 AND b < 1073741823),
+       |walk(w, pos, tok_idx, token) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST(-1 AS INT), CAST(NULL AS VARCHAR)
+       |  FROM enc
+       |  UNION ALL
+       |  SELECT s.w, s.pos + ch.adv, CAST(s.tok_idx + 1 AS INT),
+       |    substr(s.w, s.pos, ch.adv)
+       |  FROM walk s JOIN choice ch ON ch.w = s.w AND ch.pos = s.pos
+       |  WHERE s.pos <= len(s.w)),
+       |toks AS (
+       |  SELECT w, tok_idx, token FROM walk WHERE token IS NOT NULL
+       |  UNION ALL
+       |  SELECT w, 0, '[UNK]' FROM words WHERE w NOT IN (SELECT w FROM enc)
+       |  UNION ALL
+       |  SELECT wd AS w, 0, '[UNK]'
+       |  FROM (SELECT DISTINCT wd FROM wpos WHERE len(wd) > 100)),
+       |stream AS (
+       |  SELECT doc_id, word_idx, t.tok_idx, t.token
+       |  FROM wpos JOIN toks t ON t.w = wpos.wd)
+       |SELECT doc_id, word_idx, CAST(tok_idx AS INT) AS tok_idx, token,
+       |  CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+       |FROM stream LEFT JOIN v ON v.piece = stream.token
+       |ORDER BY doc_id, word_idx, tok_idx""".stripMargin
+
   // ---- MLM masking: training-example construction --------------------------
   /** BERT-style masked-LM example construction (the published 15% /
     * 80-10-10 recipe, Devlin et al. 2019) with every coin flip a HASH of
