@@ -133,6 +133,7 @@ object SparkEntry {
     "q_ann_cosine"         -> (LlmQueries.qAnnCosine _),
     "q_token_count"        -> (LlmQueries.qTokenCount _),
     "q_lang_id"            -> (LlmQueries.qLangId _),
+    "q_langid_calibration" -> (LlmQueries.qLangidCalibration _),
     "q_quality_score"      -> (LlmQueries.qQualityScore _),
     "q_fingerprint"        -> (LlmQueries.qFingerprint _),
     "q_hash_split"         -> (LlmQueries.qHashSplit _),
@@ -432,6 +433,7 @@ object SparkEntry {
     "q_ann_cosine"         -> LlmQueries.qAnnCosineSql,
     "q_token_count"        -> LlmQueries.qTokenCountSql,
     "q_lang_id"            -> LlmQueries.qLangIdSql,
+    "q_langid_calibration" -> LlmQueries.qLangidCalibrationSql,
     "q_quality_score"      -> LlmQueries.qQualityScoreSql,
     "q_fingerprint"        -> LlmQueries.qFingerprintSql,
     "q_hash_split"         -> LlmQueries.qHashSplitSql,

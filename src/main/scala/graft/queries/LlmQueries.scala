@@ -497,6 +497,50 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Reliability diagram for the language-ID heuristic against the
+    * labeled `lang` column — the classifier-eval query every corpus
+    * pipeline runs before trusting a filter: bucket docs by marker
+    * EVIDENCE (best-language stopword hits, capped at 5+) and report
+    * per-bucket accuracy in exact ppm. A well-calibrated detector shows
+    * accuracy rising with evidence; a flat curve means the markers are
+    * noise. All-integer: hit counts, argmax ties by marker order (the
+    * [[TF.langId]] contract), ppm by integer division.
+    *
+    * Scale shape: one scan, per-row regex counts (codegen'd), ≤6-row
+    * groupBy — the aggregate is map-side combined into nothing.
+    */
+  def qLangidCalibration(s: SparkSession, dir: String): DataFrame = {
+    val hits = TF.langMarkers.map { case (_, re) => TF.stopwordHits(col("text"), re) }
+    val best = hits.reduce((a, b) => greatest(a, b))
+    table(s, dir, "documents")
+      .select(col("lang"), TF.langId(col("text")).as("detected"),
+        least(best, lit(5)).cast("int").as("conf_bin"))
+      .groupBy("conf_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("detected") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_docs"))
+      .orderBy("conf_bin")
+  }
+
+  val qLangidCalibrationSql: String = {
+    val hits = TF.langMarkers.map { case (lang, re) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$re')) AS INT) AS ${lang}_h"
+    }.mkString(",\n  ")
+    val gm = "greatest(" + TF.langMarkers.map(_._1 + "_h").mkString(", ") + ")"
+    val cases = TF.langMarkers.map { case (lang, _) => s"WHEN ${lang}_h = gm THEN '$lang'" }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, lang, $hits FROM documents),
+       |g AS (SELECT *, $gm AS gm FROM h),
+       |d AS (SELECT lang,
+       |        CASE WHEN gm = 0 THEN 'und' $cases END AS detected,
+       |        CAST(least(gm, 5) AS INT) AS conf_bin
+       |      FROM g),
+       |b AS (SELECT conf_bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(CASE WHEN detected = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |      FROM d GROUP BY conf_bin)
+       |SELECT conf_bin, n_docs, n_correct, n_correct * 1000000 // n_docs AS acc_ppm
+       |FROM b ORDER BY conf_bin""".stripMargin
+  }
+
   def qQualityScore(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))

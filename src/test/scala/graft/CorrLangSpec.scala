@@ -51,4 +51,22 @@ class CorrLangSpec extends SparkSpec {
     val got = m.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == want)
   }
+
+  test("langid calibration: bins partition the corpus, counts reconcile with q_lang_id, ppm exact") {
+    val cal = LlmQueries.qLangidCalibration(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Caches.release()
+    val totalDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(cal.map(_._2).sum == totalDocs, "bins must partition the corpus")
+    assert(cal.forall(b => b._1 >= 0 && b._1 <= 5))
+    cal.foreach { case (_, n, c, ppm) =>
+      assert(c <= n)
+      assert(ppm == c * 1000000L / n, "ppm must be the exact integer division")
+    }
+    // total correct across bins equals the q_lang_id agreement count
+    val correct = LlmQueries.qLangId(spark, sfDir)
+      .filter(col("labeled_lang") === col("detected_lang")).count()
+    Caches.release()
+    assert(cal.map(_._3).sum == correct)
+  }
 }
