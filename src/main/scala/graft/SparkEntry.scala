@@ -233,7 +233,8 @@ object SparkEntry {
     "q_dedup_cluster_sizes" -> (LlmQueries.qDedupClusterSizes _),
     "q_vocab_growth"       -> (LlmQueries.qVocabGrowth _),
     "q_zipf_fit"           -> (LlmQueries.qZipfFit _),
-    "q_ks_split_drift"     -> (LlmQueries.qKsSplitDrift _)
+    "q_ks_split_drift"     -> (LlmQueries.qKsSplitDrift _),
+    "q_bootstrap_ci"       -> (LlmQueries.qBootstrapCi _)
   )
 
   /** DuckDB-runnable equivalent for each query (same column names/order-by). */
@@ -565,6 +566,7 @@ object SparkEntry {
     "q_dedup_cluster_sizes" -> LlmQueries.qDedupClusterSizesSql,
     "q_vocab_growth"       -> LlmQueries.qVocabGrowthSql,
     "q_zipf_fit"           -> LlmQueries.qZipfFitSql,
-    "q_ks_split_drift"     -> LlmQueries.qKsSplitDriftSql
+    "q_ks_split_drift"     -> LlmQueries.qKsSplitDriftSql,
+    "q_bootstrap_ci"       -> LlmQueries.qBootstrapCiSql
   )
 }

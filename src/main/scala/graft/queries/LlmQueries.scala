@@ -4274,6 +4274,75 @@ object LlmQueries {
       |SELECT b.x, b.n_words, b.tokens, b.y_sum, fit.n, fit.slope_ppm, fit.intercept_ppm
       |FROM b, fit ORDER BY b.x""".stripMargin
 
+  // ---- deterministic Poisson bootstrap CI ----------------------------------
+  /** Bootstrap 95% confidence interval for the mean document length via
+    * the POISSON bootstrap — the resampling formulation that actually
+    * scales (classic index-resampling needs a global index and a B×n
+    * random-access join; Poisson(1) weights need only a per-row hash,
+    * the standard trick for bootstrap on sharded data). Every weight is
+    * the inverse-CDF of a HASH of (resample, doc) against fixed u32
+    * cutoffs (⌊2³²·P(Poisson(1) ≤ k)⌋, k ≤ 5, tail capped at 6) — no RNG,
+    * so the B=200 resample means and the (5th, 196th) order statistics
+    * (the 2.5%/97.5% CI bounds) are identical across runs, engines and
+    * partitionings.
+    *
+    * Scale shape: one scan × B hash projections (a ≤B-row explode),
+    * map-side combined into B groups; the order-statistic window runs
+    * over exactly B = 200 rows by construction (control-plane sized).
+    */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val B = 200
+    val cuts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L)
+    val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val u = pmod(Sampling.md5Lower(concat_ws(":", lit("bs"),
+      col("b").cast("string"), col("doc_id").cast("string"))), lit(4294967296L))
+    val w = cuts.zipWithIndex.foldRight(lit(6L): Column) { case ((cut, k), el) =>
+      when(u < cut, k.toLong).otherwise(el)
+    }
+    val means = d
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .select(col("b"), w.as("w"), (w * col("n_chars")).as("wx"))
+      .groupBy("b").agg(sum("w").as("sw"), sum("wx").as("swx"))
+      .select(col("b"), (col("swx").cast("double") / col("sw")).as("mean_b"))
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy("mean_b", "b"))) // B=200 rows total
+    val point = d.agg(count(lit(1)).as("n_docs"),
+      (sum("n_chars").cast("double") / count(lit(1))).as("mean_chars"))
+    point
+      .crossJoin(broadcast(ranked.filter(col("rk") === 5).select(col("mean_b").as("ci_lo"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === 196).select(col("mean_b").as("ci_hi"))))
+      .select(col("n_docs"), col("mean_chars"), col("ci_lo"), col("ci_hi"))
+  }
+
+  val qBootstrapCiSql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |r AS (
+      |  SELECT g.b, d.doc_id, d.n_chars,
+      |    md5_number_lower('bs:' || g.b || ':' || d.doc_id) % 4294967296 AS u
+      |  FROM d, LATERAL unnest(generate_series(0, 199)) AS g(b)),
+      |wtd AS (
+      |  SELECT b,
+      |    CAST(CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+      |         WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+      |         WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+      |         ELSE 6 END AS BIGINT) AS w,
+      |    n_chars
+      |  FROM r),
+      |m AS (
+      |  SELECT b, CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * n_chars) AS BIGINT) AS swx
+      |  FROM wtd GROUP BY b),
+      |mb AS (SELECT b, CAST(swx AS DOUBLE) / sw AS mean_b FROM m),
+      |rk AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM mb),
+      |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars FROM d)
+      |SELECT pt.n_docs, pt.mean_chars, lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+      |FROM pt, (SELECT mean_b FROM rk WHERE rk = 5) lo,
+      |     (SELECT mean_b FROM rk WHERE rk = 196) hi""".stripMargin
+
   // ---- two-sample Kolmogorov–Smirnov drift between hash splits -------------
   /** Exact two-sample Kolmogorov–Smirnov distance between the train and
     * test halves of the deterministic hash split (the same buckets as

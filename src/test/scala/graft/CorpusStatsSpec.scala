@@ -193,4 +193,38 @@ class CorpusStatsSpec extends SparkSpec {
     }.max
     assert(BigInt(ksNum) == dRef, s"KS numerator drifted: $ksNum vs $dRef")
   }
+
+  test("q_bootstrap_ci: driver model replays hash weights and order statistics exactly") {
+    val r = graft.queries.LlmQueries.qBootstrapCi(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nDocs, mean, lo, hi) =
+      (r.head.getLong(0), r.head.getDouble(1), r.head.getDouble(2), r.head.getDouble(3))
+    assert(lo <= hi, "CI bounds ordered")
+    assert(lo <= mean && mean <= hi, "point estimate inside the 95% CI")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(docs.length.toLong == nDocs)
+    assert(mean == docs.map(_._2).sum.toDouble / docs.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(key: String): Long = {
+      val b = md.digest(key.getBytes("UTF-8"))
+      val v = (0 until 8).map(i => BigInt(b(8 + i) & 0xff) << (8 * i)).sum
+      (v % 4294967296L).toLong
+    }
+    val cuts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L)
+    def w(u: Long): Long = cuts.indexWhere(u < _) match {
+      case -1 => 6L; case k => k.toLong
+    }
+    val means = (0 until 200).map { b =>
+      var sw = 0L; var swx = 0L
+      docs.foreach { case (id, x) =>
+        val wt = w(u32(s"bs:$b:$id")); sw += wt; swx += wt * x
+      }
+      (swx.toDouble / sw, b)
+    }.sorted
+    assert(lo == means(4)._1, "ci_lo must be the 5th order statistic")
+    assert(hi == means(195)._1, "ci_hi must be the 196th order statistic")
+  }
 }
