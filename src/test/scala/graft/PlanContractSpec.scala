@@ -264,6 +264,47 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.Caches.release()
   }
 
+  test("example construction: vocab joins broadcast, never sort-merge") {
+    // q_mlm_mask's random-replacement pool and q_unigram_encode's token-id
+    // resolution both join a ≤2048-row vocab — at corpus scale these MUST
+    // be broadcasts; a sort-merge here shuffles the whole token stream.
+    for (q <- Seq(graft.queries.LlmQueries.qMlmMask _,
+                  graft.queries.LlmQueries.qUnigramEncode _)) {
+      val df = q(spark, sfDir)
+      df.collect()
+      val s = executed(df).toString
+      assert(s.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$s")
+      assert(!s.contains("SortMergeJoin"), s"vocab join degraded to sort-merge:\n$s")
+      graft.operators.Caches.release()
+    }
+  }
+
+  test("span corruption: equi joins only, windows partitioned by doc") {
+    val df = graft.queries.LlmQueries.qSpanCorrupt(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString
+    assert(!s.contains("NestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"span-position join degraded to a product:\n$s")
+    val bad = s.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .filterNot(_.contains("doc_id")).toSeq
+    assert(bad.isEmpty, s"window not partitioned by doc_id:\n${bad.mkString("\n")}")
+  }
+
+  test("cuped: one data-sized shuffle (the per-user aggregate), no joins") {
+    val df = graft.queries.AnalyticsQueries.qCuped(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString
+    assert(!s.contains("Join"), s"cuped must be pure aggregation:\n$s")
+    // per-user groupBy hash exchange + the SinglePartition gather of the
+    // 1-row moment reduce — nothing else may shuffle (the AQE plan string
+    // repeats the subtree, so assert on exchange KIND, not count)
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    val data = exchanges.filterNot(_.contains("SinglePartition"))
+    assert(data.nonEmpty && data.forall(_.contains("hashpartitioning(user_id")),
+      s"unexpected data shuffles:\n${exchanges.mkString("\n")}")
+  }
+
   test("cleaners map stage runs the native single-pass exprs, no regex chains") {
     val df = graft.queries.CoreQueries.qMapperClean(spark, sfDir)
     val s = planString(df)
