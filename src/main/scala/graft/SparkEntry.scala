@@ -48,6 +48,7 @@ object SparkEntry {
     "q_corr_matrix"        -> (LlmQueries.qCorrMatrix _),
     "q_lang_mismatch"      -> (LlmQueries.qLangMismatch _),
     "q_kanon"              -> (SourceQueries.qKanon _),
+    "q_delete_propagation" -> (SourceQueries.qDeletePropagation _),
     "q_hilbert_layout"     -> (AnalyticsQueries.qHilbertLayout _),
     "q_mv_refresh"         -> (AnalyticsQueries.qMvRefresh _),
     "q_mv_join_refresh"    -> (AnalyticsQueries.qMvJoinRefresh _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_pii_redact"         -> (LlmQueries.qPiiRedact _),
     "q_rarity_score"       -> (LlmQueries.qRarityScore _),
     "q_repetition"         -> (LlmQueries.qRepetition _),
+    "q_doc_entropy"        -> (LlmQueries.qDocEntropy _),
     "q_dedup_simhash"      -> (LlmQueries.qDedupSimhash _),
     "q_span_dedup"         -> (LlmQueries.qSpanDedup _),
     "q_source_gate"        -> (LlmQueries.qSourceGate _),
@@ -295,6 +297,7 @@ object SparkEntry {
     "q_lang_mismatch"      -> LlmQueries.qLangMismatchSql,
     // k-anonymity exposure: class sizes below k per quasi-id combo
     "q_kanon"              -> SourceQueries.qKanonSql,
+    "q_delete_propagation" -> SourceQueries.qDeletePropagationSql,
     // hilbert layout audit: the xy->d walk unrolled as chained CTEs
     "q_hilbert_layout"     -> AnalyticsQueries.qHilbertLayoutSql,
     // incremental MV refresh: delta partials + full-outer merge
@@ -442,6 +445,7 @@ object SparkEntry {
     "q_pii_redact"         -> LlmQueries.qPiiRedactSql,
     "q_rarity_score"       -> LlmQueries.qRarityScoreSql,
     "q_repetition"         -> LlmQueries.qRepetitionSql,
+    "q_doc_entropy"        -> LlmQueries.qDocEntropySql,
     "q_dedup_simhash"      -> LlmQueries.qDedupSimhashSql,
     "q_span_dedup"         -> LlmQueries.qSpanDedupSql,
     "q_source_gate"        -> LlmQueries.qSourceGateSql,

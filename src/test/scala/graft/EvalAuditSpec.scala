@@ -60,4 +60,32 @@ class EvalAuditSpec extends SparkSpec {
     assert(rows(2)._1 <= rows(5)._1 && rows(5)._1 <= rows(10)._1)
     assert(rows(2)._2 <= rows(5)._2 && rows(5)._2 <= rows(10)._2)
   }
+
+  test("delete propagation: cascade counts reconcile with a driver model of the hash sample") {
+    val rep = graft.queries.SourceQueries.qDeletePropagation(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Caches.release()
+    assert(rep.keySet == Set("customer", "orders", "lineitem", "events"))
+    rep.foreach { case (t, (n, d, ppm)) =>
+      assert(d <= n, s"$t deletes exceed rows")
+      assert(ppm == d * 1000000L / n, s"$t ppm must be the exact division")
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hit(k: Long): Boolean = {
+      val b = md.digest(s"del:$k".getBytes("UTF-8"))
+      val v = (0 until 8).map(i => BigInt(b(8 + i) & 0xff) << (8 * i)).sum
+      v % 100 == 0
+    }
+    val custkeys = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    assert(rep("customer")._2 == custkeys.count(hit).toLong)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deadOrders = orders.filter(o => hit(o._2)).map(_._1).toSet
+    assert(rep("orders")._2 == deadOrders.size.toLong)
+    // the cascade: lineitems die with their ORDER, never by direct key hash
+    val liDead = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0)).count(deadOrders.contains)
+    assert(rep("lineitem")._2 == liDead.toLong)
+  }
 }
