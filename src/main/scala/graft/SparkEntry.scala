@@ -177,6 +177,7 @@ object SparkEntry {
     "q_length_percentiles" -> (LlmQueries.qLengthPercentiles _),
     "q_hll_distinct"       -> (SketchQueries.qHllDistinct _),
     "q_heavy_hitters"      -> (SketchQueries.qHeavyHitters _),
+    "q_join_size_estimate" -> (SketchQueries.qJoinSizeEstimate _),
     "q_lm_score"           -> (SketchQueries.qLmScore _),
     "q_corpus_stats_v2"    -> (LlmQueries.qCorpusStatsV2 _),
     "q_bpe_count"          -> (LlmQueries.qBpeCount _),
@@ -496,6 +497,7 @@ object SparkEntry {
     "q_length_percentiles" -> LlmQueries.qLengthPercentilesSql,
     "q_hll_distinct"       -> SketchQueries.qHllDistinctSql,
     "q_heavy_hitters"      -> SketchQueries.qHeavyHittersSql,
+    "q_join_size_estimate" -> SketchQueries.qJoinSizeEstimateSql,
     "q_lm_score"           -> SketchQueries.qLmScoreSql,
     // trained-merges BPE: training pinned as a fixture (deterministic but
     // not SQL-expressible); the ENCODE replays in pure SQL — one literal

@@ -72,6 +72,79 @@ object SketchQueries {
        |ORDER BY est DESC, token
        |LIMIT 20""".stripMargin
 
+  // ---- CMS join-size estimation (AMS inner product) ------------------------
+  /** Join-cardinality estimation by Count-Min inner product — the
+    * AMS-sketch trick a planner uses to price a join WITHOUT running it:
+    * |A ⋈ B| = Σ_k c_A(k)·c_B(k), and the per-depth inner product
+    * Σ_slot CMS_A[i]·CMS_B[i] over-estimates exactly that (collisions
+    * only ADD), so the MIN over the d depths is a one-sided estimate:
+    * est ≥ exact always, tight when w ≫ distinct keys. Two join shapes:
+    * the orders⋈lineitem equi join, and the events SELF join on user —
+    * whose size is the second frequency moment Σc², the number a skew
+    * check needs BEFORE attempting a per-user join. The audit column
+    * computes the exact size from per-key GROUP COUNTS (never the
+    * materialized join).
+    *
+    * Scale shape: each sketch is a d-fold explode into ≤ d·w counters
+    * (map-side combined); inner products join two ≤ d·w-row frames;
+    * exact audit is two key-grain aggregates joined at key grain.
+    */
+  def qJoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 8192 // w >> distinct keys keeps the equi-join estimate tight
+    def cms(df: DataFrame, key: String): DataFrame =
+      Sketch.cmsTable(df.select(col(key)), key, d, w)
+    def inner(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("i"), col("slot"), col("cnt").as("ca"))
+        .join(b.select(col("i"), col("slot"), col("cnt").as("cb")), Seq("i", "slot"))
+        .groupBy("i").agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min("ip").as("est"))
+    def exact(a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame =
+      a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact"))
+    def report(name: String, est: DataFrame, ex: DataFrame): DataFrame =
+      est.crossJoin(ex).select(lit(name).as("join_name"), col("est"), col("exact"),
+        expr("(est - exact) * 1000000 div exact").as("err_ppm"))
+    val ords = table(s, dir, "orders")
+    val li = table(s, dir, "lineitem")
+    val ev = table(s, dir, "events")
+    val evCms = cms(ev, "user_id")
+    report("orders_lineitem",
+        inner(cms(ords, "o_orderkey"), cms(li, "l_orderkey")),
+        exact(ords, "o_orderkey", li, "l_orderkey"))
+      .unionByName(report("events_self",
+        inner(evCms, evCms), exact(ev, "user_id", ev, "user_id")))
+      .orderBy("join_name")
+  }
+
+  val qJoinSizeEstimateSql: String = {
+    def cms(from: String, key: String) =
+      s"""SELECT i, CAST(md5_number_lower(CAST(i AS VARCHAR) || ':' || $key) % 8192 AS INT) AS slot,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $from, LATERAL unnest(generate_series(0, 3)) AS g(i)
+         |  GROUP BY 1, 2""".stripMargin
+    def pair(name: String, cmsA: String, cmsB: String, exA: String, kA: String,
+             exB: String, kB: String) =
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT CAST(min(ip) AS BIGINT) FROM (
+         |     SELECT a.i, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+         |     FROM $cmsA a JOIN $cmsB b USING (i, slot) GROUP BY a.i)) AS est,
+         |  (SELECT CAST(coalesce(sum(ca.n * cb.n), 0) AS BIGINT) FROM
+         |     (SELECT $kA AS k, CAST(count(*) AS BIGINT) AS n FROM $exA GROUP BY 1) ca
+         |     JOIN
+         |     (SELECT $kB AS k, CAST(count(*) AS BIGINT) AS n FROM $exB GROUP BY 1) cb
+         |     USING (k)) AS exact""".stripMargin
+    s"""WITH cms_o AS (${cms("orders", "o_orderkey")}),
+       |cms_l AS (${cms("lineitem", "l_orderkey")}),
+       |cms_e AS (${cms("events", "user_id")}),
+       |base AS (
+       |  ${pair("orders_lineitem", "cms_o", "cms_l", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+       |  UNION ALL
+       |  ${pair("events_self", "cms_e", "cms_e", "events", "user_id", "events", "user_id")})
+       |SELECT join_name, est, exact, (est - exact) * 1000000 // exact AS err_ppm
+       |FROM base ORDER BY join_name""".stripMargin
+  }
+
   // ---- Bloom prefilter ----------------------------------------------------
   /** The streaming-gate Bloom prefilter under the hash gate: insert the
     * content fingerprints of the already-ingested corpus slice (doc_id ≡ 0

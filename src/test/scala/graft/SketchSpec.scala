@@ -235,4 +235,22 @@ class SketchSpec extends SparkSpec {
     assert(once.map(_.getLong(0)) == Seq(1L, 4L)) // doc 2 (1 token) and 3 (empty) excluded
     graft.operators.Caches.release()
   }
+
+  test("join-size estimate: one-sided (est >= exact), exact matches group-count audit") {
+    val rep = graft.queries.SketchQueries.qJoinSizeEstimate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep.keySet == Set("orders_lineitem", "events_self"))
+    rep.foreach { case (name, (est, exact, err)) =>
+      assert(est >= exact, s"$name: CMS inner product must over-estimate")
+      assert(err == (est - exact) * 1000000L / exact, s"$name err_ppm")
+    }
+    // exact audits against independent joins on the small table
+    val ol = spark.read.parquet(s"$sfDir/orders.parquet").select("o_orderkey")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(rep("orders_lineitem")._2 == ol)
+    val counts = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(rep("events_self")._2 == counts.map(c => c * c).sum)
+  }
 }
