@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_keep"         -> (LlmQueries.qDedupKeep _),
     "q_dedup_minhash"      -> (LlmQueries.qDedupMinhash _),
     "q_dedup_minhash_banded" -> (LlmQueries.qDedupMinhashBanded _),
+    "q_lsh_tuning"         -> (LlmQueries.qLshTuning _),
     "q_set_sim_join"       -> (LlmQueries.qSetSimJoin _),
     "q_dedup_near_keep"    -> (LlmQueries.qDedupNearKeep _),
     "q_soft_dedup"         -> (LlmQueries.qSoftDedup _),
@@ -370,6 +371,7 @@ object SparkEntry {
     "q_dedup_exact"        -> LlmQueries.qDedupExactSql,
     "q_dedup_keep"         -> LlmQueries.qDedupKeepSql,
     "q_dedup_minhash"      -> LlmQueries.qDedupMinhashSql,
+    "q_lsh_tuning"         -> LlmQueries.qLshTuningSql,
     "q_dedup_minhash_banded" -> LlmQueries.qDedupMinhashSql,
     // exact prefix-filter join: zero-false-negative by THEOREM, so the
     // same all-pairs oracle gates a completely different candidate path

@@ -97,6 +97,112 @@ object LlmQueries {
     Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", tNum = 4, tDen = 5)
       .orderBy("id_a", "id_b")
 
+  /** P(candidate | jaccard = s) = 1 − (1 − s²)^bands at decile midpoints
+    * s = (2d+1)/20 — exact BigInt rational floored to ppm, shared by the
+    * query's literal column and the oracle SQL generator so both engines
+    * carry the identical theory numbers.
+    */
+  private def lshTheoryPpm(bands: Int): Seq[(Int, Long)] =
+    (5 to 9).map { d =>
+      val num = BigInt(400 - (2 * d + 1) * (2 * d + 1)) // (1−s²)·400
+      val den = BigInt(400)
+      d -> (((den.pow(bands) - num.pow(bands)) * 1000000) / den.pow(bands)).toLong
+    }
+
+  /** LSH banding S-CURVE tuning report: does the deployed (bands, r)
+    * actually deliver its textbook recall? Exact pairs at jaccard ≥ 0.5
+    * (prefix-filter join — completeness by theorem, so the denominator
+    * carries no recall caveat) bucket into similarity deciles; for each,
+    * the EMPIRICAL candidate rate of a banded minhash against the
+    * THEORETICAL 1 − (1−s²)^b at the decile midpoint. The report that
+    * justifies "12 bands × r=2 at threshold 0.8" with measured numbers
+    * instead of a formula citation — and catches a broken hash family
+    * (empirical ≪ theory) before it silently under-deduplicates a corpus.
+    *
+    * The signature here is the CROSS-ENGINE md5 family (element i = min
+    * over words of md5("mh{i}:" + w) mod 2³¹), so the candidate set —
+    * LSH's actual behavior, bucket collisions included — replays in SQL
+    * and sits under the hash gate; the production operator's xxhash64
+    * signature can't (and needs no) mirror. Bucket join on the (band,
+    * v₀, v₁) TUPLE, not a folded key — no overflow, same predicate.
+    *
+    * Scale shape: prefix-filter exact pairs (bounded explode, equi join),
+    * signature = one token pass × k=24 md5s, bucket equi-join per band,
+    * ≤5-row final groupBy.
+    */
+  def qLshTuning(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sampling
+    val bands = 12; val r = 2
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2)
+      .select(col("id_a"), col("id_b"),
+        least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("decile"))
+    val sig = docs
+      .select(col("doc_id").as("id"), TF.wordSet(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("id"), transform(sequence(lit(0), lit(bands * r - 1)), i =>
+        array_min(transform(col("ws"), w =>
+          pmod(Sampling.md5Lower(concat(lit("mh"), i.cast("string"), lit(":"), w)),
+            lit(2147483648L))))).as("sig"))
+    val bucketed = sig
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
+      .select(col("id"), col("b"),
+        element_at(col("sig"), col("b") * 2 + 1).as("v0"),
+        element_at(col("sig"), col("b") * 2 + 2).as("v1"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.b") === col("y.b") && col("x.v0") === col("y.v0") &&
+          col("x.v1") === col("y.v1") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val theory = lshTheoryPpm(bands).foldLeft(lit(null).cast("long")) {
+      case (el, (d, ppm)) => when(col("decile") === d, lit(ppm)).otherwise(el)
+    }
+    pairs
+      .join(cand.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"), coalesce(sum("hit"), lit(0L)).as("n_cand"))
+      .withColumn("emp_ppm", expr("n_cand * 1000000 div n_pairs"))
+      .withColumn("theory_ppm", theory)
+      .orderBy("decile")
+  }
+
+  def qLshTuningSql: String = {
+    val cases = lshTheoryPpm(12)
+      .map { case (d, ppm) => s"WHEN $d THEN $ppm" }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, $wordSetSql AS words FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(least(CAST(floor(
+       |      CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10)
+       |      AS BIGINT), 9) AS INT) AS decile
+       |  FROM w a, w b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.5),
+       |sigsrc AS (
+       |  SELECT doc_id, g.i AS i,
+       |    CAST(min(md5_number_lower('mh' || g.i || ':' || t.wd) % 2147483648) AS BIGINT) AS v
+       |  FROM (SELECT doc_id, unnest(words) AS wd FROM w) t,
+       |       LATERAL unnest(generate_series(0, 23)) AS g(i)
+       |  GROUP BY doc_id, g.i),
+       |bk AS (
+       |  SELECT a0.doc_id, a0.i // 2 AS b, a0.v AS v0, a1.v AS v1
+       |  FROM sigsrc a0 JOIN sigsrc a1 ON a1.doc_id = a0.doc_id AND a1.i = a0.i + 1
+       |  WHERE a0.i % 2 = 0),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bk x JOIN bk y
+       |    ON x.b = y.b AND x.v0 = y.v0 AND x.v1 = y.v1 AND x.doc_id < y.doc_id),
+       |agg AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(coalesce(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_cand
+       |  FROM p LEFT JOIN cand c USING (id_a, id_b) GROUP BY decile)
+       |SELECT decile, n_pairs, n_cand, n_cand * 1000000 // n_pairs AS emp_ppm,
+       |  CAST(CASE decile $cases END AS BIGINT) AS theory_ppm
+       |FROM agg ORDER BY decile""".stripMargin
+  }
+
   /** Threshold-sensitivity curve for near-dup dedup: pair counts at
     * jaccard ≥ 0.7 / 0.8 / 0.9 from ONE exact pass — the tuning report
     * that shows what moving the dedup threshold would actually delete
