@@ -108,6 +108,7 @@ object SparkEntry {
     "q_length_bucket_pack" -> (LlmQueries.qLengthBucketPack _),
     "q_dp_count"           -> (LlmQueries.qDpCount _),
     "q_dp_histogram"       -> (LlmQueries.qDpHistogram _),
+    "q_dp_topk"            -> (LlmQueries.qDpTopk _),
     "q_url_canon"          -> (LlmQueries.qUrlCanon _),
     "q_dedup_incremental"  -> (LlmQueries.qDedupIncremental _),
     "q_decontaminate"      -> (LlmQueries.qDecontaminate _),
@@ -385,6 +386,7 @@ object SparkEntry {
     "q_length_bucket_pack" -> LlmQueries.qLengthBucketPackSql,
     "q_dp_count"           -> LlmQueries.qDpCountSql,
     "q_dp_histogram"       -> LlmQueries.qDpHistogramSql,
+    "q_dp_topk"            -> LlmQueries.qDpTopkSql,
     "q_url_canon"          -> LlmQueries.qUrlCanonSql,
     "q_dedup_incremental"  -> LlmQueries.qDedupIncrementalSql,
     "q_decontaminate"      -> LlmQueries.qDecontaminateSql,

@@ -5487,6 +5487,60 @@ object LlmQueries {
        |  CAST(greatest(0, n_clamped + noise) AS BIGINT) AS n_noisy
        |FROM n ORDER BY event_type, eps_ln2""".stripMargin
 
+  // ---- DP vocabulary release (stability-based top-k) -----------------------
+  /** Stability-based private VOCABULARY release (the Korolova et al.,
+    * WWW 2009 search-log shape): which tokens may be published from a
+    * private corpus? Each document contributes its first C = 10 distinct
+    * tokens (contribution bounding — per-doc sensitivity C like
+    * [[qDpHistogram]]'s clamp), counts get the same exact-integer
+    * geometric noise as the DP family, and a token is RELEASED only if
+    * its noisy doc-count clears T = 20 — rare tokens (names, ids, the
+    * PII-shaped tail) stay unpublished even before noise, and the
+    * threshold turns the noise into a (ε, δ) set-release guarantee.
+    * Emits released rows only, per ε ∈ {ln2, 2ln2, 3ln2}.
+    *
+    * Scale shape: one token pass → per-(doc, token) first-position
+    * aggregate → per-doc ≤C window (doc-partitioned) → vocabulary-grain
+    * groupBy → the shared noise projection; the released frame is
+    * vocabulary-sized, never corpus-sized.
+    */
+  def qDpTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 10; val T = 20L
+    val byDoc = Window.partitionBy("doc_id").orderBy("fp", "w")
+    val base = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("word_idx", "w")))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(min("word_idx").as("fp"))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= C)
+      .groupBy("w").agg(count(lit(1)).as("n_true"))
+    graft.operators.Privacy.noisyCounts(base, Seq("w"), "n_true", Seq(1, 2, 3),
+        salt = "dpt")
+      .filter(col("n_noisy") >= T)
+      .orderBy("w", "eps_ln2")
+  }
+
+  val qDpTopkSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, wl[g.i] AS w, CAST(min(g.i - 1) AS INT) AS fp
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS wl FROM documents),
+       |       LATERAL unnest(generate_series(1, CAST(len(wl) AS BIGINT))) AS g(i)
+       |  WHERE len(wl[g.i]) > 0
+       |  GROUP BY doc_id, wl[g.i]),
+       |clamped AS (
+       |  SELECT doc_id, w,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY fp, w) AS rn
+       |  FROM fp),
+       |g AS (SELECT w, CAST(count(*) AS BIGINT) AS n_true
+       |      FROM clamped WHERE rn <= 10 GROUP BY 1),
+       |${graft.operators.Privacy.oracleNoiseCtes(Seq("w"), "n_true", Seq(1, 2, 3), "dpt")}
+       |SELECT w, eps_ln2, n_true, CAST(noise AS BIGINT) AS noise,
+       |  CAST(greatest(0, n_true + noise) AS BIGINT) AS n_noisy
+       |FROM n
+       |WHERE greatest(0, n_true + noise) >= 20
+       |ORDER BY w, eps_ln2""".stripMargin
+
   // ---- URL canonicalization dedup -----------------------------------------
   /** Crawl-grain URL dedup: canonicalize messy absolute URLs
     * ([[graft.functions.Urls.canonicalize]] — scheme/host case, `www.`,

@@ -145,4 +145,31 @@ class PrivacySpec extends SparkSpec {
     // and every row's release respects the max(0, n + noise) floor
     got.foreach(r => assert(r.getLong(4) == math.max(0L, r.getLong(2) + r.getLong(3))))
   }
+
+  test("q_dp_topk: threshold release — only cleared tokens ship, clamp bounds contributions") {
+    val rows = graft.queries.LlmQueries.qDpTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, nTrue, noise, nNoisy) =>
+      assert(nNoisy >= 20L, "released rows must clear the threshold")
+      assert(nNoisy == math.max(0L, nTrue + noise))
+    }
+    // contribution bounding: no document can push any token's doc-count
+    // past the corpus doc total, and the per-doc clamp means the sum of
+    // all true counts is at most C × |docs|
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val perEps = rows.groupBy(_._2)
+    perEps.foreach { case (_, rs) =>
+      assert(rs.map(_._3).max <= nDocs)
+      assert(rs.map(_._3).sum <= 10L * nDocs)
+    }
+    // suppression really bites: the full clamped vocabulary is strictly
+    // larger than the released set at every epsilon
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct().count()
+    perEps.foreach { case (eps, rs) =>
+      assert(rs.length < full, s"eps=$eps releases the whole vocabulary — no suppression")
+    }
+  }
 }
