@@ -137,13 +137,16 @@ object LlmQueries {
     val pairs = Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2)
       .select(col("id_a"), col("id_b"),
         least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("decile"))
+    // native memoized md5 (graft_md5_mod ≡ md5_number_lower % m, the
+    // fuzz-pinned Sketch family): zipfian word repeats hit the digest
+    // memo instead of re-deriving the declarative md5/conv/substr chain
     val sig = docs
       .select(col("doc_id").as("id"), TF.wordSet(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("id"), transform(sequence(lit(0), lit(bands * r - 1)), i =>
         array_min(transform(col("ws"), w =>
-          pmod(Sampling.md5Lower(concat(lit("mh"), i.cast("string"), lit(":"), w)),
-            lit(2147483648L))))).as("sig"))
+          graft.plans.NativeHash.md5Mod(
+            concat(lit("mh"), i.cast("string"), lit(":"), w), 2147483648L)))).as("sig"))
     val bucketed = sig
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
       .select(col("id"), col("b"),
