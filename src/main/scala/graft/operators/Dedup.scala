@@ -453,41 +453,41 @@ object Dedup {
     * (r11 advice: qSplitLeakage had inlined a copy that could drift).
     *
     *  - `keyed`    (id, set_key)              — one row per DOCUMENT
-    *  - `repPairs` (id_a, id_b)               — verified jaccard ≥ t edges
+    *  - `repPairs` (id_a, id_b, jaccard)      — verified jaccard ≥ t edges
     *                                            between DISTINCT word sets
-    *                                            (set_key grain, complete by
+    *                                            (set grain, complete by
     *                                            the prefix-filter theorem)
     *  - `setLbl`   (set_key, cluster_id, n)   — one row per DISTINCT set:
     *                                            component label (global min
     *                                            doc id) + member count
+    *
+    * Since r12 the opaque set identity `set_key` IS the group-min doc id
+    * (a long on the standard corpus), not the md5 content hash — every
+    * pairwise/join stage is narrower and no consumer relabels (guide §2.3).
     */
   final case class ClusterSubstrate(keyed: DataFrame, repPairs: DataFrame, setLbl: DataFrame)
 
   def clusterSubstrate(docs: DataFrame, idCol: String, textCol: String,
                        tNum: Int, tDen: Int, shingleN: Int = 1): ClusterSubstrate = {
-    val (keyed, repPairs0) = prefixRepPairs(docs, idCol, textCol, tNum, tDen, shingleN)
-    val repPairs = repPairs0.persist() // read by the edge relabel AND consumers
+    // r12: prefixSub already emits rep pairs AT the group-min LONG grain,
+    // so the two edge-relabel joins this function used to pay are gone —
+    // the rep-pair frame IS the CC edge frame (set_key ≡ g throughout the
+    // substrate: an opaque set identity to every consumer, and the long
+    // relabel the downstream family did per-query now happens nowhere)
+    val sub = prefixSub(docs, idCol, textCol, tNum, tDen, shingleN)
+    val repPairs = sub.repPairs.persist() // read by CC (both directions) AND consumers
     Caches.register(repPairs)
-    val gm = keyed.groupBy("set_key")
-      .agg(min(col("id")).as("g"), count(lit(1)).as("n"))
-      .persist() // read by the edge relabel joins AND the label attach
-    Caches.register(gm)
-    val e0 = repPairs
-      .join(gm.select(col("set_key").as("id_a"), col("g").as("ga")), "id_a")
-      .join(gm.select(col("set_key").as("id_b"), col("g").as("gb")), "id_b")
-      .select("ga", "gb")
-      .persist() // CC reads the edge frame twice (both union directions)
-    Caches.register(e0)
+    val e0 = repPairs.select(col("id_a").as("ga"), col("id_b").as("gb"))
     // (node, comp) for TOUCHED rep nodes; an edge-less set is its own
     // cluster via the coalesce — comp over group-min ids IS the global
-    // min doc id of the component, since every gmin is its group's min
+    // min doc id of the component, since every g is its group's min
     val labels = Graph.connectedComponents(e0, "ga", "gb")
-    val setLbl = gm
+    val setLbl = sub.skel
       .join(labels.withColumnRenamed("node", "g"), Seq("g"), "left")
-      .select(col("set_key"), coalesce(col("comp"), col("g")).as("cluster_id"), col("n"))
+      .select(col("g").as("set_key"), coalesce(col("comp"), col("g")).as("cluster_id"), col("n"))
       .persist() // read by the size agg AND the per-doc attach
     Caches.register(setLbl)
-    ClusterSubstrate(keyed, repPairs, setLbl)
+    ClusterSubstrate(sub.keyed.select(col("id"), col("g").as("set_key")), repPairs, setLbl)
   }
 
   /** Per-doc (id, cluster_id, cluster_size) off a substrate — the two slim
@@ -1261,95 +1261,179 @@ object Dedup {
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame = {
-    val (keyed, repPairs) = prefixRepPairs(docs, idCol, textCol, tNum, tDen, shingleN)
+    val sub = prefixSub(docs, idCol, textCol, tNum, tDen, shingleN)
     // expand rep pairs to doc pairs; identical-set pairs are jaccard 1.0
-    val cross = repPairs
-      .join(keyed.select(col("set_key").as("id_a"), col("id").as("ia")), "id_a")
-      .join(keyed.select(col("set_key").as("id_b"), col("id").as("ib")), "id_b")
+    val cross = sub.repPairs
+      .join(sub.keyed.select(col("g").as("id_a"), col("id").as("ia")), "id_a")
+      .join(sub.keyed.select(col("g").as("id_b"), col("id").as("ib")), "id_b")
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
-    val intra = keyed.as("a")
-      .join(keyed.as("b"), col("a.set_key") === col("b.set_key") && col("a.id") < col("b.id"))
+    val intra = sub.keyed.as("a")
+      .join(sub.keyed.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
     cross.unionByName(intra)
   }
 
-  /** The prefix-filter join's SET-GRAIN substrate: (keyed, repPairs) where
-    * keyed = slim (id, set_key) and repPairs = exact verified
-    * (id_a, id_b, jaccard) over DISTINCT-set keys — for consumers that
-    * work at the canonical grain (keep-count sweeps, cluster reports)
-    * and must not pay the doc-pair expansion.
+  /** The prefix-filter join's SET-GRAIN substrate at the GROUP-MIN grain:
+    *  - `keyed`    (id, g)               — one row per document; g = the
+    *                                       set's minimum doc id (docs whose
+    *                                       set key is null never pair and
+    *                                       carry no row)
+    *  - `skel`     (g, n)                — one row per distinct word set
+    *  - `repPairs` (id_a, id_b, jaccard) — exact verified pairs of DISTINCT
+    *                                       sets, id_a < id_b, at the g grain
+    *
+    * r12 optimization (guide §2.3 "narrower types"): every pairwise stage —
+    * the prefix-token self-join, the candidate `distinct`, the verify
+    * joins, and everything downstream (CC relabels, doc-pair expansion,
+    * split-vector joins) — used to run on 32-char md5 set keys; measured at
+    * sf0.1/t=0.5 the candidate distinct alone shuffled 31M (md5, md5)
+    * string pairs in 35 s. Group-min ids are typically 8-byte longs, shrink
+    * those shuffles ~4-8×, and are exactly the identity every downstream
+    * consumer relabeled to anyway (the r9 q_keep_sweep lesson, now applied
+    * at the source). The md5 content key still exists — one groupBy derives
+    * g from it — but it never rides a pairwise shuffle again.
     */
-  private[graft] def prefixRepPairs(docs: DataFrame, idCol: String, textCol: String,
-                                    tNum: Int, tDen: Int,
-                                    shingleN: Int = 1): (DataFrame, DataFrame) = {
+  private[graft] final case class PrefixSub(keyed: DataFrame, skel: DataFrame,
+                                            repPairs: DataFrame)
+
+  /** @param bruteThreshold max DISTINCT sets for the broadcast all-pairs
+    *                        verify route; above it the prefix-filter join
+    *                        runs. Both routes are exact — all-pairs is
+    *                        trivially complete, the prefix join complete by
+    *                        theorem — so the result never depends on the
+    *                        route (spec-asserted). Default 4096 is the
+    *                        measured local[32] regime: at 3935 sets the
+    *                        broadcast scan verifies the t=1/2 graph in
+    *                        ~1.5-2 s where the prefix join's 31M-row
+    *                        candidate stream + distinct took ~30 s (the
+    *                        dense 31-token-vocabulary corpus is the prefix
+    *                        filter's worst case: prefixes cover half of
+    *                        every set and candidate volume ≈ Σ df² goes
+    *                        quadratic anyway); the scan's n²/2 size-pruned
+    *                        condition evaluations grow quadratically, so
+    *                        the ×10 corpus (~39k sets) correctly routes to
+    *                        the prefix join. The setGraph/probeSurvivors
+    *                        planner-split precedent, applied to the exact
+    *                        family.
+    */
+  private[graft] def prefixSub(docs: DataFrame, idCol: String, textCol: String,
+                               tNum: Int, tDen: Int,
+                               shingleN: Int = 1,
+                               bruteThreshold: Long = 4096L): PrefixSub = {
     require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen outside (0,1]")
     val threshold = tNum.toDouble / tDen
     val units = setUnits(shingleN)
     // canonicalization — identical word sets collapse before any pairwise
-    // work (same substrate as setGraph: slim keyed frame, rep words derived
-    // from one representative doc so the corpus tokenizes once)
-    val keyed = docs.select(
+    // work; the corpus tokenizes + hashes exactly once, into this slim
+    // persisted frame (read by the skeleton agg AND the id→g attach)
+    val keyedMd5 = docs.select(
       col(idCol).as("id"),
       md5(array_join(sort_array(units(col(textCol))), " ")).as("set_key"))
       .persist()
+    Caches.register(keyedMd5)
+    val skelMd5 = keyedMd5.groupBy("set_key")
+      .agg(min(col("id")).as("g"), count(lit(1)).as("n"))
+      .persist() // read by keyed attach, groups build, and skel consumers
+    Caches.register(skelMd5)
+    val keyed = keyedMd5.join(skelMd5.select("set_key", "g"), "set_key")
+      .select(col("id"), col("g"))
+      .persist()
     Caches.register(keyed)
-    val groups = keyed.groupBy("set_key")
-      .agg(min(col("id")).as("gmin"))
-      .join(docs.select(col(idCol).as("gmin"), col(textCol).as("__text")), "gmin")
-      .select(col("set_key"), sort_array(units(col("__text"))).as("words"))
+    val skel = skelMd5.select("g", "n")
+    // rep words: tokenization re-runs only for the one representative doc
+    // of each distinct set — keyed by the LONG g from here on.
+    // The repartition(g) is load-bearing (guide §2.4 "share one exchange"):
+    // the cached frame's HashPartitioning(g) propagates through the whole
+    // pairwise chain — ordered's collect_list agg, the candidate distinct
+    // (id_a = the streamed side's g, and a hash partitioning on a SUBSET
+    // of the grouping keys satisfies ClusteredDistribution), and the
+    // verify/expansion joins on id_a — so NONE of them re-shuffle. Without
+    // it the join above can broadcast the skeleton side, the cached frame
+    // inherits the docs scan's unknown partitioning, and every downstream
+    // stage pays its own exchange of a multi-million-row pair stream
+    // (measured: the 4/5 warm chain 3.2 s with the partitioning vs 8.7 s
+    // without; one slim rep-words shuffle buys exchange-free descendants).
+    val groups = skelMd5.select(col("g"))
+      .join(docs.select(col(idCol).as("g"), col(textCol).as("__text")), "g")
+      .select(col("g"), sort_array(units(col("__text"))).as("words"))
+      .repartition(col("g"))
       .persist()
     Caches.register(groups)
 
-    // global rarest-first order: df over DISTINCT sets (any global total
-    // order is correct; df-ascending keeps the indexed prefixes cold)
-    val tokDf = groups.select(explode(col("words")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("df"))
-    val ordered = groups.select(col("set_key"), explode(col("words")).as("w"))
-      .join(tokDf, "w")
-      .groupBy("set_key")
-      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ow"))
-      .select(col("set_key"),
-        transform(col("ow"), s => s.getField("w")).as("ow"))
-    // prefix length |x| − ⌈t·|x|⌉ + 1; ⌈n·sz/d⌉ = (n·sz + d − 1) DIV d
-    val pref = ordered
-      .withColumn("sz", size(col("ow")))
-      .withColumn("p",
-        (col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1).cast("int"))
-      .select(col("set_key"), col("sz"),
-        posexplode(slice(col("ow"), lit(1), col("p")))
-          .as(Seq("pos", "w")))
-    // inverted-index equi-join on the prefix token; two exact-integer
-    // prunes ride the join condition: the size-ratio (min ≥ t·max ⇔
-    // d·min ≥ n·max) and PPJoin's POSITIONAL filter — a jaccard-≥t pair
-    // needs overlap α = ⌈n(sa+sb)/(n+d)⌉, and for the FIRST common token
-    // (0-based positions pa, pb) the overlap is ≤ 1 + min(sa−1−pa,
-    // sb−1−pb); every true pair's first-common-token row passes (earlier
-    // common tokens would contradict "first"), so completeness holds
-    // while same-token collisions deep in dissimilar prefixes drop before
-    // the distinct (measured 14.8M → much smaller raw stream on the
-    // 31-word dense corpus)
-    val alphaDen = (tNum + tDen).toLong
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.w") === col("b.w") &&
-        col("a.set_key") < col("b.set_key") &&
-        lit(tDen.toLong) * least(col("a.sz"), col("b.sz")) >=
-          lit(tNum.toLong) * greatest(col("a.sz"), col("b.sz")) &&
-        (lit(1L) + least(col("a.sz") - 1 - col("a.pos"), col("b.sz") - 1 - col("b.pos"))) *
-          lit(alphaDen) >= lit(tNum.toLong) * (col("a.sz") + col("b.sz")))
-      .select(col("a.set_key").as("id_a"), col("b.set_key").as("id_b"))
-      .distinct()
-    // exact verify — identical single-scan merge contract as the minhash
-    // route (bail at −1 below threshold, else the exact |A∩B|)
-    val repPairs = cand
-      .join(groups.select(col("set_key").as("id_a"), col("words").as("words_a")), "id_a")
-      .join(groups.select(col("set_key").as("id_b"), col("words").as("words_b")), "id_b")
-      .withColumn("__i", NativeHash.sortedIntersectGe(col("words_a"), col("words_b"), threshold))
-      .filter(col("__i") >= 0)
-      .withColumn("jaccard",
-        col("__i").cast("double") /
-          (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
-      .select("id_a", "id_b", "jaccard")
-    (keyed, repPairs)
+    // route choice on the distinct-set count (one control-plane scalar;
+    // also materializes the persisted skeleton) — see bruteThreshold above
+    val nSets = skelMd5.count()
+    val repPairs = if (nSets <= bruteThreshold) {
+      // broadcast all-pairs verify: trivially complete, n²/2 size-pruned
+      // condition evaluations; the probe side repartitions so the scan
+      // parallelizes off the few-partition cached frame
+      val a = groups.select(col("g").as("ga"), col("words").as("wa"),
+          size(col("words")).as("sa"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      val b = groups.select(col("g").as("gb"), col("words").as("wb"),
+        size(col("words")).as("sb"))
+      a.join(broadcast(b),
+          col("ga") < col("gb") &&
+            lit(tDen.toLong) * least(col("sa"), col("sb")) >=
+              lit(tNum.toLong) * greatest(col("sa"), col("sb")))
+        .withColumn("__i", NativeHash.sortedIntersectGe(col("wa"), col("wb"), threshold))
+        .filter(col("__i") >= 0)
+        .withColumn("jaccard",
+          col("__i").cast("double") /
+            (col("sa") + col("sb") - col("__i")).cast("double"))
+        .select(col("ga").as("id_a"), col("gb").as("id_b"), col("jaccard"))
+    } else {
+      // global rarest-first order: df over DISTINCT sets (any global total
+      // order is correct; df-ascending keeps the indexed prefixes cold)
+      val tokDf = groups.select(explode(col("words")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val ordered = groups.select(col("g"), explode(col("words")).as("w"))
+        .join(tokDf, "w")
+        .groupBy("g")
+        .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ow"))
+        .select(col("g"),
+          transform(col("ow"), s => s.getField("w")).as("ow"))
+      // prefix length |x| − ⌈t·|x|⌉ + 1; ⌈n·sz/d⌉ = (n·sz + d − 1) DIV d
+      val pref = ordered
+        .withColumn("sz", size(col("ow")))
+        .withColumn("p",
+          (col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1).cast("int"))
+        .select(col("g"), col("sz"),
+          posexplode(slice(col("ow"), lit(1), col("p")))
+            .as(Seq("pos", "w")))
+      // inverted-index equi-join on the prefix token; two exact-integer
+      // prunes ride the join condition: the size-ratio (min ≥ t·max ⇔
+      // d·min ≥ n·max) and PPJoin's POSITIONAL filter — a jaccard-≥t pair
+      // needs overlap α = ⌈n(sa+sb)/(n+d)⌉, and for the FIRST common token
+      // (0-based positions pa, pb) the overlap is ≤ 1 + min(sa−1−pa,
+      // sb−1−pb); every true pair's first-common-token row passes (earlier
+      // common tokens would contradict "first"), so completeness holds
+      // while same-token collisions deep in dissimilar prefixes drop before
+      // the distinct (measured 14.8M → much smaller raw stream on the
+      // 31-word dense corpus)
+      val alphaDen = (tNum + tDen).toLong
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.w") === col("b.w") &&
+          col("a.g") < col("b.g") &&
+          lit(tDen.toLong) * least(col("a.sz"), col("b.sz")) >=
+            lit(tNum.toLong) * greatest(col("a.sz"), col("b.sz")) &&
+          (lit(1L) + least(col("a.sz") - 1 - col("a.pos"), col("b.sz") - 1 - col("b.pos"))) *
+            lit(alphaDen) >= lit(tNum.toLong) * (col("a.sz") + col("b.sz")))
+        .select(col("a.g").as("id_a"), col("b.g").as("id_b"))
+        .distinct()
+      // exact verify — identical single-scan merge contract as the minhash
+      // route (bail at −1 below threshold, else the exact |A∩B|)
+      cand
+        .join(groups.select(col("g").as("id_a"), col("words").as("words_a")), "id_a")
+        .join(groups.select(col("g").as("id_b"), col("words").as("words_b")), "id_b")
+        .withColumn("__i", NativeHash.sortedIntersectGe(col("words_a"), col("words_b"), threshold))
+        .filter(col("__i") >= 0)
+        .withColumn("jaccard",
+          col("__i").cast("double") /
+            (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
+        .select("id_a", "id_b", "jaccard")
+    }
+    PrefixSub(keyed, skel, repPairs)
   }
 }

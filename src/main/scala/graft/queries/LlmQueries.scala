@@ -131,39 +131,58 @@ object LlmQueries {
     * ≤5-row final groupBy.
     */
   def qLshTuning(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Sampling
     val bands = 12; val r = 2
     val docs = table(s, dir, "documents")
-    val pairs = Dedup.prefixFilterPairs(docs, "doc_id", "text", 1, 2)
-      .select(col("id_a"), col("id_b"),
-        least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("decile"))
+    // r12 optimization (guide §8 "decide with small rows, count with
+    // arithmetic"): both the exact-pair deciles and the empirical candidate
+    // rate are pure functions of the WORD SET, so everything runs at the
+    // distinct-set grain and doc-pair counts come from group-size products
+    // — the 8.9M-row doc-pair expansion and the 10⁷-row bucket self-join +
+    // distinct of the previous shape never materialize. Per verified rep
+    // pair (complete by the prefix-filter theorem): weight n_a·n_b; per
+    // n≥2 set: C(n,2) jaccard-1.0 pairs in decile 9. Candidate status =
+    // "∃ band whose two minhash rows agree", evaluated as a literal-indexed
+    // 12-term codegen'd OR on the two 24-long signatures (identical to the
+    // bucket-join predicate: a bucket collision IS v₀∧v₁ agreement; docs
+    // with identical sets have identical signatures, so an intra-set pair
+    // is a candidate iff the set carries a signature at all).
+    val sub = Dedup.prefixSub(docs, "doc_id", "text", 1, 2)
     // native memoized md5 (graft_md5_mod ≡ md5_number_lower % m, the
     // fuzz-pinned Sketch family): zipfian word repeats hit the digest
-    // memo instead of re-deriving the declarative md5/conv/substr chain
-    val sig = docs
-      .select(col("doc_id").as("id"), TF.wordSet(col("text")).as("ws"))
+    // memo instead of re-deriving the declarative md5/conv/substr chain.
+    // Signatures only for the one representative doc of each distinct set.
+    val sigG = docs
+      .join(sub.skel.select(col("g").as("doc_id")), "doc_id")
+      .select(col("doc_id").as("g"), TF.wordSet(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
-      .select(col("id"), transform(sequence(lit(0), lit(bands * r - 1)), i =>
+      .select(col("g"), transform(sequence(lit(0), lit(bands * r - 1)), i =>
         array_min(transform(col("ws"), w =>
           graft.plans.NativeHash.md5Mod(
             concat(lit("mh"), i.cast("string"), lit(":"), w), 2147483648L)))).as("sig"))
-    val bucketed = sig
-      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sig"))
-      .select(col("id"), col("b"),
-        element_at(col("sig"), col("b") * 2 + 1).as("v0"),
-        element_at(col("sig"), col("b") * 2 + 2).as("v1"))
-    val cand = bucketed.as("x").join(bucketed.as("y"),
-        col("x.b") === col("y.b") && col("x.v0") === col("y.v0") &&
-          col("x.v1") === col("y.v1") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val bandHit = (0 until bands).map { b =>
+      element_at(col("sig_a"), b * 2 + 1) === element_at(col("sig_b"), b * 2 + 1) &&
+        element_at(col("sig_a"), b * 2 + 2) === element_at(col("sig_b"), b * 2 + 2)
+    }.reduce(_ || _)
+    val cross = sub.repPairs
+      .select(col("id_a"), col("id_b"),
+        least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("decile"))
+      .join(sub.skel.select(col("g").as("id_a"), col("n").as("na")), "id_a")
+      .join(sub.skel.select(col("g").as("id_b"), col("n").as("nb")), "id_b")
+      .join(sigG.select(col("g").as("id_a"), col("sig").as("sig_a")), Seq("id_a"), "left")
+      .join(sigG.select(col("g").as("id_b"), col("sig").as("sig_b")), Seq("id_b"), "left")
+      .select(col("decile"), (col("na") * col("nb")).as("w"),
+        (col("sig_a").isNotNull && col("sig_b").isNotNull && bandHit).as("hit"))
+    val intra = sub.skel.filter(col("n") >= 2)
+      .join(sigG.select(col("g"), lit(true).as("p")), Seq("g"), "left")
+      .select(lit(9).cast("int").as("decile"), expr("(n * (n - 1)) DIV 2").as("w"),
+        coalesce(col("p"), lit(false)).as("hit"))
     val theory = lshTheoryPpm(bands).foldLeft(lit(null).cast("long")) {
       case (el, (d, ppm)) => when(col("decile") === d, lit(ppm)).otherwise(el)
     }
-    pairs
-      .join(cand.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+    cross.unionByName(intra)
       .groupBy("decile")
-      .agg(count(lit(1)).as("n_pairs"), coalesce(sum("hit"), lit(0L)).as("n_cand"))
+      .agg(sum("w").as("n_pairs"),
+        coalesce(sum(when(col("hit"), col("w"))), lit(0L)).as("n_cand"))
       .withColumn("emp_ppm", expr("n_cand * 1000000 div n_pairs"))
       .withColumn("theory_ppm", theory)
       .orderBy("decile")
@@ -216,12 +235,23 @@ object LlmQueries {
     * at 0.7 (recall 1−(1−0.49)²⁰ leaves measurable false-negative mass).
     */
   def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.prefixFilterPairs(table(s, dir, "documents"), "doc_id", "text", 7, 10)
+    // r12 optimization (guide §8): pair COUNTS are group-size arithmetic
+    // over the set-grain rep pairs — n_pairs(t) = Σ_{rep pairs, j≥t}
+    // n_a·n_b + Σ_{sets} C(n,2) (identical-set pairs are jaccard 1.0 ≥
+    // every t) — so the doc-pair expansion never materializes. Values are
+    // unchanged; the oracle still replays the doc-grain all-pairs scan.
+    val sub = Dedup.prefixSub(table(s, dir, "documents"), "doc_id", "text", 7, 10)
+    val wPairs = sub.repPairs
+      .join(sub.skel.select(col("g").as("id_a"), col("n").as("na")), "id_a")
+      .join(sub.skel.select(col("g").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("jaccard"), (col("na") * col("nb")).as("w"))
+      .unionByName(sub.skel.filter(col("n") >= 2)
+        .select(lit(1.0).as("jaccard"), expr("(n * (n - 1)) DIV 2").as("w")))
       .persist()
-    graft.operators.Caches.register(pairs)
+    graft.operators.Caches.register(wPairs)
     Seq(0.7, 0.8, 0.9).map { t =>
-      pairs.agg(lit(t).as("threshold"),
-        coalesce(sum(when(col("jaccard") >= t, 1L)), lit(0L)).as("n_pairs"))
+      wPairs.agg(lit(t).as("threshold"),
+        coalesce(sum(when(col("jaccard") >= t, col("w"))), lit(0L)).as("n_pairs"))
     }.reduce(_.unionByName(_)).orderBy("threshold")
   }
 
@@ -258,18 +288,14 @@ object LlmQueries {
     */
   def qKeepSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val (keyed, repPairs) = Dedup.prefixRepPairs(docs, "doc_id", "text", 7, 10)
-    // relabel set keys to their group-min LONG doc id before any CC work:
-    // the edge frames collect into the driver union-find below the edge
-    // budget, and 8-byte longs collect ~6× cheaper than 32-char md5
-    // strings (measured 18.6 → ~4 s at sf0.1 across the three thresholds)
-    val gm = keyed.groupBy("set_key").agg(min(col("id")).as("g"))
-    val rp = repPairs
-      .join(gm.select(col("set_key").as("id_a"), col("g").as("ga")), "id_a")
-      .join(gm.select(col("set_key").as("id_b"), col("g").as("gb")), "id_b")
-      .select("ga", "gb", "jaccard").persist()
+    // r12: prefixSub's rep pairs arrive AT the group-min LONG grain — the
+    // per-query relabel joins this query used to pay (the r9 "longs collect
+    // ~6× cheaper than md5 strings" fix) now live at the substrate source
+    val sub = Dedup.prefixSub(docs, "doc_id", "text", 7, 10)
+    val rp = sub.repPairs
+      .select(col("id_a").as("ga"), col("id_b").as("gb"), col("jaccard")).persist()
     graft.operators.Caches.register(rp)
-    val nSets = gm.agg(count(lit(1)).as("n_sets"))
+    val nSets = sub.skel.agg(count(lit(1)).as("n_sets"))
     Seq(0.7, 0.8, 0.9).map { t =>
       val e0 = rp.filter(col("jaccard") >= t).select("ga", "gb").persist()
       graft.operators.Caches.register(e0)

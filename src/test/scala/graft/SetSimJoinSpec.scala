@@ -57,6 +57,36 @@ class SetSimJoinSpec extends SparkSpec {
     assert(viaPrefix == exact)
   }
 
+  test("brute and prefix candidate routes produce identical rep pairs (r12 planner split)") {
+    // default bruteThreshold routes these small corpora down the broadcast
+    // all-pairs scan; bruteThreshold = 0 forces the prefix-filter join —
+    // both are exact, so the substrate must be bit-identical either way
+    // (the setGraph route-equality contract, extended to the exact family)
+    for ((docs, tag) <- Seq((corpus(500), "stopword-skew"),
+                            (corpus(300).filter(col("id") % 5 =!= 1), "gapped"))) {
+      val brute = Dedup.prefixSub(docs, "id", "text", 4, 5)
+        .repPairs.orderBy("id_a", "id_b").collect().toSeq
+      Caches.release()
+      val prefix = Dedup.prefixSub(docs, "id", "text", 4, 5, bruteThreshold = 0L)
+        .repPairs.orderBy("id_a", "id_b").collect().toSeq
+      Caches.release()
+      assert(brute.nonEmpty, tag)
+      assert(brute == prefix, tag)
+    }
+  }
+
+  test("prefix route (forced) still finds exactly the constructed pairs") {
+    val sub = Dedup.prefixSub(corpus(700), "id", "text", 4, 5, bruteThreshold = 0L)
+    val cross = sub.repPairs
+      .join(sub.keyed.select(col("g").as("id_a"), col("id").as("ia")), "id_a")
+      .join(sub.keyed.select(col("g").as("id_b"), col("id").as("ib")), "id_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .collect()
+    Caches.release()
+    assert(cross.length == 700, s"expected 700 pairs, got ${cross.length}")
+  }
+
   test("agrees with the minhash route pair-for-pair on a mixed corpus") {
     val docs = corpus(400).filter(col("id") % 7 =!= 3)
     val viaMinhash = Dedup.nearDupPairs(docs, "id", "text", 0.8)
