@@ -121,19 +121,25 @@ object Dedup {
 
   /** Canonicalized distinct-word-set view of a corpus plus its verified
     * near-dup rep-pair graph — the shared substrate of [[nearDupPairs]] and
-    * [[dropDuplicatesNear]].
+    * [[dropDuplicatesNear]]. Since r12 the set identity is the GROUP-MIN
+    * doc id `g` (a long on the standard corpus), mirroring [[PrefixSub]]:
+    * every pairwise stage and every consumer relabel runs on narrow keys
+    * (guide §2.3), and `groups` is hash-partitioned by `g` so downstream
+    * aggregates/joins inherit the partitioning (guide §2.4).
     *
-    * @param keyed    (id, set_key) per document — slim, persisted; NO word
+    * @param keyed    (id, g) per document — slim, persisted; NO word
     *                 arrays and no per-group id arrays ever materialize in a
     *                 row (a 10⁸-copy boilerplate group must never become one
     *                 10⁸-element executor row)
-    * @param groups   (set_key, gmin, n, words) per DISTINCT word set; words
-    *                 are re-derived from the one representative doc, so the
-    *                 full-corpus tokenization pass runs exactly once
-    * @param repPairs (id_a, id_b, jaccard) over set_keys — exact-jaccard
+    * @param skel     (g, n) per DISTINCT word set — member counts
+    * @param groups   (g, words) per DISTINCT word set; words are re-derived
+    *                 from the one representative doc, so the full-corpus
+    *                 tokenization pass runs exactly once
+    * @param repPairs (id_a, id_b, jaccard) over g — exact-jaccard
     *                 verified LSH candidates between distinct sets
     */
-  private[graft] final case class SetGraph(keyed: DataFrame, groups: DataFrame, repPairs: DataFrame)
+  private[graft] final case class SetGraph(keyed: DataFrame, skel: DataFrame,
+                                           groups: DataFrame, repPairs: DataFrame)
 
   private def setUnits(shingleN: Int): Column => Column =
     if (shingleN <= 1) TextFunctions.wordSet
@@ -152,22 +158,35 @@ object Dedup {
                               broadcastThreshold: Long): SetGraph = {
     val units = setUnits(shingleN)
     // pass 1 — the only full-corpus tokenization: every doc collapses to its
-    // set identity. Only the slim (id, set_key) projection persists.
-    val keyed = docs.select(
+    // set identity. Only the slim (id, set_key) projection persists; the
+    // md5 content key never rides a pairwise shuffle (r12 — the PrefixSub
+    // long-grain contract).
+    val keyedMd5 = docs.select(
       col(idCol).as("id"),
       md5(array_join(sort_array(units(col(textCol))), " ")).as("set_key"))
       .persist()
-    Caches.register(keyed)
+    Caches.register(keyedMd5)
     // group skeleton: min id + size per distinct set — pure min/count agg,
     // bounded state under ANY duplication factor (no collect_list)
-    val skeleton = keyed.groupBy("set_key")
-      .agg(min(col("id")).as("gmin"), count(lit(1)).as("n"))
+    val skelMd5 = keyedMd5.groupBy("set_key")
+      .agg(min(col("id")).as("g"), count(lit(1)).as("n"))
+      .persist()
+    Caches.register(skelMd5)
+    val keyed = keyedMd5.join(skelMd5.select("set_key", "g"), "set_key")
+      .select(col("id"), col("g"))
+      .persist()
+    Caches.register(keyed)
+    val skel = skelMd5.select("g", "n")
     // rep words: tokenization re-runs only for the one representative doc of
-    // each distinct set; representative bodies move once through this join
-    val groups = skeleton
-      .join(docs.select(col(idCol).as("gmin"), col(textCol).as("__text")), "gmin")
-      .select(col("set_key"), col("gmin"), col("n"),
-        sort_array(units(col("__text"))).as("words"))
+    // each distinct set; representative bodies move once through this join.
+    // repartition(g) is load-bearing: the cached HashPartitioning(g)
+    // propagates through the banded-route signature explode, the candidate
+    // distinct and the verify joins (guide §2.4; measured on the PrefixSub
+    // sibling: 8.7 s → 2.5 s warm chain without/with the partitioning).
+    val groups = skelMd5.select(col("g"))
+      .join(docs.select(col(idCol).as("g"), col(textCol).as("__text")), "g")
+      .select(col("g"), sort_array(units(col("__text"))).as("words"))
+      .repartition(col("g"))
       .persist()
     Caches.register(groups)
 
@@ -183,14 +202,14 @@ object Dedup {
     val broadcastable = nReps <= broadcastThreshold
     val candidates: DataFrame =
       if (broadcastable) {
-        val sets = groups.select(col("set_key"), size(col("words")).as("sz"),
+        val sets = groups.select(col("g"), size(col("words")).as("sz"),
           bandKeys(NativeHash.minhashSignature(array_join(col("words"), " "), bands * r),
             bands, r).as("sig"))
         // probe side repartitioned so the O(nReps²) pair scan parallelizes
         // across all cores (the persisted groups frame is few-partition)
-        val a = sets.select(col("set_key").as("id_a"), col("sz").as("sz_a"), col("sig").as("sig_a"))
+        val a = sets.select(col("g").as("id_a"), col("sz").as("sz_a"), col("sig").as("sig_a"))
           .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        val b = sets.select(col("set_key").as("id_b"), col("sz").as("sz_b"), col("sig").as("sig_b"))
+        val b = sets.select(col("g").as("id_b"), col("sz").as("sz_b"), col("sig").as("sig_b"))
         a.join(broadcast(b),
             col("id_a") < col("id_b") &&
             // size-ratio prune (j ≥ t ⇒ min|set| ≥ t·max|set|): cheap int
@@ -200,13 +219,13 @@ object Dedup {
             arrays_overlap(col("sig_a"), col("sig_b")))
           .select("id_a", "id_b")
       } else {
-        val reps = groups.select(col("set_key").as("id"), array_join(col("words"), " ").as("text"))
+        val reps = groups.select(col("g").as("id"), array_join(col("words"), " ").as("text"))
         minhashCandidates(reps, "id", "text", bands, r)
       }
     val maybeBroadcast: DataFrame => DataFrame = if (broadcastable) broadcast else identity
     val repPairs = candidates
-      .join(maybeBroadcast(groups.select(col("set_key").as("id_a"), col("words").as("words_a"))), "id_a")
-      .join(maybeBroadcast(groups.select(col("set_key").as("id_b"), col("words").as("words_b"))), "id_b")
+      .join(maybeBroadcast(groups.select(col("g").as("id_a"), col("words").as("words_a"))), "id_a")
+      .join(maybeBroadcast(groups.select(col("g").as("id_b"), col("words").as("words_b"))), "id_b")
       .filter(least(size(col("words_a")), size(col("words_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("words_a")), size(col("words_b"))).cast("double"))
       // single-scan threshold + count: −1 (failing pairs bail mid-merge —
@@ -220,7 +239,7 @@ object Dedup {
         col("__i").cast("double") /
           (size(col("words_a")) + size(col("words_b")) - col("__i")).cast("double"))
       .select("id_a", "id_b", "jaccard")
-    SetGraph(keyed, groups, repPairs)
+    SetGraph(keyed, skel, groups, repPairs)
   }
 
   /** Near-duplicate pairs: LSH candidates filtered by exact word-set jaccard
@@ -264,17 +283,17 @@ object Dedup {
     val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
 
     // cross-group pairs: rep pairs × member ids via two equi-joins on the
-    // slim (id, set_key) frame
+    // slim (id, g) frame
     val cross = g.repPairs
-      .join(g.keyed.select(col("set_key").as("id_a"), col("id").as("ia")), "id_a")
-      .join(g.keyed.select(col("set_key").as("id_b"), col("id").as("ib")), "id_b")
+      .join(g.keyed.select(col("g").as("id_a"), col("id").as("ia")), "id_a")
+      .join(g.keyed.select(col("g").as("id_b"), col("id").as("ib")), "id_b")
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
 
     // identical-set doc pairs: jaccard exactly 1.0 (self equi-join on the
-    // set key — singleton groups drop out naturally)
+    // set identity — singleton groups drop out naturally)
     val intra = g.keyed.as("a")
-      .join(g.keyed.as("b"), col("a.set_key") === col("b.set_key") && col("a.id") < col("b.id"))
+      .join(g.keyed.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
 
     if (threshold <= 1.0) cross.unionByName(intra) else cross
@@ -302,10 +321,11 @@ object Dedup {
                     srcCol: String, threshold: Double): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands = 20, r = 2,
       shingleN = 1, broadcastThreshold = 256L)
-    // per-group per-source member counts — slim (set_key, src, cnt)
+    // per-group per-source member counts — slim (g, src, cnt)
     val gsrc = g.keyed
       .join(docs.select(col(idCol).as("id"), col(srcCol).as("src")), "id")
-      .groupBy("set_key", "src").agg(count(lit(1)).as("cnt"))
+      .groupBy("g", "src").agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("g", "set_key")
       .persist()
     Caches.register(gsrc)
     // the verified rep-pair stream is read three times (cross products +
@@ -385,38 +405,36 @@ object Dedup {
                         threshold: Double): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands = 20, r = 2,
       shingleN = 1, broadcastThreshold = 256L)
-    val paired = g.repPairs.select(col("id_a").as("set_key"))
-      .union(g.repPairs.select(col("id_b").as("set_key")))
+    val paired = g.repPairs.select(col("id_a").as("g"))
+      .union(g.repPairs.select(col("id_b").as("g")))
       .distinct()
       .withColumn("p", lit(true))
-    val setFlag = g.groups.select("set_key", "n")
-      .join(paired, Seq("set_key"), "left")
-      .select(col("set_key"),
+    val setFlag = g.skel
+      .join(paired, Seq("g"), "left")
+      .select(col("g"),
         (col("n") > 1 || coalesce(col("p"), lit(false))).as("is_dup"))
-    g.keyed.join(setFlag, "set_key").select(col("id"), col("is_dup"))
+    g.keyed.join(setFlag, "g").select(col("id"), col("is_dup"))
   }
 
   def clusterSizeHistogram(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands = 20, r = 2,
       shingleN = 1, broadcastThreshold = 256L)
-    val gm = g.groups.select(col("set_key"), col("gmin"), col("n"))
-    // rep edges over group-min node ids — the dropDuplicatesNear e0 shape:
-    // a boilerplate group with 10⁸ identical copies is ONE node here, so
-    // the component pass never sees the |group|² doc pairs
+    // rep edges are ALREADY at the group-min long grain (r12) — the
+    // dropDuplicatesNear e0 shape with no relabel joins: a boilerplate
+    // group with 10⁸ identical copies is ONE node here, so the component
+    // pass never sees the |group|² doc pairs
     val e0 = g.repPairs
-      .join(gm.select(col("set_key").as("id_a"), col("gmin").as("ga")), "id_a")
-      .join(gm.select(col("set_key").as("id_b"), col("gmin").as("gb")), "id_b")
-      .select("ga", "gb")
+      .select(col("id_a").as("ga"), col("id_b").as("gb"))
       .persist() // CC reads the edge frame twice (both union directions)
     Caches.register(e0)
     val labels = Graph.connectedComponents(e0, "ga", "gb")
     // every distinct set deposits its member count into its component;
     // groups without a near-dup edge are their own component, which makes
     // an n=1 untouched group exactly the singleton bucket
-    val hist = gm
-      .join(labels.withColumnRenamed("node", "gmin"), Seq("gmin"), "left")
-      .select(coalesce(col("comp"), col("gmin")).as("comp"), col("n"))
+    val hist = g.skel
+      .join(labels.withColumnRenamed("node", "g"), Seq("g"), "left")
+      .select(coalesce(col("comp"), col("g")).as("comp"), col("n"))
       .groupBy("comp").agg(sum("n").as("sz"))
       .groupBy(length(bin(col("sz"))).as("bucket"))
       .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
@@ -583,12 +601,9 @@ object Dedup {
                          broadcastThreshold: Long = 256L, maxRounds: Int = 50,
                          collectEdgeThreshold: Long = 1L << 22): DataFrame = {
     val g = setGraph(docs, idCol, textCol, threshold, bands, r, shingleN, broadcastThreshold)
-    val gm = g.groups.select(col("set_key"), col("gmin"))
-    // rep pairs → undirected edges over group-min node ids
+    // rep pairs → undirected edges: already group-min node ids (r12)
     val e0 = g.repPairs
-      .join(gm.select(col("set_key").as("id_a"), col("gmin").as("ga")), "id_a")
-      .join(gm.select(col("set_key").as("id_b"), col("gmin").as("gb")), "id_b")
-      .select("ga", "gb")
+      .select(col("id_a").as("ga"), col("id_b").as("gb"))
       .persist() // consumed by count + (collect | both union directions)
     Caches.register(e0)
     val winnersTouched = ccMinWinners(e0, idCol, maxRounds, collectEdgeThreshold)
@@ -599,7 +614,7 @@ object Dedup {
     val touchedNodes = e0.select(col("ga").as(idCol))
       .unionByName(e0.select(col("gb").as(idCol))).distinct()
     val winners = winnersTouched
-      .unionByName(g.groups.select(col("gmin").as(idCol))
+      .unionByName(g.skel.select(col("g").as(idCol))
         .join(touchedNodes, Seq(idCol), "left_anti"))
     docs.join(winners, idCol)
   }
