@@ -161,6 +161,43 @@ object OptProbe {
             .filter(col("__i") >= 0)
           t(s"brute verify $tN/$tD #$rep") { brute.count() }
         }
+      case "graph" =>
+        val edges = spark.read.parquet(s"$dir/orders.parquet")
+          .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("ss"))
+          .distinct().persist()
+        t("edges") { edges.count() }
+        val sym = edges.select(col("c").as("src"), col("ss").as("dst"))
+          .union(edges.select(col("ss").as("src"), col("c").as("dst")))
+        t("pageRank 3") { graft.operators.Graph.pageRank(sym, "src", "dst", 3).count() }
+        graft.operators.Caches.release()
+        t("ppr 3") { graft.operators.Graph.personalizedPageRank(sym, "src", "dst",
+          Seq("c1", "c2", "c3", "c4", "c5"), 3).count() }
+        graft.operators.Caches.release()
+        t("ppr 3 filter>0") { graft.operators.Graph.personalizedPageRank(sym, "src", "dst",
+          Seq("c1", "c2", "c3", "c4", "c5"), 3).filter(col("rank") > 0).count() }
+        graft.operators.Caches.release()
+        t("qPpr full (edges cached)") {
+          graft.queries.AnalyticsQueries.qPersonalizedPagerank(spark, dir).count() }
+        graft.operators.Caches.release()
+        edges.unpersist(true)
+        t("qPpr full cold") {
+          graft.queries.AnalyticsQueries.qPersonalizedPagerank(spark, dir).count() }
+        graft.operators.Caches.release()
+        t("qPageRank full cold") {
+          graft.queries.AnalyticsQueries.qPageRank(spark, dir).count() }
+      case "simhash" =>
+        val cand = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        t("simhashPairs") { cand.count() }
+        graft.operators.Caches.release()
+        val truth = graft.operators.Dedup.prefixFilterPairs(docs, "doc_id", "text", 4, 5)
+        t("truth pairs") { truth.count() }
+        graft.operators.Caches.release()
+        t("full q_simhash_eval") {
+          graft.queries.LlmQueries.qSimhashEval(spark, dir).count()
+        }
       case "ssjstages" =>
         // warm per-stage timing of the NEW prefixSub chain at 4/5
         val (tN, tD) = (4, 5)

@@ -26,9 +26,14 @@ object Sampling {
     conv(hexLe, 16, 10).cast("decimal(20,0)")
   }
 
-  /** Uniform bucket in [0, buckets) from the md5 of the key. */
+  /** Uniform bucket in [0, buckets) from the md5 of the key. Routed through
+    * the native `graft_md5_mod` (r12) — value-identical to
+    * `pmod(md5Lower(key), buckets)` (fuzz-pinned in SketchSpec) without the
+    * per-row hex round-trip + decimal(20,0) arithmetic; repeated keys hit
+    * the digest memo.
+    */
   def md5Bucket(key: Column, buckets: Int): Column =
-    pmod(md5Lower(key), lit(buckets)).cast("int")
+    graft.plans.NativeHash.md5Mod(key.cast("string"), buckets.toLong).cast("int")
 
   /** train/val/test assignment by bucket percentage (e.g. 80/10/10). */
   def split(key: Column, trainPct: Int, valPct: Int): Column = {
@@ -51,7 +56,7 @@ object Sampling {
     * which hash the unsalted key.
     */
   def weightedSampled(key: Column, prob: Column, salt: String = "ws"): Column =
-    pmod(md5Lower(concat(lit(salt + ":"), key.cast("string"))), lit(4294967296L))
+    graft.plans.NativeHash.md5Mod(concat(lit(salt + ":"), key.cast("string")), 4294967296L)
       .cast("double") < prob * lit(4294967296.0)
 
   /** Stratified deterministic sample predicate: per-stratum keep

@@ -134,12 +134,15 @@ object Graph {
       s"dampingMillis must be in [0, 1000], got $dampingMillis")
     require(scale > 0 && scale <= Long.MaxValue / 1000,
       "scale must be positive and leave headroom for the damping multiply")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // e persisted (r12): deg, ew and BOTH legs of the nodes union read it —
+    // unpersisted, the caller's edge derivation (often a join + distinct)
+    // re-executed up to 4x per run
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    Caches.register(e)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew = e.join(deg, "src").persist()
     Caches.register(ew)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct().persist()
     Caches.register(nodes)
     val n = nodes.count() // the one driver scalar (control plane)
     if (n == 0) return nodes.withColumn("rank", lit(0L))
@@ -194,12 +197,15 @@ object Graph {
     require(dampingMillis >= 0 && dampingMillis <= 1000,
       s"dampingMillis must be in [0, 1000], got $dampingMillis")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // e persisted (r12): deg, ew and BOTH legs of the nodes union read it —
+    // unpersisted, the caller's edge derivation (often a join + distinct)
+    // re-executed up to 4x per run
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    Caches.register(e)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew = e.join(deg, "src").persist()
     Caches.register(ew)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct().persist()
     Caches.register(nodes)
     val init = scale / seeds.length
     val isSeed = col("node").isin(seeds: _*)

@@ -40,8 +40,8 @@ object IvfPq {
     quantized
       .select(col("id"), KMeans.bestOf(col("qv"), coarse).getField("cid").as("cid"), col("qv"))
       .select(col("id"), col("cid"),
-        zip_with(col("qv"), element_at(typedLit(coarse.map(_.toSeq).toSeq), col("cid") + 1),
-          (a, b) => a - b).as("rv"))
+        graft.plans.NativeHash.subLL(col("qv"),
+          element_at(typedLit(coarse.map(_.toSeq).toSeq), col("cid") + 1)).as("rv"))
 
   /** Train the coarse quantizer on the corpus, then the m residual
     * codebooks on the coarse residuals (seeds: lowest-id residuals —
@@ -97,15 +97,15 @@ object IvfPq {
       .select(col("query_id"), col("qqv"), probes.as("pr"))
       .select(col("query_id"), col("qqv"), explode(col("pr")).as("p"))
       .select(col("query_id"), col("qqv"), col("p").getField("cid").as("cid"))
-    val d2 = (0 until m).map { s =>
-      // query residual vs THIS cell, minus the candidate's reconstructed
-      // residual — nested zip_with keeps it one codegen'd projection
-      val qres = zip_with(slice(col("qqv"), s * subDim + 1, subDim),
-        element_at(coarseLitSlice(model.coarse, s, subDim), col("cid") + 1), (a, b) => a - b)
-      val rec = element_at(typedLit(model.books(s).map(_.toSeq).toSeq),
-        (element_at(col("codes"), s + 1) + 1).cast("int"))
-      aggregate(zip_with(qres, rec, (d, r) => (d - r) * (d - r)), lit(0L), (acc, x) => acc + x)
-    }.reduce(_ + _)
+    // native ADC over the FULL residual (r12): qres = qqv − coarse[cid]
+    // in one native subtract, then one flattened-codebook loop — before,
+    // each (query, candidate) pair evaluated m nested interpreted
+    // zip_with/aggregate folds. (a − b sliced ≡ slice(a) − slice(b), so
+    // the full-vector subtract is value-identical to the per-subspace one.)
+    val d2 = graft.plans.NativeHash.pqAdc(
+      graft.plans.NativeHash.subLL(col("qqv"),
+        element_at(typedLit(model.coarse.map(_.toSeq).toSeq), col("cid") + 1)),
+      col("codes"), model.books)
     cand.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), d2.as("d2"))

@@ -40,17 +40,27 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  private[operators] def l2sq(qv: Column, cent: Seq[Long]): Column =
+  /** Integer L2² against a literal centroid — the native one-loop form
+    * (r12); [[l2sqDeclarative]] is the retained spec reference.
+    */
+  private[graft] def l2sq(qv: Column, cent: Seq[Long]): Column =
+    graft.plans.NativeHash.l2sqLL(qv, typedLit(cent))
+
+  private[graft] def l2sqDeclarative(qv: Column, cent: Seq[Long]): Column =
     aggregate(zip_with(qv, typedLit(cent), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
-  /** (best cid, its L2²) against literal centroids, ties to lowest cid.
-    * The cast re-names the struct fields — `array()` normalizes its element
-    * structs to positional col1/col2 names.
+  /** (best cid, its L2²) against literal centroids, ties to lowest cid —
+    * ONE native loop over the flattened centroid table (r12; the
+    * k × interpreted-HOF argmin chain evaluated per row before).
+    * [[bestOfDeclarative]] is the retained spec reference.
     */
-  private[operators] def bestOf(qv: Column, cents: Array[Array[Long]]): Column =
+  private[graft] def bestOf(qv: Column, cents: Array[Array[Long]]): Column =
+    graft.plans.NativeHash.bestCell(qv, cents)
+
+  private[graft] def bestOfDeclarative(qv: Column, cents: Array[Array[Long]]): Column =
     array_min(array(cents.zipWithIndex.map { case (cv, ci) =>
-      struct(l2sq(qv, cv.toSeq).as("d2"), lit(ci).as("cid"))
+      struct(l2sqDeclarative(qv, cv.toSeq).as("d2"), lit(ci).as("cid"))
     }: _*)).cast("struct<d2:bigint,cid:int>")
 
   /** Train `iters` Lloyd rounds from the k lowest-id vectors; returns the

@@ -33,21 +33,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object Pq {
 
-  private def l2sq(v: Column, cent: Seq[Long]): Column =
+  /** Per-row array of the `m` subspace codes against literal codebooks —
+    * ONE native loop over the flattened codebook table (r12; before, each
+    * row evaluated m × ksub interpreted aggregate/zip_with folds).
+    * [[cidArrayDeclarative]] is the retained spec reference.
+    */
+  private[graft] def cidArray(qv: Column, subDim: Int, books: Array[Array[Array[Long]]]): Column =
+    graft.plans.NativeHash.pqCodes(qv, books)
+
+  private def l2sqDecl(v: Column, cent: Seq[Long]): Column =
     aggregate(zip_with(v, typedLit(cent), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Argmin cid of subspace `s` against its literal codebook, ties to the
-    * lowest cid (the [[KMeans]] `bestOf` contract, sliced).
-    */
-  private def cidOf(qv: Column, s: Int, sub: Int, book: Array[Array[Long]]): Column =
+  private def cidOfDecl(qv: Column, s: Int, sub: Int, book: Array[Array[Long]]): Column =
     array_min(array(book.zipWithIndex.map { case (cv, ci) =>
-      struct(l2sq(slice(qv, s * sub + 1, sub), cv.toSeq).as("d2"), lit(ci).as("cid"))
+      struct(l2sqDecl(slice(qv, s * sub + 1, sub), cv.toSeq).as("d2"), lit(ci).as("cid"))
     }: _*)).cast("struct<d2:bigint,cid:int>").getField("cid")
 
-  /** Per-row array of the `m` subspace codes against literal codebooks. */
-  private[operators] def cidArray(qv: Column, subDim: Int, books: Array[Array[Array[Long]]]): Column =
-    array(books.indices.map(s => cidOf(qv, s, subDim, books(s))): _*)
+  private[graft] def cidArrayDeclarative(qv: Column, subDim: Int,
+                                             books: Array[Array[Array[Long]]]): Column =
+    array(books.indices.map(s => cidOfDecl(qv, s, subDim, books(s))): _*)
 
   /** Train `iters` Lloyd rounds per subspace; returns
     * `books(s)(c)` = the micro-unit centroid of subspace `s`, cluster `c`
@@ -146,12 +151,9 @@ object Pq {
     val cand = vectors.select(col(idCol).as("neighbor_id"), KMeans.quantize(col(vecCol)).as("cqv"))
       .select(col("neighbor_id"), cidArray(col("cqv"), subDim, books).as("cids"))
     val q = queries.select(col(idCol).as("query_id"), KMeans.quantize(col(vecCol)).as("qqv"))
-    val d2 = (0 until m).map { s =>
-      val cent = element_at(typedLit(books(s).map(_.toSeq).toSeq),
-        (element_at(col("cids"), s + 1) + 1).cast("int"))
-      aggregate(zip_with(slice(col("qqv"), s * subDim + 1, subDim), cent,
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-    }.reduce(_ + _)
+    // native ADC (r12): one loop over the flattened codebooks per
+    // (query, candidate) pair — the m interpreted zip_with folds before
+    val d2 = graft.plans.NativeHash.pqAdc(col("qqv"), col("cids"), books)
     cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(

@@ -74,6 +74,9 @@ object Quant {
     * vector fold in the repo.
     */
   def dotCodes(a: Column, b: Column): Column =
+    graft.plans.NativeHash.dotCodes(a, b) // native one-loop (r12); spec-pinned vs the fold
+
+  private[graft] def dotCodesDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
       lit(0), (acc, v) => acc + v)
 
@@ -142,6 +145,9 @@ object Quant {
     * the per-word XOR, summed — pure integer, codegen-friendly.
     */
   def hammingDist(a: Column, b: Column): Column =
+    graft.plans.NativeHash.hammingWords(a, b) // native one-loop (r12); spec-pinned vs the fold
+
+  private[graft] def hammingDistDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (acc, v) => acc + v)
 
   /** Top-k neighbors per query by Hamming distance over the 1-bit store
@@ -183,8 +189,7 @@ object Quant {
     require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
     require(c >= k && k >= 1, s"need c >= k >= 1, got c=$c k=$k")
     import org.apache.spark.sql.expressions.Window
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    def idot(a: Column, b: Column): Column = graft.plans.NativeHash.dotLL(a, b)
     val q = queries.select(col(idCol).as("query_id"), KMeans.quantize(col(vecCol)).as("qqv"))
     val cand = vecs.select(col(idCol).as("neighbor_id"), KMeans.quantize(col(vecCol)).as("cqv"))
     val shortlist = cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))

@@ -235,6 +235,256 @@ object NativeHash {
     override def prettyName: String = "graft_cosine"
   }
 
+  // ---- r12: native integer vector math for the quantization/ANN family ----
+  // Each expression is the one-loop twin of an `aggregate(zip_with(...))` /
+  // argmin-over-struct-array HOF chain that Spark evaluates INTERPRETED in
+  // the per-row hot path (the standing r12 rule: no HOF in a hot path).
+  // Semantics mirror the declarative forms exactly — including the
+  // zip_with null-padding contract (length mismatch or a null element ⇒
+  // null result for the folds) and the lowest-index tie-break of
+  // array_min over (d2, cid) structs — and are spec-pinned against the
+  // retained declarative twins on randomized inputs (NativeVecSpec).
+
+  sealed abstract class LongArrayFold extends
+      org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _                      => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  /** Σ (a_i − b_i)² over two long arrays — null on length mismatch or a
+    * null element, like the declarative fold.
+    */
+  case class L2SqLL(left: Expression, right: Expression) extends LongArrayFold {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      var acc = 0L; var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqLL =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_l2sq_ll"
+  }
+
+  /** Σ a_i · b_i over two long arrays. */
+  case class DotLL(left: Expression, right: Expression) extends LongArrayFold {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      var acc = 0L; var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getLong(i) * b.getLong(i); i += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLL =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot_ll"
+  }
+
+  /** Elementwise a − b over two long arrays; mirrors zip_with's padding
+    * (output length = max, padded positions null).
+    */
+  case class SubLL(left: Expression, right: Expression) extends LongArrayFold {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      val n = math.max(na, nb)
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (i >= na || i >= nb || a.isNullAt(i) || b.isNullAt(i)) null
+          else a.getLong(i) - b.getLong(i)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SubLL =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_sub_ll"
+  }
+
+  /** Σ int(a_i) · int(b_i) over two int8 code arrays (the scalar-quant
+    * similarity scan).
+    */
+  case class DotCodesI(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(ByteType, _) => true
+        case _                      => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_codes requires two array<tinyint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      var acc = 0; var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getByte(i).toInt * b.getByte(i).toInt; i += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotCodesI =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot_codes"
+  }
+
+  /** Σ popcount(a_i XOR b_i) over two packed-word arrays (1-bit Hamming). */
+  case class HammingWords(left: Expression, right: Expression) extends LongArrayFold {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      var acc = 0; var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingWords =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_hamming_words"
+  }
+
+  /** Argmin cell of a micro-unit vector against `k` literal centroids
+    * (flattened row-major): struct(d2, cid), lowest d2 with lowest-cid
+    * ties — the KMeans.bestOf contract in one loop.
+    */
+  case class BestCell(child: Expression, flat: Array[Long], k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && flat.length % k == 0, s"bad centroid table: ${flat.length} longs / $k cells")
+    private val dim = flat.length / k
+    override def dataType: DataType = StructType(Seq(
+      StructField("d2", LongType, nullable = false),
+      StructField("cid", IntegerType, nullable = false)))
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_best_cell requires array<bigint>, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != dim) return null
+      var best = Long.MaxValue; var bc = 0
+      var c = 0
+      while (c < k) {
+        var d2 = 0L; var i = 0; val base = c * dim
+        while (i < dim) { val d = v.getLong(i) - flat(base + i); d2 += d * d; i += 1 }
+        if (d2 < best) { best = d2; bc = c }
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(best, bc)
+    }
+    override protected def withNewChildInternal(newChild: Expression): BestCell = copy(child = newChild)
+    override def prettyName: String = "graft_best_cell"
+  }
+
+  /** Per-subspace PQ code assignment against literal codebooks (flattened
+    * [s][c][i] row-major): array of m argmin cids, lowest-cid ties.
+    */
+  case class PqCodesExpr(child: Expression, flat: Array[Long], m: Int, ksub: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(m >= 1 && ksub >= 1 && flat.length % (m * ksub) == 0,
+      s"bad codebook table: ${flat.length} longs / $m subspaces / $ksub cells")
+    private val subDim = flat.length / (m * ksub)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_codes requires array<bigint>, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != m * subDim) return null
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = Long.MaxValue; var bc = 0
+        var c = 0
+        while (c < ksub) {
+          var d2 = 0L; var i = 0; val base = (s * ksub + c) * subDim
+          while (i < subDim) {
+            val d = v.getLong(s * subDim + i) - flat(base + i); d2 += d * d; i += 1
+          }
+          if (d2 < best) { best = d2; bc = c }
+          c += 1
+        }
+        out(s) = bc; s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqCodesExpr = copy(child = newChild)
+    override def prettyName: String = "graft_pq_codes"
+  }
+
+  /** ADC distance: Σ over dims of (v_i − book[s][code_s][i])², v the raw
+    * micro-unit (or residual) vector, codes the m-code array.
+    */
+  case class PqAdcExpr(left: Expression, right: Expression, flat: Array[Long], m: Int, ksub: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    require(m >= 1 && ksub >= 1 && flat.length % (m * ksub) == 0,
+      s"bad codebook table: ${flat.length} longs / $m subspaces / $ksub cells")
+    private val subDim = flat.length / (m * ksub)
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc requires (array<bigint>, array<int>), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+      }
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val v = l.asInstanceOf[ArrayData]; val cids = r.asInstanceOf[ArrayData]
+      if (v.numElements() != m * subDim || cids.numElements() != m) return null
+      var acc = 0L; var s = 0
+      while (s < m) {
+        if (cids.isNullAt(s)) return null
+        var i = 0
+        while (i < subDim) {
+          if (v.isNullAt(s * subDim + i)) return null
+          val d = v.getLong(s * subDim + i) - flat((s * ksub + cids.getInt(s)) * subDim + i)
+          acc += d * d; i += 1
+        }
+        s += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_pq_adc"
+  }
+
   /** Sign-bit LSH bucket over an array<float> embedding — the native twin
     * of VectorFunctions.lshBucketDeclarative, bit-identical by
     * construction: plane component (p, j) is
@@ -933,6 +1183,39 @@ object NativeHash {
 
   def hilbertD(x: Column, y: Column, bits: Int): Column =
     call_function("graft_hilbert_d", x.cast("long"), y.cast("long"), lit(bits))
+
+  def l2sqLL(a: Column, b: Column): Column = call_function("graft_l2sq_ll", a, b)
+
+  def dotLL(a: Column, b: Column): Column = call_function("graft_dot_ll", a, b)
+
+  def subLL(a: Column, b: Column): Column = call_function("graft_sub_ll", a, b)
+
+  def dotCodes(a: Column, b: Column): Column = call_function("graft_dot_codes", a, b)
+
+  def hammingWords(a: Column, b: Column): Column = call_function("graft_hamming_words", a, b)
+
+  def bestCell(qv: Column, cents: Array[Array[Long]]): Column =
+    call_function("graft_best_cell", qv,
+      org.apache.spark.sql.functions.typedLit(cents.flatten.toSeq), lit(cents.length))
+
+  def pqCodes(qv: Column, books: Array[Array[Array[Long]]]): Column =
+    call_function("graft_pq_codes", qv,
+      org.apache.spark.sql.functions.typedLit(books.flatten.flatten.toSeq),
+      lit(books.length), lit(books(0).length))
+
+  def pqAdc(qv: Column, cids: Column, books: Array[Array[Array[Long]]]): Column =
+    call_function("graft_pq_adc", qv, cids,
+      org.apache.spark.sql.functions.typedLit(books.flatten.flatten.toSeq),
+      lit(books.length), lit(books(0).length))
+
+  /** Extract a foldable array<bigint> argument into a driver array at
+    * function-resolution time (the literal-codebook calling convention of
+    * graft_best_cell / graft_pq_codes / graft_pq_adc).
+    */
+  private[plans] def litLongs(e: Expression): Array[Long] = {
+    require(e.foldable, s"codebook argument must be foldable, got $e")
+    e.eval().asInstanceOf[ArrayData].toLongArray()
+  }
 }
 
 /** SparkSessionExtensions entry point registering graft's native
@@ -1089,6 +1372,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_unigram_tokens"),
       new ExpressionInfo(classOf[Unigram.UgTokens].getName, "graft_unigram_tokens"),
       (args: Seq[Expression]) => Unigram.UgTokens(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq_ll"),
+      new ExpressionInfo(classOf[NativeHash.L2SqLL].getName, "graft_l2sq_ll"),
+      (args: Seq[Expression]) => NativeHash.L2SqLL(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_ll"),
+      new ExpressionInfo(classOf[NativeHash.DotLL].getName, "graft_dot_ll"),
+      (args: Seq[Expression]) => NativeHash.DotLL(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sub_ll"),
+      new ExpressionInfo(classOf[NativeHash.SubLL].getName, "graft_sub_ll"),
+      (args: Seq[Expression]) => NativeHash.SubLL(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_codes"),
+      new ExpressionInfo(classOf[NativeHash.DotCodesI].getName, "graft_dot_codes"),
+      (args: Seq[Expression]) => NativeHash.DotCodesI(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming_words"),
+      new ExpressionInfo(classOf[NativeHash.HammingWords].getName, "graft_hamming_words"),
+      (args: Seq[Expression]) => NativeHash.HammingWords(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_best_cell"),
+      new ExpressionInfo(classOf[NativeHash.BestCell].getName, "graft_best_cell"),
+      (args: Seq[Expression]) => NativeHash.BestCell(args(0),
+        NativeHash.litLongs(args(1)), args(2).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[NativeHash.PqCodesExpr].getName, "graft_pq_codes"),
+      (args: Seq[Expression]) => NativeHash.PqCodesExpr(args(0),
+        NativeHash.litLongs(args(1)),
+        args(2).eval().asInstanceOf[Int], args(3).eval().asInstanceOf[Int])
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[NativeHash.PqAdcExpr].getName, "graft_pq_adc"),
+      (args: Seq[Expression]) => NativeHash.PqAdcExpr(args(0), args(1),
+        NativeHash.litLongs(args(2)),
+        args(3).eval().asInstanceOf[Int], args(4).eval().asInstanceOf[Int])
     ))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

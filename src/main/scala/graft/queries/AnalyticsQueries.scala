@@ -1428,6 +1428,8 @@ object AnalyticsQueries {
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("ss"))
       .distinct()
+      .persist() // both symmetrization legs read it (r12: o⋈l ran twice)
+    graft.operators.Caches.register(edges)
     val sym = edges.select(col("c").as("src"), col("ss").as("dst"))
       .union(edges.select(col("ss").as("src"), col("c").as("dst")))
     graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
@@ -1484,10 +1486,18 @@ object AnalyticsQueries {
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("ss"))
       .distinct()
+      .persist() // both symmetrization legs read it (r12: o⋈l ran twice)
+    graft.operators.Caches.register(edges)
     val sym = edges.select(col("c").as("src"), col("ss").as("dst"))
       .union(edges.select(col("ss").as("src"), col("c").as("dst")))
+    // localCheckpoint before the rank>0 filter (r12): filtering on the
+    // COMPUTED rank column of the deep 3-round plan sent the optimizer
+    // re-deriving constraints/pushdown through every round — measured 7.4 s
+    // vs 1.8 s for the identical ranks without the filter; pinning the
+    // node-sized final frame first makes the filter a trivial scan
     graft.operators.Graph.personalizedPageRank(sym, "src", "dst",
         seeds = Seq("c1", "c2", "c3", "c4", "c5"), iters = 3)
+      .localCheckpoint()
       .filter(col("rank") > 0)
       .orderBy("node")
   }
@@ -1543,6 +1553,8 @@ object AnalyticsQueries {
       .filter(col("q") >= 80)
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .persist() // both symmetrization legs read it (r12: o⋈l+agg ran twice)
+    graft.operators.Caches.register(edges)
     val labels = graft.operators.Graph.connectedComponents(edges, "src", "dst")
     labels.join(labels.groupBy("comp").agg(count(lit(1)).as("csize")), "comp")
       .select(col("node"), col("comp"), col("csize"))
@@ -1599,6 +1611,8 @@ object AnalyticsQueries {
       .filter(col("no") >= 2)
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .persist() // both symmetrization legs read it (r12: o⋈l+agg ran twice)
+    graft.operators.Caches.register(edges)
     graft.operators.Graph.kCore(edges, "src", "dst", k = 2)
       .orderBy("node")
   }
@@ -1636,6 +1650,8 @@ object AnalyticsQueries {
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       .distinct()
+      .persist() // both symmetrization legs read it (r12: o⋈l ran twice)
+    graft.operators.Caches.register(edges)
     graft.operators.Graph.bfsHops(edges, "src", "dst",
         seeds = Seq("c1", "c2", "c3"), rounds = 3)
       .orderBy("node")

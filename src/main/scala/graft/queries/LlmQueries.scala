@@ -4472,14 +4472,16 @@ object LlmQueries {
     * over exactly B = 200 rows by construction (control-plane sized).
     */
   def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Sampling
     import org.apache.spark.sql.expressions.Window
     val B = 200
     val cuts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
       4279248373L, 4292415291L)
     val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    val u = pmod(Sampling.md5Lower(concat_ws(":", lit("bs"),
-      col("b").cast("string"), col("doc_id").cast("string"))), lit(4294967296L))
+    // native graft_md5_mod (r12): value-identical to pmod(md5Lower(·), 2³²)
+    // (fuzz-pinned) — this is a B×n hot path (200 hashes per doc) and the
+    // declarative route paid a hex round-trip + decimal(20,0) mod per hash
+    val u = graft.plans.NativeHash.md5Mod(concat_ws(":", lit("bs"),
+      col("b").cast("string"), col("doc_id").cast("string")), 4294967296L)
     val w = cuts.zipWithIndex.foldRight(lit(6L): Column) { case ((cut, k), el) =>
       when(u < cut, k.toLong).otherwise(el)
     }

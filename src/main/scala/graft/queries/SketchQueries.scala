@@ -108,7 +108,11 @@ object SketchQueries {
     val ords = table(s, dir, "orders")
     val li = table(s, dir, "lineitem")
     val ev = table(s, dir, "events")
-    val evCms = cms(ev, "user_id")
+    // persisted: the self inner product reads the events sketch on BOTH
+    // join sides — without the barrier the d×|events| hash pass runs twice
+    // (r12; the sketch is ≤ d·w rows, control-plane sized)
+    val evCms = cms(ev, "user_id").persist()
+    graft.operators.Caches.register(evCms)
     report("orders_lineitem",
         inner(cms(ords, "o_orderkey"), cms(li, "l_orderkey")),
         exact(ords, "o_orderkey", li, "l_orderkey"))

@@ -220,12 +220,28 @@ class PlanContractSpec extends SparkSpec {
     graft.operators.Caches.release()
   }
 
-  test("prefix-filter join: candidate stage is an equi join, never a nested loop") {
-    val df = graft.queries.LlmQueries.qSetSimJoin(spark, sfDir)
+  test("prefix-filter join: the at-scale route's candidate stage is an equi join, never a nested loop") {
+    // r12 planner split: below bruteThreshold distinct sets the substrate
+    // takes a BROADCAST all-pairs scan (a deliberate BroadcastNestedLoopJoin
+    // over the slim size-pruned frame — never an unbroadcast cartesian);
+    // the contract here pins the AT-SCALE route (bruteThreshold = 0): its
+    // candidate generation must stay an equi join on the prefix token.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sub = graft.operators.Dedup.prefixSub(docs, "doc_id", "text", 4, 5,
+      bruteThreshold = 0L)
+    val df = sub.repPairs
     df.collect()
     val s = executed(df).toString
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"prefix candidate generation degraded to a product join:\n$s")
+    graft.operators.Caches.release()
+    // and the registered query's small-corpus brute route must broadcast —
+    // an unbroadcast cartesian would be the real scale bug
+    val dfq = graft.queries.LlmQueries.qSetSimJoin(spark, sfDir)
+    dfq.collect()
+    val sq = executed(dfq).toString
+    assert(!sq.contains("CartesianProduct"),
+      s"brute route ran an unbroadcast cartesian product:\n$sq")
     graft.operators.Caches.release()
   }
 
